@@ -1,0 +1,55 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is fully materialized via
+the noop sink (no driver collect cost, no output I/O — pure engine time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from vectra_player_spark import plans
+    from vectra_player_spark.session import get_spark
+
+    spark = get_spark("vectra_bench")
+    # JVM/codegen warmup so the first measured query isn't paying startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    bench_specs = [
+        (name, spec) for name, spec in sorted(plans.QUERIES.items()) if "bench" in spec.tags
+    ]
+    timings: dict[str, float] = {}
+    for name, spec in bench_specs:
+        df = spec.spark_fn(spark, sf_dir)
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+- brute_force_topk: exact cosine top-k for a query set — the correctness
+  baseline. Query side is broadcast; candidates stream through one codegen
+  stage; per-query top-k is a window row_number (Spark plans the global
+  sort as TakeOrderedAndProject per partition key).
+- ivf_topk: the scale path — k-means-free IVF using label centroids (or any
+  coarse quantizer DataFrame of (cell_id, centroid)): assign every vector
+  to its nearest cell once, then only search cells the query maps to
+  (nprobe cells). Cuts candidate count by ~|cells|/nprobe at 100 TB while
+  reusing the same exact kernel inside each cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectra_player_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (excluding self)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_vec", "c_vec"), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell_id",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """IVF assignment: nearest centroid per vector (broadcast centroids)."""
+    scored = vectors.join(F.broadcast(centroids), F.lit(True)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(cell_col),
+        cosine(vec_col, centroid_col).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc(cell_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, cell_col)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the nprobe nearest cells per query."""
+    cand_cells = assign_cells(candidates, centroids, id_col, vec_col)
+    q_scored = queries.join(F.broadcast(centroids), F.lit(True)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("cell_id"),
+        cosine(vec_col, "centroid").alias("_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell_id"))
+    q_cells = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "q_vec", "cell_id")
+    )
+    scored = (
+        F.broadcast(q_cells)
+        .join(
+            cand_cells.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(
+                vec_col, "c_vec"
+            ),
+            "cell_id",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_vec", "c_vec"), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1,0 +1,112 @@
+"""Monte Carlo strategy simulation (SURVEY §2.9 M11/M12).
+
+The reference runs 10k-100k martingale-sequence iterations in a numpy loop
+(services/optimization/src/analyzers/monte_carlo.py:76-357) with a pinned
+seed. Spark design: `spark.range(n).mapInPandas(simulate)` — embarrassingly
+parallel, one task per range slice, NO shuffle until the final tiny
+aggregate. Determinism discipline (SURVEY §4): the RNG is keyed on
+(seed, iteration_id), not the partition id, so results are identical under
+any partitioning — repartition-safe and cluster-size-safe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SIM_SCHEMA = (
+    "iteration long, final_bankroll double, max_drawdown double, "
+    "n_wins long, n_bets long, ruined boolean"
+)
+
+
+def simulate_iterations(
+    spark: SparkSession,
+    n_iterations: int = 2000,
+    n_games: int = 200,
+    win_prob: float = 0.17,
+    payout: float = 5.0,
+    base_bet: float = 1.0,
+    martingale_cap: float = 4.0,
+    starting_bankroll: float = 100.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-iteration outcomes of a martingale side-bet sequence."""
+    import numpy as np  # imported in the task, keeps closure light
+
+    def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for it in pdf["id"].tolist():
+                rng = np.random.default_rng([seed, int(it)])
+                draws = rng.random(n_games)
+                bankroll = starting_bankroll
+                peak = starting_bankroll
+                max_dd = 0.0
+                bet = base_bet
+                wins = 0
+                bets = 0
+                ruined = False
+                for g in range(n_games):
+                    if bankroll < bet:
+                        ruined = True
+                        break
+                    bets += 1
+                    if draws[g] < win_prob:
+                        bankroll += payout * bet
+                        bet = base_bet
+                        wins += 1
+                    else:
+                        bankroll -= bet
+                        bet = min(bet * 2.0, martingale_cap * base_bet)
+                    peak = max(peak, bankroll)
+                    if peak > 0:
+                        max_dd = max(max_dd, (peak - bankroll) / peak)
+                out.append((int(it), bankroll, max_dd, wins, bets, ruined))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "iteration",
+                    "final_bankroll",
+                    "max_drawdown",
+                    "n_wins",
+                    "n_bets",
+                    "ruined",
+                ],
+            )
+
+    return spark.range(n_iterations).mapInPandas(sim, SIM_SCHEMA)
+
+
+def summarize_simulation(per_iteration: DataFrame, starting_bankroll: float = 100.0) -> DataFrame:
+    """Aggregate metrics block: mean/median/std, P(profit), P(ruin), VaR/CVaR
+    (analyzers/monte_carlo.py aggregate section)."""
+    fb = F.col("final_bankroll")
+    profit = fb - starting_bankroll
+    base = per_iteration.agg(
+        F.count(F.lit(1)).alias("n_iterations"),
+        F.round(F.avg(fb), 6).alias("mean_final"),
+        F.round(F.expr("percentile(final_bankroll, 0.5)"), 6).alias("median_final"),
+        F.round(F.stddev(fb), 6).alias("std_final"),
+        F.round(F.avg((profit > 0).cast("double")), 6).alias("p_profit"),
+        F.round(F.avg(F.col("ruined").cast("double")), 6).alias("p_ruin"),
+        F.expr("percentile(final_bankroll, 0.05)").alias("_var95"),
+        F.round(F.avg("max_drawdown"), 6).alias("mean_max_drawdown"),
+        F.round(F.avg("n_wins"), 6).alias("mean_wins"),
+    )
+    # CVaR95 = mean of the tail at or below VaR95 — second pass against the
+    # (one-row) stats, broadcast so the per-iteration side never reshuffles.
+    tail = (
+        per_iteration.crossJoin(F.broadcast(base.select("_var95")))
+        .where(fb <= F.col("_var95"))
+        .agg(F.round(F.avg(fb), 6).alias("cvar95"))
+    )
+    return (
+        base.crossJoin(tail)
+        .withColumn("var95", F.round(F.col("_var95"), 6))
+        .drop("_var95")
+    )

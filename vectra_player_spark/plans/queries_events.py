@@ -1,0 +1,404 @@
+"""Event-stream analytics over the driver's `events` table.
+
+The `events` table plays the reference's event-envelope role (FIXTURES.md
+§1 mapping): `user_id` ≈ game_id (episode key), `event_id` ≈ seq (episode
+order), `value` ≈ price, `props` ≈ raw_json. Covers SURVEY §2.3 (F1-F8),
+§2.6 (W1-W11), §2.8 (D1-D2), §2.9 (M1, M13, M21, M22), §2.11 T11 batch
+shape.
+
+Scale notes: every window here partitions by the episode key, so the only
+shuffle is one hash exchange on user_id; all frames then evaluate within a
+partition. The self-join in `pre_event_window` is an equi-join on user_id
+with a range predicate — at 100 TB this stays a co-partitioned join, never
+a cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectra_player_spark.operators.windows import (
+    best_row_dedup,
+    max_drop_per_episode,
+    momentum_features,
+    tick_features,
+)
+from vectra_player_spark.plans.registry import register
+from vectra_player_spark.tables import t
+
+# --------------------------------------------------------------------------
+# tick_features — the flagship query (duckdb.py:408-458 re-expressed).
+# --------------------------------------------------------------------------
+
+_TICK_ORACLE = """
+SELECT
+  user_id,
+  event_id,
+  ROUND(value, 6) AS price,
+  ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 6) AS price_change,
+  ROUND((value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id))
+        / NULLIF(LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 0), 6) AS pct_change,
+  ROUND(STDDEV(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS volatility_5,
+  ROUND(STDDEV(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS volatility_10,
+  ROUND(MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_max,
+  ROUND(value / NULLIF(MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - 1, 6) AS drawdown
+FROM events
+"""
+
+
+@register("tick_features", oracle=_TICK_ORACLE, tags=("events", "bench"), survey_ref="W1-W4,F3,F4,M2")
+def tick_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return tick_features(ev, episode_key="user_id", order_key="event_id", price_col="value")
+
+
+_MOMENTUM_ORACLE = """
+SELECT
+  user_id,
+  event_id,
+  ROUND((value - LAG(value, 3) OVER w) / 3.0, 6) AS momentum_3,
+  ROUND((value - LAG(value, 5) OVER w) / 5.0, 6) AS momentum_5,
+  ROUND(value - 2 * LAG(value, 1) OVER w + LAG(value, 2) OVER w, 6) AS acceleration,
+  (value > LAG(value, 1) OVER w AND LAG(value, 1) OVER w > LAG(value, 2) OVER w
+   AND LAG(value, 2) OVER w > LAG(value, 3) OVER w) AS trend_up_3,
+  (value < LAG(value, 1) OVER w AND LAG(value, 1) OVER w < LAG(value, 2) OVER w
+   AND LAG(value, 2) OVER w < LAG(value, 3) OVER w) AS trend_down_3,
+  (value > LAG(value, 3) OVER w * 1.2) AS rapid_rise,
+  (value < LAG(value, 3) OVER w * 0.8) AS rapid_fall,
+  ROUND((value - AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW))
+        / NULLIF(AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 0), 6) AS mean_reversion
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+@register("momentum_features", oracle=_MOMENTUM_ORACLE, tags=("events",), survey_ref="W7,W9,W10")
+def momentum_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return momentum_features(ev, episode_key="user_id", order_key="event_id", price_col="value")
+
+
+# --------------------------------------------------------------------------
+# Dedup idioms (D1 keep-first made deterministic, D2 best-row).
+# --------------------------------------------------------------------------
+
+_BEST_ROW_ORACLE = """
+SELECT user_id, event_id, event_type, ROUND(value, 6) AS value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("best_row_dedup", oracle=_BEST_ROW_ORACLE, tags=("events",), survey_ref="W5,D2")
+def best_row_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return best_row_dedup(ev, "user_id", [F.desc("value"), F.asc("event_id")]).select(
+        "user_id", "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+_FIRST_ROW_ORACLE = """
+SELECT user_id, MIN(event_id) AS first_event_id
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("dedup_keep_first", oracle=_FIRST_ROW_ORACLE, tags=("events",), survey_ref="D1")
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drop_duplicates(keep='first') made deterministic: 'first' under the
+    # episode ordering = min(event_id) per key (SURVEY §7 hard-part 4).
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(F.min("event_id").alias("first_event_id"))
+
+
+# --------------------------------------------------------------------------
+# Grouped counters + JSON extraction (A9, F1-F3).
+# --------------------------------------------------------------------------
+
+_COUNTS_ORACLE = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("event_type_counts", oracle=_COUNTS_ORACLE, tags=("events",), survey_ref="A1,A2,A9")
+def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+_JSON_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_props_stats", oracle=_JSON_ORACLE, tags=("events",), survey_ref="F1,F2,F3")
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time bucketing (T11 batch form, F5/F6) — tumbling 1-hour counts.
+# --------------------------------------------------------------------------
+
+_BUCKETS_ORACLE = """
+SELECT
+  STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("event_rate_buckets", oracle=_BUCKETS_ORACLE, tags=("events",), survey_ref="T11,F5,F6,A9")
+def event_rate_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pre_event_window (M21) — events in the 2h window preceding each error,
+# per user: equi-join on user_id + time-range predicate.
+# --------------------------------------------------------------------------
+
+_PRE_EVENT_ORACLE = """
+SELECT
+  e.event_id AS error_event_id,
+  COUNT(f.event_id) AS n_preceding,
+  COUNT(DISTINCT f.event_type) AS n_types
+FROM events e
+LEFT JOIN events f
+  ON f.user_id = e.user_id
+ AND f.ts >= e.ts - INTERVAL 2 HOUR
+ AND f.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""
+
+
+@register("pre_event_window", oracle=_PRE_EVENT_ORACLE, tags=("events",), survey_ref="M21,P4")
+def pre_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("event_id").alias("error_event_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("ts") >= F.col("e_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("ts") < F.col("e_ts"))
+    )
+    return (
+        errors.join(ev, cond, "left")
+        .groupBy("error_event_id")
+        .agg(
+            F.count("event_id").alias("n_preceding"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# max_drop (M1/M22) — rug-tick inference analog on the value series.
+# --------------------------------------------------------------------------
+
+_MAXDROP_ORACLE = """
+SELECT user_id, event_id AS rug_tick, ROUND(drop, 6) AS max_drop
+FROM (
+  SELECT user_id, event_id, drop,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY drop DESC, event_id ASC) AS rn
+  FROM (
+    SELECT user_id, event_id,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) - value AS drop
+    FROM events
+  ) WHERE drop IS NOT NULL
+) WHERE rn = 1
+"""
+
+
+@register("max_drop_per_user", oracle=_MAXDROP_ORACLE, tags=("events",), survey_ref="M1,M22")
+def max_drop_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return max_drop_per_episode(ev, episode_key="user_id", order_key="event_id", price_col="value")
+
+
+# --------------------------------------------------------------------------
+# Rolling last-10 stats (W11) — recent-game-lengths window
+# (data_processor.py:15-46) over a per-episode summary.
+# --------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT
+  user_id,
+  STRFTIME(day, '%Y-%m-%d') AS day,
+  n_events,
+  ROUND(AVG(day_value) OVER (PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS avg_value_10d,
+  ROUND(MIN(day_value) OVER (PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS min_value_10d,
+  ROUND(MAX(day_value) OVER (PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS max_value_10d
+FROM daily
+"""
+
+
+@register("rolling_daily_stats", oracle=_ROLLING_ORACLE, tags=("events",), survey_ref="W11")
+def rolling_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("day_value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-9, 0)
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(F.avg("day_value").over(w), 6).alias("avg_value_10d"),
+        F.round(F.min("day_value").over(w), 6).alias("min_value_10d"),
+        F.round(F.max("day_value").over(w), 6).alias("max_value_10d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Volatility study per user (M13) — std / return-std / spike counts with a
+# per-episode median threshold (volatility_study.py:53-137).
+# --------------------------------------------------------------------------
+
+_VOL_ORACLE = """
+WITH diffs AS (
+  SELECT user_id, value,
+         value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS ret
+  FROM events
+),
+med AS (
+  SELECT user_id, quantile_cont(ABS(ret), 0.5) AS med_abs_ret
+  FROM diffs WHERE ret IS NOT NULL GROUP BY user_id
+)
+SELECT
+  d.user_id,
+  ROUND(STDDEV(d.value), 6) AS price_std,
+  ROUND(STDDEV(d.ret), 6) AS return_std,
+  ROUND(MAX(d.value) - MIN(d.value), 6) AS price_range,
+  ROUND(MAX(d.value) / NULLIF(MIN(d.value), 0), 6) AS high_low_ratio,
+  CAST(SUM(CASE WHEN ABS(d.ret) > 2 * m.med_abs_ret THEN 1 ELSE 0 END) AS BIGINT) AS spike_count
+FROM diffs d
+JOIN med m ON d.user_id = m.user_id
+GROUP BY d.user_id
+"""
+
+
+@register("volatility_per_user", oracle=_VOL_ORACLE, tags=("events",), survey_ref="M13,A6,F7")
+def volatility_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    diffs = ev.select(
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("ret"),
+    )
+    med = (
+        diffs.where(F.col("ret").isNotNull())
+        .groupBy("user_id")
+        .agg(F.expr("percentile(abs(ret), 0.5)").alias("med_abs_ret"))
+    )
+    return (
+        diffs.join(F.broadcast(med), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.stddev("value"), 6).alias("price_std"),
+            F.round(F.stddev("ret"), 6).alias("return_std"),
+            F.round(F.max("value") - F.min("value"), 6).alias("price_range"),
+            F.round(F.max("value") / F.nullif(F.min("value"), F.lit(0.0)), 6).alias(
+                "high_low_ratio"
+            ),
+            F.sum(
+                F.when(F.abs("ret") > 2 * F.col("med_abs_ret"), 1).otherwise(0)
+            ).alias("spike_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Descriptive-stats block (A6) — the reference's repeated
+# count/mean/std/percentile summary (survival.py:178-196 et al).
+# --------------------------------------------------------------------------
+
+_DESC_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n,
+  ROUND(AVG(value), 6) AS mean_value,
+  ROUND(STDDEV(value), 6) AS std_value,
+  ROUND(MIN(value), 6) AS min_value,
+  ROUND(quantile_cont(value, 0.05), 6) AS p5,
+  ROUND(quantile_cont(value, 0.25), 6) AS p25,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.75), 6) AS p75,
+  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99,
+  ROUND(MAX(value), 6) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("descriptive_stats", oracle=_DESC_ORACLE, tags=("events",), survey_ref="A6,F7")
+def descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev("value"), 6).alias("std_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p5"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )

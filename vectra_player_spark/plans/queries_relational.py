@@ -1,0 +1,394 @@
+"""Relational core over the TPC-H-ish tables.
+
+Covers SURVEY.md §2.2 (projection/filter), §2.4 (joins J1-J3/J6), §2.5
+(aggregations A1-A8/A10-A11), §2.7 (sorts/limits O1-O5), §2.8 (set ops
+D5/D6). The reference expresses these through DuckDB SQL over its event
+lake (src/services/event_store/duckdb.py); here they're the same logical
+plans on Spark, declared so Catalyst chooses broadcast joins for the
+dimension tables and pushes filters/projections into the parquet scans.
+
+Float-sum discipline: see vectra_player_spark.functions.exact. DECIMAL
+sums are spelled identically in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectra_player_spark.functions.exact import dec, dsum, r6d
+from vectra_player_spark.plans.registry import register
+from vectra_player_spark.tables import t
+
+# --------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 shape: scan + filter + groupBy + 8 aggregates.
+# Reference analog: descriptive-stats blocks (SURVEY A6) and per-type rollups.
+# --------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)                        AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)                   AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)                AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l_discount AS DECIMAL(18,6)))
+           * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE)                     AS sum_charge,
+  ROUND(AVG(l_quantity), 6)                                                     AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6)                                                AS avg_price,
+  ROUND(AVG(l_discount), 6)                                                     AS avg_disc,
+  COUNT(*)                                                                      AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_ORACLE, tags=("relational", "bench"), survey_ref="A1,A3,A6,P1,F3")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+    charge = disc * (F.lit(1).cast("decimal(18,6)") + dec("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            r6d(F.avg("l_quantity")).alias("avg_qty"),
+            r6d(F.avg("l_extendedprice")).alias("avg_price"),
+            r6d(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q3_top_revenue_orders — 3-way join + group + top-k (J1 filter-by-aggregate,
+# O5 top-k). Mirrors the reference's "qualifying games by tick_count" CTE join
+# (duckdb.py:208-224) on star-schema keys.
+# --------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT
+  o.o_orderkey,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("q3_top_revenue_orders", oracle=_Q3_ORACLE, tags=("relational", "bench"), survey_ref="J1,O5,A11")
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q5_region_revenue — 5-way star join, dims broadcast (SURVEY §2.4 note on
+# broadcast hints for dimension tables).
+# --------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT
+  r.r_name AS region_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name
+"""
+
+
+@register("q5_region_revenue", oracle=_Q5_ORACLE, tags=("relational", "bench"), survey_ref="J1,A3,A11")
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins — the reference's player-games semi-join (duckdb.py:296-310,
+# J2) and novel-event anti-join (rag_ingester.py:140-145, J6).
+# --------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+@register("join_semi_active_customers", oracle=_SEMI_ORACLE, tags=("relational",), survey_ref="J2")
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("join_anti_dormant_customers", oracle=_ANTI_ORACLE, tags=("relational",), survey_ref="J6,D5")
+def join_anti_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_having — GROUP BY + HAVING (A4), the reference's min-tick qualifying
+# games (duckdb.py:211-218).
+# --------------------------------------------------------------------------
+
+_HAVING_ORACLE = """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 10
+"""
+
+
+@register("agg_having_big_customers", oracle=_HAVING_ORACLE, tags=("relational",), survey_ref="A4")
+def agg_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+        .where(F.col("n_orders") >= 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct + limit/offset pagination (A5, O3) — games-listing pagination
+# (data_service.py:112-131). Deterministic ORDER BY before OFFSET.
+# --------------------------------------------------------------------------
+
+_PAGINATE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 50 OFFSET 100
+"""
+
+
+@register("paginate_orders", oracle=_PAGINATE_ORACLE, tags=("relational",), survey_ref="O3,O4")
+def paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+"""
+
+
+@register("distinct_segments", oracle=_DISTINCT_ORACLE, tags=("relational",), survey_ref="A5,D5")
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# top-k by sort (O2) — "recent events LIMIT n" shape with deterministic
+# tie-break.
+# --------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+
+@register("topk_orders_by_price", oracle=_TOPK_ORACLE, tags=("relational",), survey_ref="O2,O5")
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set algebra (D5): customers who bought in segment-crossing statuses.
+# intersect/except mirror registry coverage math (schema_validator/registry.py).
+# --------------------------------------------------------------------------
+
+_SETOP_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("setop_intersect_customers", oracle=_SETOP_ORACLE, tags=("relational",), survey_ref="D5")
+def setop_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    open_c = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersect(filled)
+
+
+_EXCEPT_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("setop_except_customers", oracle=_EXCEPT_ORACLE, tags=("relational",), survey_ref="D5")
+def setop_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    open_c = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.subtract(filled)
+
+
+# --------------------------------------------------------------------------
+# union_by_name across schema generations (D6) — union_by_name=true reads
+# (query_session.py:49). Two projections with disjoint optional columns.
+# --------------------------------------------------------------------------
+
+_UNION_ORACLE = """
+SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+UNION ALL BY NAME
+SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("union_by_name_orders", oracle=_UNION_ORACLE, tags=("relational",), survey_ref="D6")
+def union_by_name_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "O").select("o_orderkey", "o_totalprice")
+    b = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+# Histogram (A7) — np.histogram analog via fixed-width buckets
+# (explorer_data.py:272-288). floor(x/width) is portable to any engine.
+# --------------------------------------------------------------------------
+
+_HIST_ORACLE = """
+SELECT CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS bucket, COUNT(*) AS n
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("histogram_order_totals", oracle=_HIST_ORACLE, tags=("relational",), survey_ref="A7")
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.floor(F.col("o_totalprice") / 10000.0).cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlation (A8) — pairwise corr of measures (volatility_study.py:186-196).
+# --------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+SELECT
+  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  ROUND(CORR(l_discount, l_extendedprice), 6) AS corr_disc_price,
+  ROUND(CORR(l_quantity, l_tax), 6) AS corr_qty_tax
+FROM lineitem
+"""
+
+
+@register("corr_lineitem_measures", oracle=_CORR_ORACLE, tags=("relational",), survey_ref="A8")
+def corr_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("corr_disc_price"),
+        F.round(F.corr("l_quantity", "l_tax"), 6).alias("corr_qty_tax"),
+    )
+
+
+# --------------------------------------------------------------------------
+# COUNT(DISTINCT) (A2) + grouped min/max (A3) — session/lake stat blocks
+# (query_session.py:161-179, session_tracker.py).
+# --------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+SELECT
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  ROUND(MIN(o_totalprice), 6) AS min_price,
+  ROUND(MAX(o_totalprice), 6) AS max_price,
+  STRFTIME(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order,
+  STRFTIME(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("order_status_stats", oracle=_STATS_ORACLE, tags=("relational",), survey_ref="A2,A3")
+def order_status_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("last_order"),
+    )

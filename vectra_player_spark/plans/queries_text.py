@@ -1,0 +1,245 @@
+"""Text-analysis + dedup query surface over the `documents` table.
+
+The beyond-reference LLM-training-data operators mandated by BASELINE.json:
+exact dedup, MinHash+LSH, SimHash, n-gram Jaccard, token counting, quality
+scoring, language-ID heuristic, fingerprinting. Every one is md5/regexp
+built-in SQL on both engines, so all are oracle-checked.
+
+DuckDB dialect notes mirrored here: regexp_replace needs the 'g' flag
+(Spark's is global by default); integer SUMs are cast back to BIGINT
+(DuckDB widens to HUGEINT); list slicing is 1-based inclusive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectra_player_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    mean_token_length,
+    stopword_ratio,
+    tokens,
+)
+from vectra_player_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from vectra_player_spark.plans.registry import register
+from vectra_player_spark.tables import t
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+# Shared oracle CTEs: tokens and distinct 3-gram shingles.
+_TOKS_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         regexp_split_to_array(trim(text), '\s+') AS tokens
+  FROM documents
+)
+"""
+
+_SHINGLE_CTE = (
+    _TOKS_CTE
+    + r"""
+, sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tokens) - 2, 0)),
+                               i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw)
+"""
+)
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash groupBy).
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       COUNT(*) AS n_dups,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("doc_exact_dedup", oracle=_EXACT_ORACLE, tags=("text", "dedup"), survey_ref="D1,F8")
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Text quality + language-ID + token stats.
+# --------------------------------------------------------------------------
+
+_QUALITY_ORACLE = (
+    _TOKS_CTE
+    + f"""
+SELECT
+  doc_id,
+  lang,
+  n_chars,
+  len(tokens) AS n_tokens,
+  ROUND(len(list_filter(tokens, x -> x IN ({_STOP_LIST}))) * 1.0
+        / NULLIF(len(tokens), 0), 6) AS stop_ratio,
+  ROUND(CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE)
+        / NULLIF(len(tokens), 0), 6) AS mean_tok_len,
+  CASE WHEN len(list_filter(tokens, x -> x IN ({_STOP_LIST}))) * 1.0
+            / NULLIF(len(tokens), 0) >= 0.08 THEN 'en'
+       WHEN len(list_filter(tokens, x -> x IN ({_STOP_LIST}))) * 1.0
+            / NULLIF(len(tokens), 0) >= 0.02 THEN 'latin-like'
+       ELSE 'unknown' END AS pred_lang
+FROM toks
+"""
+)
+
+
+@register("doc_text_quality", oracle=_QUALITY_ORACLE, tags=("text",), survey_ref="F7,F8")
+def doc_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").withColumn("tokens", tokens("text"))
+    ratio = stopword_ratio("tokens")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.round(mean_token_length("tokens"), 6).alias("mean_tok_len"),
+        language_id(ratio).alias("pred_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH candidate pairs.
+# --------------------------------------------------------------------------
+
+_MINHASH_SIG = ",\n    ".join(
+    f"MIN(md5('p{i}|' || shingle)) AS h{i}" for i in range(8)
+)
+_MINHASH_ORACLE = (
+    _SHINGLE_CTE
+    + f"""
+, sig AS (
+  SELECT doc_id,
+    {_MINHASH_SIG}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+         md5(h0 || '|' || h1) AS b0,
+         md5(h2 || '|' || h3) AS b1,
+         md5(h4 || '|' || h5) AS b2,
+         md5(h6 || '|' || h7) AS b3
+  FROM sig
+),
+long AS (
+  SELECT doc_id, 0 AS band_idx, b0 AS band_hash FROM banded
+  UNION ALL SELECT doc_id, 1, b1 FROM banded
+  UNION ALL SELECT doc_id, 2, b2 FROM banded
+  UNION ALL SELECT doc_id, 3, b3 FROM banded
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM long a
+JOIN long b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+"""
+)
+
+
+@register("doc_minhash_lsh_pairs", oracle=_MINHASH_ORACLE, tags=("text", "dedup", "bench"), survey_ref="D1-D2 scale path")
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (inverted-index join).
+# --------------------------------------------------------------------------
+
+_JACCARD_ORACLE = (
+    _SHINGLE_CTE
+    + """
+, sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(c.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - c.n_common) >= 0.2
+"""
+)
+
+
+@register("doc_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("text", "dedup"), survey_ref="D1-D2 scale path")
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold check on the unrounded ratio, like the oracle's WHERE.
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints (32-bit, md5 nibble parity).
+# --------------------------------------------------------------------------
+
+_SIMHASH_SUMS = ",\n    ".join(
+    f"CAST(SUM((ascii(substr(h, {i + 1}, 1)) % 2) * 2 - 1) AS BIGINT) AS s{i}"
+    for i in range(32)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN s{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END" for i in range(32)
+)
+_SIMHASH_ORACLE = (
+    _TOKS_CTE
+    + f"""
+, tok_rows AS (SELECT DISTINCT doc_id, unnest(tokens) AS tok FROM toks),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM tok_rows),
+sums AS (
+  SELECT doc_id,
+    {_SIMHASH_SUMS}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash
+FROM sums
+"""
+)
+
+
+@register("doc_simhash", oracle=_SIMHASH_ORACLE, tags=("text", "dedup"), survey_ref="D1-D2 scale path,F8")
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Per-language corpus rollup (A3/A6 over documents).
+# --------------------------------------------------------------------------
+
+_LANG_ORACLE = r"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@register("doc_corpus_stats", oracle=_LANG_ORACLE, tags=("text",), survey_ref="A3,A6")
+def doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum(F.size(tokens("text"))).alias("total_tokens"),
+    )

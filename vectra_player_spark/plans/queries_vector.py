@@ -1,0 +1,80 @@
+"""Similarity-search query surface over the `embeddings` table.
+
+Brute-force cosine top-k is the oracle-checked baseline (SURVEY §2.10 V4;
+BASELINE.json north star). The IVF variant reuses label centroids as the
+coarse quantizer — approximate, so rows-only checked.
+
+Oracle notes: embeddings are FLOAT[]; both sides cast to double *before*
+the dot product so accumulation error matches (left-to-right double adds),
+then round to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectra_player_spark.operators.knn import brute_force_topk, ivf_topk
+from vectra_player_spark.plans.registry import register
+from vectra_player_spark.tables import t
+
+_KNN_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_vec FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.q_vec, c.emb)
+               / NULLIF(sqrt(list_dot_product(q.q_vec, q.q_vec))
+                        * sqrt(list_dot_product(c.emb, c.emb)), 0), 6) AS cosine_sim
+  FROM q JOIN e c ON c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+@register("knn_bruteforce_cosine", oracle=_KNN_ORACLE, tags=("vector", "bench"), survey_ref="V4")
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(queries, emb, k=5)
+
+
+_CENTROID_ORACLE = """
+SELECT label, g.range AS pos, ROUND(AVG(CAST(embedding AS DOUBLE[])[g.range]), 6) AS centroid_val
+FROM embeddings CROSS JOIN range(1, 65) g
+GROUP BY label, g.range
+"""
+
+
+@register("embedding_centroids", oracle=_CENTROID_ORACLE, tags=("vector",), survey_ref="V2 aggregate shape")
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .select("label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
+    )
+
+
+@register("knn_ivf_cosine", oracle=None, tags=("vector",), survey_ref="V4 scale path")
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate IVF top-k (coarse cells = per-label centroids); rows-only
+    check — approximation makes an exact SQL oracle inapplicable."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy(F.col("label").alias("cell_id"), "pos")
+        .agg(F.avg("col").alias("v"))
+        .groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("cell_id", F.expr("transform(pv, x -> x.v)").alias("centroid"))
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, centroids, k=5, nprobe=2)

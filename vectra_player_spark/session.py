@@ -1,0 +1,47 @@
+"""SparkSession construction tuned for the engine.
+
+Local-mode settings mirror what a cluster deployment would set per-executor:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing), shuffle
+partitions sized to cores (would be ~2-3x total cores on a real cluster),
+Arrow enabled for the pandas-UDF path, UTC session timezone so timestamp
+semantics match a naive-UTC oracle (DuckDB) and are stable across hosts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "vectra_player_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Small dims (region/nation/supplier/model tables) should always broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prep_session(spark: SparkSession) -> SparkSession:
+    """Idempotent runtime settings applied to an externally-provided session.
+
+    The correctness driver hands us its own SparkSession; timestamp rendering
+    must be UTC to line up with the DuckDB oracle's naive-UTC timestamps.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,42 @@
+"""Loading the driver's synthetic tables (TESTDATA.md).
+
+All tables are single parquet files under ``{sf_dir}/{name}.parquet``.
+``load`` reads one table; ``t`` is the terse alias used inside query
+definitions. Reads are plain ``spark.read.parquet`` — column pruning and
+predicate pushdown are then Catalyst's job, and partition-style pruning is
+exercised by the lake-layout writer in :mod:`vectra_player_spark.sources`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read it as long nanoseconds and truncate to
+        # microseconds (exactly what DuckDB's reader does with ns → us).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+t = load
