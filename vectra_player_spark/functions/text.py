@@ -46,6 +46,23 @@ def word_shingles(tokens_col: str, w: int = 3) -> Column:
     )
 
 
+def word_shingles_text(text_col: str, w: int = 3) -> Column:
+    """w-gram shingles straight from a text column, bind-once.
+
+    Catalyst pushes filters below projects and inlines aliases while doing
+    so; if the shingle expression indexes an aliased token array, the
+    inlined form re-evaluates split() per element access — O(tokens²) per
+    document. Binding the token array as a lambda variable (via a
+    single-element array + flatten) keeps it evaluated exactly once no
+    matter how the optimizer rewrites the tree."""
+    refs = ", ".join(f"t[i + {k}]" for k in range(w))
+    return F.expr(
+        f"flatten(transform(array(split(trim({text_col}), '\\\\s+')), "
+        f"t -> CASE WHEN size(t) < {w} THEN array() "
+        f"ELSE transform(sequence(0, size(t) - {w}), i -> concat_ws(' ', {refs})) END))"
+    )
+
+
 def stopword_ratio(tokens_col: str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
     in_list = ", ".join(f"'{s}'" for s in stopwords)
     hits = F.expr(f"size(filter({tokens_col}, x -> x IN ({in_list})))")

@@ -24,10 +24,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vectra_player_spark.functions.text import fingerprint, tokens, word_shingles
+from vectra_player_spark.functions.text import fingerprint, tokens, word_shingles_text
 
-MINHASH_K = 8  # permutations, as md5 salts p0..p7
+MINHASH_K = 8  # permutations (universal hashes over one md5 base hash)
 MINHASH_BANDS = 4  # 4 bands x 2 rows
+
+# Universal-hash permutation constants: h_i = (a_i·h + b_i) mod p. With
+# a < 2^31 and h < 2^32, a·h + b stays below 2^63 — no bigint overflow in
+# either engine (DuckDB raises on overflow instead of wrapping).
+MINHASH_P = 2147483647
+MINHASH_AB = (
+    (1299721, 12345),
+    (2750159, 98765),
+    (1203793, 54321),
+    (2102917, 11111),
+    (1569619, 77777),
+    (1300171, 33333),
+    (2057731, 99999),
+    (1231231, 13579),
+)
+
+
+def hex8_to_int_sql(x: str) -> str:
+    """SQL fragment turning the first 8 hex chars of expression `x` into a
+    32-bit integer — ascii() + arithmetic only, valid in Spark SQL and
+    DuckDB alike (spliced into both dialects)."""
+    # CAST the place value to BIGINT: nibble * 16^7 exceeds int32 and both
+    # engines would overflow 32-bit arithmetic (Spark wraps, DuckDB raises).
+    return " + ".join(
+        f"(CASE WHEN ascii(substring({x}, {pos}, 1)) >= 97 "
+        f"THEN ascii(substring({x}, {pos}, 1)) - 87 "
+        f"ELSE ascii(substring({x}, {pos}, 1)) - 48 END) * CAST({16 ** (8 - pos)} AS BIGINT)"
+        for pos in range(1, 9)
+    )
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -42,19 +71,47 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 3) -> DataFrame:
     """Distinct (doc_id, shingle) pairs."""
     return (
-        docs.select(F.col(id_col), tokens(text_col).alias("toks"))
-        .select(F.col(id_col), F.explode(word_shingles("toks", w)).alias("shingle"))
+        docs.select(F.col(id_col), F.explode(word_shingles_text(text_col, w)).alias("shingle"))
         .distinct()
     )
 
 
-def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K) -> DataFrame:
-    """K min-hash values per doc: h_i = min(md5('p<i>|' || shingle))."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"p{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(k)
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """K min-hash values per doc via k universal-hash permutations over ONE
+    md5 pass: h = int(md5(shingle)[:8], 16); h_i = (a_i·h + b_i) mod p.
+
+    Computed entirely per-row with array higher-order functions — min over
+    the shingle ARRAY equals min over the distinct shingle SET, so no
+    explode, no distinct, no groupBy: the signature stage is map-side only
+    and shuffles nothing regardless of corpus size. Docs with fewer than w
+    tokens have no shingles and are excluded (they can't LSH-collide
+    meaningfully, and NULL min-hashes would poison band hashes)."""
+    shingled = docs.select(
+        F.col(id_col), word_shingles_text(text_col, w).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    # Two nested transforms: md5 materializes once per shingle; the nibble
+    # expansion (which references its input 16x) then reads the computed
+    # 8-char prefix, never re-evaluating md5.
+    base = shingled.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(transform(shingles, s -> substring(md5(s), 1, 8)),"
+            f" x -> {hex8_to_int_sql('x')})"
+        ).alias("hv"),
+    )
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(hv, h -> (CAST({a} AS BIGINT) * h + {b}) % {MINHASH_P})")
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:k])
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return base.select(F.col(id_col), *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -66,11 +123,15 @@ def minhash_lsh_pairs(
     bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) sharing at least one band."""
-    sig = minhash_signatures(doc_shingles(docs, id_col, text_col, w), id_col, k)
+    sig = minhash_signatures(docs, id_col, text_col, w, k)
     rows_per_band = k // bands
     band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        F.concat_ws(
+            "|",
+            *[
+                F.col(f"h{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
         ).alias(f"b{b}")
         for b in range(bands)
     ]
@@ -140,24 +201,26 @@ def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
     """32-bit SimHash: bit i = sign of sum over distinct tokens of
-    (parity of md5 hex nibble i) ? +1 : -1."""
-    toks = (
-        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-        .distinct()
-        .withColumn("h", F.md5("tok"))
+    (parity of md5 hex nibble i) ? +1 : -1.
+
+    Per-row array HOFs (md5 computed once per distinct token, then 32 cheap
+    nibble-parity folds) — fully map-side, no explode/groupBy shuffle."""
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(F.array_distinct(tokens(text_col)), F.md5).alias("hs"),
     )
-    bit_sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                (F.ascii(F.substring("h", i + 1, 1)) % 2) * 2 - 1
-            ).alias(f"s{i}")
-            for i in range(bits)
-        ]
-    )
+
+    def bit_sum(i: int):
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc + (F.ascii(F.substring(h, i + 1, 1)) % 2) * 2 - 1,
+        )
+
     fp = None
     for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(
+        term = F.when(bit_sum(i) > 0, F.lit(2**i).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         fp = term if fp is None else fp + term
-    return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+    return hashed.select(F.col(id_col), fp.alias("simhash"))

@@ -24,7 +24,10 @@ from vectra_player_spark.functions.text import (
     tokens,
 )
 from vectra_player_spark.operators.dedup import (
+    MINHASH_AB,
+    MINHASH_P,
     exact_duplicates,
+    hex8_to_int_sql,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -120,22 +123,37 @@ def doc_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _MINHASH_SIG = ",\n    ".join(
-    f"MIN(md5('p{i}|' || shingle)) AS h{i}" for i in range(8)
+    f"list_min(list_transform(hv, h -> (CAST({a} AS BIGINT) * h + {b}) % {MINHASH_P})) AS h{i}"
+    for i, (a, b) in enumerate(MINHASH_AB)
 )
 _MINHASH_ORACLE = (
-    _SHINGLE_CTE
+    _TOKS_CTE
+    + r"""
+, shingled AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(tokens) - 2, 0)),
+                        i -> array_to_string(tokens[i:i+2], ' ')) AS shingles
+  FROM toks
+)
+"""
     + f"""
-, sig AS (
+, base AS (
+  SELECT doc_id,
+         list_transform(list_transform(shingles, s -> substring(md5(s), 1, 8)),
+                        x -> {hex8_to_int_sql('x')}) AS hv
+  FROM shingled WHERE len(shingles) > 0
+),
+sig AS (
   SELECT doc_id,
     {_MINHASH_SIG}
-  FROM sh GROUP BY doc_id
+  FROM base
 ),
 banded AS (
   SELECT doc_id,
-         md5(h0 || '|' || h1) AS b0,
-         md5(h2 || '|' || h3) AS b1,
-         md5(h4 || '|' || h5) AS b2,
-         md5(h6 || '|' || h7) AS b3
+         h0::VARCHAR || '|' || h1::VARCHAR AS b0,
+         h2::VARCHAR || '|' || h3::VARCHAR AS b1,
+         h4::VARCHAR || '|' || h5::VARCHAR AS b2,
+         h6::VARCHAR || '|' || h7::VARCHAR AS b3
   FROM sig
 ),
 long AS (
@@ -191,25 +209,19 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash fingerprints (32-bit, md5 nibble parity).
 # --------------------------------------------------------------------------
 
-_SIMHASH_SUMS = ",\n    ".join(
-    f"CAST(SUM((ascii(substr(h, {i + 1}, 1)) % 2) * 2 - 1) AS BIGINT) AS s{i}"
-    for i in range(32)
-)
 _SIMHASH_FP = " + ".join(
-    f"CASE WHEN s{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END" for i in range(32)
+    f"CASE WHEN list_sum(list_transform(hs, h -> (ascii(substr(h, {i + 1}, 1)) % 2) * 2 - 1)) > 0 "
+    f"THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
+    for i in range(32)
 )
 _SIMHASH_ORACLE = (
     _TOKS_CTE
     + f"""
-, tok_rows AS (SELECT DISTINCT doc_id, unnest(tokens) AS tok FROM toks),
-hashed AS (SELECT doc_id, md5(tok) AS h FROM tok_rows),
-sums AS (
-  SELECT doc_id,
-    {_SIMHASH_SUMS}
-  FROM hashed GROUP BY doc_id
+, hashed AS (
+  SELECT doc_id, list_transform(list_distinct(tokens), x -> md5(x)) AS hs FROM toks
 )
 SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash
-FROM sums
+FROM hashed
 """
 )
 
