@@ -18,6 +18,7 @@ from vectra_player_spark.plans import (  # noqa: E402,F401
     queries_text,
     queries_vector,
     queries_simulation,
+    queries_ml,
 )
 
 __all__ = ["QUERIES", "QuerySpec", "register", "queries", "oracle_sql"]
