@@ -1,0 +1,175 @@
+"""Streaming-operator tests over the FIXTURES.md §6 scenario set: normal
+cadence, two-broadcast rug, partialPrices backfill, duplicate suppression,
+gap thresholds, forced-sell annotation. File-stream source + memory sink;
+a second file written mid-test exercises state persistence across
+micro-batches."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectra_player_spark.streaming.jobs import (
+    annotate_trades,
+    dedup_within_watermark,
+    read_tick_stream,
+    windowed_event_rates,
+)
+from vectra_player_spark.streaming.stateful import phase_machine, sessionize_games
+
+BASE_MS = 1_700_000_000_000
+
+
+def _tick(seq, game_id, ts_off, **kw):
+    row = {
+        "session_id": "feed-1",
+        "seq": seq,
+        "ts_ms": BASE_MS + ts_off,
+        "game_id": game_id,
+        "active": kw.get("active", False),
+        "rugged": kw.get("rugged", False),
+        "allow_pre_round_buys": kw.get("presale", False),
+        "cooldown_timer": kw.get("cooldown", 0),
+        "price": kw.get("price"),
+        "tick": kw.get("tick"),
+        "server_seed": kw.get("seed"),
+        "backfill_ticks": kw.get("backfill_ticks"),
+        "backfill_prices": kw.get("backfill_prices"),
+    }
+    return row
+
+
+SCENARIO_A = [
+    _tick(1, "g1", 0, presale=True),
+    _tick(2, "g1", 250, active=True, price=1.0, tick=0),
+    _tick(3, "g1", 500, active=True, price=1.1, tick=1),
+    # missing tick 2 then a 520 ms gap (threshold >= 500 → LR 8.0)
+    _tick(4, "g1", 1020, active=True, price=1.3, tick=3),
+    # late backfill of the missed tick 2 (partialPrices)
+    _tick(5, "g1", 1270, active=True, price=1.4, tick=4,
+          backfill_ticks=[2], backfill_prices=[1.2]),
+]
+SCENARIO_B = [
+    # first rug broadcast: same game, rugged, seed revealed
+    _tick(6, "g1", 1520, rugged=True, price=0.02, tick=5, seed="seed-abc"),
+    # second broadcast: NEW game id in cooldown
+    _tick(7, "g2", 1770, cooldown=5000),
+    _tick(8, "g2", 2020, active=True, price=1.0, tick=0),
+]
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "stream"
+    d.mkdir()
+    _write_jsonl(d / "batch_a.jsonl", SCENARIO_A)
+    return d
+
+
+def _run_query(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def test_phase_machine_full_scenario(spark, stream_dir):
+    ticks = read_tick_stream(spark, str(stream_dir))
+    q = _run_query(phase_machine(ticks), "phases")
+    try:
+        # write the second micro-batch mid-stream: state must carry over
+        _write_jsonl(stream_dir / "batch_b.jsonl", SCENARIO_B)
+        q.processAllAvailable()
+        rows = {r.seq: r for r in spark.table("phases").collect()}
+        assert rows[1].phase == "PRESALE"
+        assert rows[2].phase == "ACTIVE" and rows[2].is_transition
+        assert rows[3].phase == "ACTIVE" and not rows[3].is_transition
+        assert rows[4].gap_ms == 520 and rows[4].gap_lr == 8.0
+        assert rows[6].phase == "RUGGED" and rows[6].seed_revealed
+        assert rows[6].rug_count == 1
+        assert rows[7].phase == "COOLDOWN" and rows[7].games_seen == 2
+        assert rows[8].phase == "ACTIVE"
+    finally:
+        q.stop()
+
+
+def test_sessionize_backfill_and_boundary(spark, stream_dir):
+    _write_jsonl(stream_dir / "batch_b.jsonl", SCENARIO_B)
+    ticks = read_tick_stream(spark, str(stream_dir))
+    q = _run_query(sessionize_games(ticks), "sessions")
+    try:
+        done = spark.table("sessions").collect()
+        assert len(done) == 1  # g1 finalized at the g2 boundary
+        g1 = done[0]
+        assert g1.game_id == "g1"
+        assert g1.n_ticks == 6  # ticks 0..5 incl. backfilled tick 2
+        assert g1.prices == [1.0, 1.1, 1.2, 1.3, 1.4, 0.02]
+        assert g1.n_backfilled == 1
+        assert g1.had_gaps  # the 520 ms hole
+        assert g1.peak_price == 1.4
+        assert g1.server_seed == "seed-abc"
+    finally:
+        q.stop()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    d = tmp_path / "dups"
+    d.mkdir()
+    rows = [
+        dict(_tick(1, "g1", 0, rugged=True), ts_ms=BASE_MS),
+        dict(_tick(2, "g1", 250, rugged=True), ts_ms=BASE_MS + 250),  # dup game
+        dict(_tick(3, "g2", 500, rugged=True), ts_ms=BASE_MS + 500),
+    ]
+    _write_jsonl(d / "a.jsonl", rows)
+    stream = read_tick_stream(spark, str(d)).withColumn(
+        "event_time", F.timestamp_millis("ts_ms")
+    )
+    deduped = dedup_within_watermark(stream, "game_id", "event_time")
+    q = _run_query(deduped.select("game_id"), "dedup_out")
+    try:
+        games = sorted(r.game_id for r in spark.table("dedup_out").collect())
+        assert games == ["g1", "g2"]
+    finally:
+        q.stop()
+
+
+def test_windowed_rates_and_trade_annotation(spark, stream_dir):
+    _write_jsonl(stream_dir / "batch_b.jsonl", SCENARIO_B)
+    ticks = read_tick_stream(spark, str(stream_dir))
+    rates = windowed_event_rates(ticks, "1 second")
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        total = sum(r.n for r in spark.table("rates").collect())
+        assert total == len(SCENARIO_A) + len(SCENARIO_B)
+    finally:
+        q.stop()
+
+    # T7 forced-sell: batch-join actions against the phase-stamped output
+    phases = spark.createDataFrame(
+        [("feed-1", 6, "RUGGED"), ("feed-1", 8, "ACTIVE")],
+        "session_id string, seq long, phase string",
+    )
+    actions = spark.createDataFrame(
+        [("feed-1", 6, "sell"), ("feed-1", 8, "sell")],
+        "session_id string, seq long, action_type string",
+    )
+    out = {r.seq: r.is_forced_sell for r in annotate_trades(actions, phases).collect()}
+    assert out == {6: True, 8: False}
