@@ -1,0 +1,123 @@
+"""Vector-indexer (V1-V3) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectra_player_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    image_features,
+    rebalance_by_bytes,
+    sample_video_frames,
+)
+from vectra_player_spark.operators.vector_index import (
+    VectorIndexer,
+    chunk_events,
+    embed_chunks,
+)
+
+
+def _envelope(spark, n, ts_prefix="2026-01-10T00"):
+    rows = [
+        {
+            "session_id": "s1",
+            "seq": i,
+            "ts": f"{ts_prefix}:{i:02d}:00+00:00",
+            "doc_type": "game_tick",
+            "game_id": f"g{i % 3}",
+            "tick": i,
+            "price": str(1.0 + i),
+            "username": None,
+            "player_id": None,
+            "action_type": None,
+            "event_name": None,
+        }
+        for i in range(n)
+    ]
+    schema = (
+        "session_id string, seq long, ts string, doc_type string, game_id string, "
+        "tick long, price string, username string, player_id string, "
+        "action_type string, event_name string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_chunk_and_embed(spark):
+    env = _envelope(spark, 5)
+    chunks = chunk_events(env)
+    assert chunks.columns == ["chunk_id", "ts", "doc_type", "text"]
+    embedded = embed_chunks(chunks)
+    rows = embedded.collect()
+    assert all(len(r.embedding) == 64 for r in rows)
+    norms = [sum(x * x for x in r.embedding) for r in rows]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)  # L2-normalized
+    # determinism: same text -> same vector
+    again = {r.chunk_id: r.embedding for r in embed_chunks(chunks).collect()}
+    assert all(again[r.chunk_id] == r.embedding for r in rows)
+
+
+def test_incremental_build_and_checkpoint(spark, tmp_path):
+    idx = VectorIndexer(str(tmp_path / "index"))
+    n1 = idx.build_incremental(_envelope(spark, 5))
+    assert n1 == 5
+    # re-run with no new data: checkpoint prevents reindexing
+    assert idx.build_incremental(_envelope(spark, 5)) == 0
+    # newer events get picked up incrementally
+    n2 = idx.build_incremental(_envelope(spark, 8))  # seq 5..7 newer ts
+    assert n2 == 3
+    vecs = spark.read.parquet(str(tmp_path / "index" / "vectors"))
+    assert vecs.count() == 8
+    # V3 rebuild: full reset then reindex everything
+    assert idx.rebuild(_envelope(spark, 8)) == 8
+    assert spark.read.parquet(str(tmp_path / "index" / "vectors")).count() == 8
+
+
+def test_search_returns_relevant_chunk(spark, tmp_path):
+    idx = VectorIndexer(str(tmp_path / "index"))
+    idx.build_incremental(_envelope(spark, 6))
+    hits = idx.search(spark, "game g1 tick", top_k=3).collect()
+    assert len(hits) == 3
+    assert all(h.score > 0 for h in hits)
+    assert "g1" in hits[0].text  # token overlap ranks g1 chunks first
+
+
+def test_image_features_stub(spark):
+    rows = [
+        ("m1", "image", b"\x89PNG fake bytes", "image/png", {}),
+        ("m2", "image", b"\xff\xd8 other fake", "image/jpeg", {}),
+        ("m3", "audio", b"RIFF", "audio/wav", {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in image_features(media).collect()}
+    assert set(feats) == {"m1", "m2"}  # audio row filtered out
+    assert feats["m1"].n_bytes == 15
+    assert 64 <= feats["m1"].width < 1088
+    # determinism
+    again = {r.media_id: r for r in image_features(media).collect()}
+    assert again["m1"].phash == feats["m1"].phash
+
+
+def test_video_frame_sampling_stub(spark):
+    rows = [("v1", "video", b"fake mp4", "video/mp4", {"duration_ms": "3500"})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_video_frames(media, every_ms=1000).collect()
+    assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
+    assert frames[-1].frame_ts_ms == 3000
+    assert len({f.frame_digest for f in frames}) == 4
+
+
+def test_rebalance_by_bytes(spark):
+    rows = [(f"m{i}", "image", b"x" * 1000, "image/png", {}) for i in range(50)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = rebalance_by_bytes(media, target_partition_bytes=10_000)
+    assert out.rdd.getNumPartitions() >= 5
+    assert out.count() == 50
+
+
+def test_decode_stub_seam_raises(spark):
+    media = spark.createDataFrame(
+        [("m1", "image", b"abc", "image/png", {})], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="PIL|NotImplementedError"):
+        image_features(media, decode_stub=False).collect()

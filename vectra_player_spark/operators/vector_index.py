@@ -1,0 +1,161 @@
+"""Vector index build pipeline (SURVEY §2.10 V1-V3; north star: "Spark
+handles batch ETL and index build, not online ANN serving").
+
+- chunk_events (V1): doc_type-templated chunk text as column expressions
+  (vector_indexer/chunker.py:29-150) — pure JVM-side, no UDF.
+- embed_chunks: deterministic hash-projection embedding via pandas UDF.
+  The real model (all-MiniLM-L6-v2, indexer.py:104) is not in this
+  container; the stub has the production plumbing — Arrow-batched UDF,
+  fixed dim, broadcastable config — swap `_embed_batch` for the model
+  call on a GPU/model-enabled cluster.
+- build_incremental (V2): timestamp-checkpointed incremental build
+  (indexer.py:161-218): read events newer than the checkpoint, chunk,
+  embed, append to the index directory (parquet — LanceDB/Chroma writers
+  slot in behind the same interface), then advance the manifest. Parquet
+  remains canonical truth; the index is derived and rebuildable (V3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+
+CHUNK_SCHEMA = "chunk_id string, ts string, doc_type string, text string"
+
+
+def chunk_events(envelope: DataFrame) -> DataFrame:
+    """V1: one retrieval chunk per event; id = session_seq_ts; the text is a
+    doc_type-specific template over the typed columns."""
+    text = (
+        F.when(
+            F.col("doc_type") == "game_tick",
+            F.format_string(
+                "game %s tick %s price %s",
+                F.col("game_id"),
+                F.col("tick").cast("string"),
+                F.col("price"),
+            ),
+        )
+        .when(
+            F.col("doc_type") == "player_action",
+            F.format_string(
+                "player %s %s in game %s",
+                F.coalesce("username", "player_id"),
+                F.col("action_type"),
+                F.col("game_id"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "%s event %s", F.col("doc_type"), F.coalesce("event_name", F.lit(""))
+            )
+        )
+    )
+    return envelope.select(
+        F.concat_ws("_", "session_id", F.col("seq").cast("string"), "ts").alias("chunk_id"),
+        "ts",
+        "doc_type",
+        text.alias("text"),
+    )
+
+
+def embed_chunks(chunks: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Deterministic stub embedding: tokens → md5 → bucket counts, L2
+    normalized. Arrow-batched pandas UDF — identical call shape to a real
+    sentence-transformer batch encode."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(f"array<float>")
+    def _embed_batch(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for t in texts:
+            v = np.zeros(dim, dtype=np.float32)
+            for tok in (t or "").split():
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                v[h % dim] += 1.0
+            n = np.linalg.norm(v)
+            out.append((v / n if n > 0 else v).tolist())
+        return pd.Series(out)
+
+    return chunks.withColumn("embedding", _embed_batch(F.col("text")))
+
+
+class VectorIndexer:
+    """V2/V3: checkpointed incremental index builder."""
+
+    def __init__(self, index_dir: str, manifest_path: str | None = None):
+        self.index_dir = index_dir
+        self.manifest_path = manifest_path or os.path.join(
+            index_dir, "_manifest", "vector_index_checkpoint.json"
+        )
+
+    def last_indexed_ts(self) -> str:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)["last_indexed_ts"]
+        return "1970-01-01T00:00:00+00:00"
+
+    def _write_checkpoint(self, ts: str) -> None:
+        os.makedirs(os.path.dirname(self.manifest_path), exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_indexed_ts": ts}, f)
+        os.replace(tmp, self.manifest_path)  # atomic, like writer.py:219-231
+
+    def build_incremental(self, envelope: DataFrame) -> int:
+        """Index events with ts beyond the checkpoint (P4 range predicate →
+        parquet pushdown); returns rows indexed and advances the manifest."""
+        since = self.last_indexed_ts()
+        fresh = envelope.where(F.col("ts") > since)
+        embedded = embed_chunks(chunk_events(fresh))
+        n = embedded.count()
+        if n == 0:
+            return 0
+        embedded.write.mode("append").parquet(os.path.join(self.index_dir, "vectors"))
+        max_ts = fresh.agg(F.max("ts")).collect()[0][0]
+        self._write_checkpoint(max_ts)
+        return n
+
+    def rebuild(self, envelope: DataFrame) -> int:
+        """V3: clear store, reset checkpoint to epoch, rerun incremental."""
+        import shutil
+
+        vec_dir = os.path.join(self.index_dir, "vectors")
+        if os.path.exists(vec_dir):
+            shutil.rmtree(vec_dir)
+        if os.path.exists(self.manifest_path):
+            os.remove(self.manifest_path)
+        return self.build_incremental(envelope)
+
+    def search(self, spark: SparkSession, query_text: str, top_k: int = 5) -> DataFrame:
+        """V4 batch-side search against the derived index (online ANN serving
+        is out of engine scope — this is the exact scan used for
+        verification and offline evaluation)."""
+        from vectra_player_spark.functions.vectors import cosine
+
+        index = spark.read.parquet(os.path.join(self.index_dir, "vectors"))
+        q = embed_chunks(
+            spark.createDataFrame([("q", "", "", query_text)], CHUNK_SCHEMA)
+        ).select(F.col("embedding").alias("q_vec"))
+        return (
+            index.crossJoin(F.broadcast(q))
+            .select(
+                "chunk_id",
+                "text",
+                cosine("embedding", "q_vec").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("chunk_id"))
+            .limit(top_k)
+        )

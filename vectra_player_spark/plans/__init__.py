@@ -19,6 +19,7 @@ from vectra_player_spark.plans import (  # noqa: E402,F401
     queries_vector,
     queries_simulation,
     queries_ml,
+    queries_backtest,
 )
 
 __all__ = ["QUERIES", "QuerySpec", "register", "queries", "oracle_sql"]
