@@ -1,0 +1,83 @@
+"""Socket.IO parser (F10), GBT training + threshold analysis (M19),
+profile producer (M23) tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectra_player_spark.operators.ml_models import (
+    produce_strategy_profile,
+    threshold_analysis,
+    train_gbt,
+)
+from vectra_player_spark.sources.socketio import parse_frames_udf, parse_socketio_frame
+
+
+class TestSocketIOParser:
+    def test_event_frame(self):
+        out = parse_socketio_frame('42["gameStateUpdate",{"gameId":"g1","price":1.5}]')
+        assert out["frame_type"] == "message"
+        assert out["packet_type"] == "event"
+        assert out["event_name"] == "gameStateUpdate"
+        assert '"gameId": "g1"' in out["data_json"]
+        assert out["parse_error"] is None
+
+    def test_namespace_and_ack(self):
+        out = parse_socketio_frame('42/trades,7["newTrade",{"qty":2}]')
+        assert out["namespace"] == "/trades"
+        assert out["ack_id"] == 7
+        assert out["event_name"] == "newTrade"
+
+    def test_traced_three_element_format(self):
+        out = parse_socketio_frame('42["evt",{"trace":"meta"},{"real":"data"}]')
+        assert out["event_name"] == "evt"
+        assert out["data_json"] == '{"real": "data"}'
+
+    def test_ping_pong_and_garbage(self):
+        assert parse_socketio_frame("2")["frame_type"] == "ping"
+        assert parse_socketio_frame("3")["frame_type"] == "pong"
+        assert parse_socketio_frame("")["parse_error"] == "empty frame"
+        assert parse_socketio_frame("4")["frame_type"] == "message"
+        bad = parse_socketio_frame('42["unclosed')
+        assert bad["parse_error"] is not None
+
+    def test_udf_batch(self, spark):
+        frames = spark.createDataFrame(
+            [('42["a",{"x":1}]',), ("2",), ("junk",)], "raw string"
+        )
+        rows = frames.select(parse_frames_udf("raw").alias("p")).select("p.*").collect()
+        assert rows[0].event_name == "a"
+        assert rows[1].frame_type == "ping"
+        assert rows[2].parse_error is not None
+
+
+class TestGBT:
+    def test_train_and_thresholds(self, spark, sf_dir):
+        from vectra_player_spark.plans.queries_ml import training_set_builder
+
+        training = training_set_builder(spark, sf_dir)
+        model, scored = train_gbt(
+            training, ["value", "vol_5", "momentum_3"], max_iter=5
+        )
+        assert scored.count() > 0
+        probs = scored.agg(F.min("p_rug"), F.max("p_rug")).collect()[0]
+        assert 0.0 <= probs[0] <= probs[1] <= 1.0
+        ta = threshold_analysis(scored).collect()
+        assert [r.threshold for r in ta] == [0.1, 0.167, 0.2, 0.25, 0.3, 0.4, 0.5]
+        assert all(r.n_bets <= r.n for r in ta)
+
+
+class TestProfileProducer:
+    def test_profile_document(self, spark):
+        durations = spark.createDataFrame(
+            [(d % 17 + 3,) for d in range(200)], "duration long"
+        )
+        prof = produce_strategy_profile(durations, mc_iterations=200)
+        assert prof["schema_version"] == "2.0.0"
+        assert 0 <= prof["execution"]["entry_tick"] <= 19
+        assert 0.0 <= prof["edge"]["p_win"] <= 1.0
+        assert prof["monte_carlo_metrics"]["seed"] == 42
+        # seeded: identical on rerun
+        again = produce_strategy_profile(durations, mc_iterations=200)
+        assert again == prof
