@@ -234,7 +234,90 @@ def asof_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Grouping sets: ROLLUP over lineitem (Spark/DuckDB built-in).
+# M2: the full per-tick feature matrix — tick features (W1-W4) joined with
+# momentum features (W7-W10) per (episode, tick), the 16-feature vector of
+# extract_features (bayesian_sidebet_analysis.py:112-219) on one pass.
+# --------------------------------------------------------------------------
+
+_FEATURE_MATRIX_ORACLE = """
+SELECT
+  user_id, event_id,
+  ROUND(value, 6) AS price,
+  ROUND(value - LAG(value) OVER w, 6) AS price_change,
+  ROUND(STDDEV(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS volatility_5,
+  ROUND(STDDEV(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS volatility_10,
+  ROUND((value - LAG(value, 3) OVER w) / 3.0, 6) AS momentum_3,
+  ROUND((value - LAG(value, 5) OVER w) / 5.0, 6) AS momentum_5,
+  ROUND(value - 2 * LAG(value, 1) OVER w + LAG(value, 2) OVER w, 6) AS acceleration,
+  ROUND(MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_max,
+  ROUND(value / NULLIF(MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - 1, 6) AS drawdown,
+  (value > LAG(value, 3) OVER w * 1.2) AS rapid_rise,
+  (value < LAG(value, 3) OVER w * 0.8) AS rapid_fall,
+  ROUND((value - AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW))
+        / NULLIF(AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 0), 6) AS mean_reversion
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+@register("feature_matrix", oracle=_FEATURE_MATRIX_ORACLE, tags=("ml", "bench"), survey_ref="M2,W1-W10")
+def feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All window families in ONE pass: every expression shares the same
+    (user_id, event_id) window spec, so Catalyst plans a single sort +
+    single Window operator — the shape to prefer at 100 TB over chained
+    per-feature passes."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    p = F.col("value")
+    l1, l2, l3, l5 = (F.lag(p, k).over(w) for k in (1, 2, 3, 5))
+    run_max = F.max(p).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ma10 = F.avg(p).over(w.rowsBetween(-10, 0))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(p, 6).alias("price"),
+        F.round(p - l1, 6).alias("price_change"),
+        F.round(F.stddev(p).over(w.rowsBetween(-4, 0)), 6).alias("volatility_5"),
+        F.round(F.stddev(p).over(w.rowsBetween(-9, 0)), 6).alias("volatility_10"),
+        F.round((p - l3) / 3.0, 6).alias("momentum_3"),
+        F.round((p - l5) / 5.0, 6).alias("momentum_5"),
+        F.round(p - 2 * l1 + l2, 6).alias("acceleration"),
+        F.round(run_max, 6).alias("running_max"),
+        F.round(p / F.nullif(run_max, F.lit(0.0)) - 1, 6).alias("drawdown"),
+        (p > l3 * 1.2).alias("rapid_rise"),
+        (p < l3 * 0.8).alias("rapid_fall"),
+        F.round((p - ma10) / F.nullif(ma10, F.lit(0.0)), 6).alias("mean_reversion"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets: ROLLUP + CUBE over lineitem (Spark/DuckDB built-in).
+# --------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_lineitem", oracle=_CUBE_ORACLE, tags=("relational",), survey_ref="A3 (+cube/rollup)")
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 _ROLLUP_ORACLE = """
