@@ -26,11 +26,18 @@ from pyspark.sql import functions as F
 from vectra_player_spark.plans.registry import register
 from vectra_player_spark.tables import t
 
+# The sweep is evaluated against the DURATION HISTOGRAM, not raw episodes:
+# every episode with the same duration has the same outcome under every
+# config, so the cross join is |distinct durations| × |grid| with
+# count-weighted aggregates — identical results, and the expanded relation
+# stays tiny no matter how many episodes feed the histogram (the 100 TB
+# design; the reference sweeps raw games in Python, 400.6 s).
 _GRID_ORACLE = """
 WITH durations AS (
   SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS d
   FROM events GROUP BY 1, 2
 ),
+hist AS (SELECT d, COUNT(*) AS n FROM durations GROUP BY d),
 grid AS (
   SELECT e.range * 2 AS entry_tick,
          n.range AS num_bets,
@@ -39,14 +46,14 @@ grid AS (
 ),
 scored AS (
   SELECT
-    g.entry_tick, g.num_bets, g.window_len,
-    dd.d - g.entry_tick AS off,
+    g.entry_tick, g.num_bets, g.window_len, h.n,
+    h.d - g.entry_tick AS off,
     g.window_len + 2 AS spacing
-  FROM grid g CROSS JOIN durations dd
+  FROM grid g CROSS JOIN hist h
 ),
 outcomes AS (
   SELECT
-    entry_tick, num_bets, window_len,
+    entry_tick, num_bets, window_len, n,
     off,
     CASE WHEN off >= 0
           AND CAST(FLOOR(off * 1.0 / spacing) AS BIGINT) < num_bets
@@ -58,23 +65,27 @@ outcomes AS (
 )
 SELECT
   entry_tick, num_bets, window_len,
-  COUNT(*) AS n_games,
-  CAST(SUM(CASE WHEN off < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
-  CAST(SUM(win) AS BIGINT) AS n_wins,
-  ROUND(SUM(win) * 1.0 / NULLIF(COUNT(*) - SUM(CASE WHEN off < 0 THEN 1 ELSE 0 END), 0), 6)
-    AS win_rate,
-  ROUND(AVG(CASE WHEN off < 0 THEN 0.0 WHEN win = 1 THEN 6.0 - bets ELSE 0.0 - bets END), 6)
-    AS ev
+  CAST(SUM(n) AS BIGINT) AS n_games,
+  CAST(SUM(CASE WHEN off < 0 THEN n ELSE 0 END) AS BIGINT) AS n_early,
+  CAST(SUM(win * n) AS BIGINT) AS n_wins,
+  ROUND(SUM(win * n) * 1.0
+        / NULLIF(SUM(n) - SUM(CASE WHEN off < 0 THEN n ELSE 0 END), 0), 6) AS win_rate,
+  ROUND(SUM(n * CASE WHEN off < 0 THEN 0.0 WHEN win = 1 THEN 6.0 - bets ELSE 0.0 - bets END)
+        / SUM(n), 6) AS ev
 FROM outcomes
 GROUP BY entry_tick, num_bets, window_len
 """
 
 
 def _strategy_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration histogram × parameter grid with per-row outcome columns —
+    the expanded relation is |distinct durations| × |grid| regardless of
+    episode count (see _GRID_ORACLE comment)."""
     ev = t(spark, sf_dir, "events")
     durations = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("d")
     )
+    hist = durations.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
     entries = spark.range(0, 51).select((F.col("id") * 2).alias("entry_tick"))
     bets = spark.range(1, 6).select(F.col("id").alias("num_bets"))
     lens = spark.createDataFrame([(4,), (6,), (8,)], "window_len long")
@@ -90,11 +101,12 @@ def _strategy_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("num_bets"), slot + 1)
     )
     return (
-        durations.crossJoin(F.broadcast(grid))
+        hist.crossJoin(F.broadcast(grid))
         .select(
             "entry_tick",
             "num_bets",
             "window_len",
+            "n",
             off.alias("off"),
             win.alias("win"),
             placed.cast("bigint").alias("bets"),
@@ -102,29 +114,29 @@ def _strategy_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("strategy_grid_sweep", oracle=_GRID_ORACLE, tags=("strategy", "bench"), survey_ref="M15,M16,A10")
-def strategy_grid_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    outcomes = _strategy_outcomes(spark, sf_dir)
-    early = F.when(F.col("off") < 0, 1).otherwise(0)
+def _sweep_aggregate(outcomes: DataFrame) -> DataFrame:
+    n = F.col("n")
+    early_n = F.sum(F.when(F.col("off") < 0, n).otherwise(0))
+    win_n = F.sum(F.col("win") * n)
     profit = (
         F.when(F.col("off") < 0, F.lit(0.0))
         .when(F.col("win") == 1, F.lit(6.0) - F.col("bets"))
         .otherwise(F.lit(0.0) - F.col("bets"))
     )
-    return (
-        outcomes.groupBy("entry_tick", "num_bets", "window_len")
-        .agg(
-            F.count(F.lit(1)).alias("n_games"),
-            F.sum(early).cast("bigint").alias("n_early"),
-            F.sum("win").cast("bigint").alias("n_wins"),
-            F.round(
-                F.sum("win")
-                / F.nullif((F.count(F.lit(1)) - F.sum(early)).cast("double"), F.lit(0.0)),
-                6,
-            ).alias("win_rate"),
-            F.round(F.avg(profit), 6).alias("ev"),
-        )
+    return outcomes.groupBy("entry_tick", "num_bets", "window_len").agg(
+        F.sum(n).cast("bigint").alias("n_games"),
+        early_n.cast("bigint").alias("n_early"),
+        win_n.cast("bigint").alias("n_wins"),
+        F.round(
+            win_n / F.nullif((F.sum(n) - early_n).cast("double"), F.lit(0.0)), 6
+        ).alias("win_rate"),
+        F.round(F.sum(n * profit) / F.sum(n), 6).alias("ev"),
     )
+
+
+@register("strategy_grid_sweep", oracle=_GRID_ORACLE, tags=("strategy", "bench"), survey_ref="M15,M16,A10")
+def strategy_grid_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sweep_aggregate(_strategy_outcomes(spark, sf_dir))
 
 
 _BEST_CONFIG_ORACLE = (
@@ -138,27 +150,7 @@ LIMIT 1
 
 @register("strategy_best_config", oracle=_BEST_CONFIG_ORACLE, tags=("strategy",), survey_ref="M16,O5")
 def strategy_best_config(spark: SparkSession, sf_dir: str) -> DataFrame:
-    outcomes = _strategy_outcomes(spark, sf_dir)
-    early = F.when(F.col("off") < 0, 1).otherwise(0)
-    profit = (
-        F.when(F.col("off") < 0, F.lit(0.0))
-        .when(F.col("win") == 1, F.lit(6.0) - F.col("bets"))
-        .otherwise(F.lit(0.0) - F.col("bets"))
-    )
-    agg = (
-        outcomes.groupBy("entry_tick", "num_bets", "window_len")
-        .agg(
-            F.count(F.lit(1)).alias("n_games"),
-            F.sum(early).cast("bigint").alias("n_early"),
-            F.sum("win").cast("bigint").alias("n_wins"),
-            F.round(
-                F.sum("win")
-                / F.nullif((F.count(F.lit(1)) - F.sum(early)).cast("double"), F.lit(0.0)),
-                6,
-            ).alias("win_rate"),
-            F.round(F.avg(profit), 6).alias("ev"),
-        )
-    )
+    agg = _sweep_aggregate(_strategy_outcomes(spark, sf_dir))
     return agg.orderBy(
         F.desc("ev"), F.asc("entry_tick"), F.asc("num_bets"), F.asc("window_len")
     ).limit(1)
