@@ -12,18 +12,63 @@ from vectra_player_spark.plans.registry import register
 from vectra_player_spark.tables import t
 
 
-@register("backtest_replay", oracle=None, tags=("ml",), survey_ref="M17,M18,M3")
-def backtest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fit the hazard model on per-user-day durations, then replay every
-    user's event stream as an episode with the broadcast model."""
+def _episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    durations = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("duration")
-    )
-    model = fit_hazard_model(durations)
-    episodes = ev.select(
+    return ev.select(
         F.col("user_id").cast("string").alias("game_id"),
         F.col("event_id").alias("seq"),
         "value",
     )
-    return replay_backtest(episodes, model)
+
+
+def _durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("duration")
+    )
+
+
+@register("backtest_replay", oracle=None, tags=("ml",), survey_ref="M17")
+def backtest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the hazard model on per-user-day durations, then replay every
+    user's event stream as an episode with the broadcast model."""
+    model = fit_hazard_model(_durations(spark, sf_dir))
+    return replay_backtest(_episodes(spark, sf_dir), model)
+
+
+@register("stateful_feature_extract", oracle=None, tags=("ml",), survey_ref="M3")
+def stateful_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: 14-feature stateful per-episode extraction (rows-only — spike
+    history / cooldown state is sequential; pinned tests cover values)."""
+    from vectra_player_spark.operators.feature_extractor import (
+        HistoricalStats,
+        extract_episode_features,
+    )
+
+    stats = HistoricalStats.fit(_durations(spark, sf_dir))
+    return extract_episode_features(_episodes(spark, sf_dir), stats)
+
+
+@register("decision_pipeline_replay", oracle=None, tags=("ml",), survey_ref="M18")
+def decision_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18: traced 5-stage replay (survival model -> regime -> arbitration
+    -> risk state machine), one trace row per tick."""
+    from vectra_player_spark.operators.decision_pipeline import (
+        fit_survival_curve,
+        replay_decision_pipeline,
+    )
+
+    durations = _durations(spark, sf_dir)
+    curve = fit_survival_curve(durations)
+    mean_dur = durations.agg(F.avg("duration")).collect()[0][0] or 1.0
+    return replay_decision_pipeline(_episodes(spark, sf_dir), curve, mean_dur)
+
+
+@register("rl_observation_set", oracle=None, tags=("ml",), survey_ref="M20")
+def rl_observation_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M20 data-prep: 15-dim observation array per (episode, tick)."""
+    from vectra_player_spark.operators.backtest import fit_hazard_model as _fit
+    from vectra_player_spark.operators.rl_dataset import build_rl_observations
+
+    model = _fit(_durations(spark, sf_dir))
+    return build_rl_observations(_episodes(spark, sf_dir), model)
