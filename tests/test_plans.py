@@ -1,0 +1,85 @@
+"""Plan-regression tests: the physical plans the engine is designed around
+must not silently degrade. These assert the properties SURVEY §4 calls out
+— pushdown, broadcast joins, partial aggregation, top-k via
+TakeOrderedAndProject, and single-Window fusion for the feature matrix."""
+
+from __future__ import annotations
+
+import pytest
+
+from vectra_player_spark import plans
+
+
+def _physical(spark, sf_dir, name):
+    df = plans.QUERIES[name].spark_fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_scan_is_pruned_and_pushed(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+    # map-side partial aggregation before the exchange
+    assert "partial_" in plan
+
+
+def test_q3_q5_join_strategy_is_broadcast(spark, sf_dir):
+    for name in ("q3_top_revenue_orders", "q5_region_revenue"):
+        plan = _physical(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name  # dims must broadcast at this scale
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "topk_orders_by_price")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT-k
+
+
+def test_feature_matrix_single_window_operator(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "feature_matrix")
+    # all 13 feature expressions share one (user_id, event_id) window sort:
+    # exactly one Window node, one Sort, one Exchange
+    assert plan.count("Window [") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_minhash_signature_stage_has_no_shuffle(spark, sf_dir):
+    from vectra_player_spark.operators.dedup import minhash_signatures
+    from vectra_player_spark.tables import t
+
+    sig = minhash_signatures(t(spark, sf_dir, "documents"))
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # signatures are map-side only
+    assert plan.count("md5") <= 2  # one md5 pass (filter + project copies)
+
+
+def test_strategy_grid_is_broadcast_cross_join(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "strategy_grid_sweep")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lake_scan_partition_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vectra_player_spark.sources.event_lake import (
+        normalize_envelope,
+        read_event_lake,
+        write_event_lake,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            {"ts": "2026-01-10T00:00:00+00:00", "source": "cdp", "doc_type": dt,
+             "session_id": "s", "seq": i, "direction": "received", "raw_json": "{}"}
+            for i, dt in enumerate(["game_tick", "player_action", "complete_game"])
+        ]
+    )
+    path = str(tmp_path / "lake")
+    write_event_lake(normalize_envelope(raw), path)
+    df = read_event_lake(spark, path, doc_type="game_tick")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "doc_type" in plan.split("PartitionFilters")[1][:200]

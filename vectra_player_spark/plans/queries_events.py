@@ -363,6 +363,74 @@ def volatility_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# W6: vol-of-vol — std of the rolling 10-tick return std per user
+# (volatility_study.py:114-120): a window pass feeding an aggregate.
+# --------------------------------------------------------------------------
+
+_VOLVOL_ORACLE = """
+WITH rets AS (
+  SELECT user_id, event_id,
+         value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS ret
+  FROM events
+),
+rolling AS (
+  SELECT user_id,
+         STDDEV(ret) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS roll_std
+  FROM rets WHERE ret IS NOT NULL
+)
+SELECT user_id, ROUND(STDDEV(roll_std), 6) AS vol_of_vol
+FROM rolling
+GROUP BY user_id
+"""
+
+
+@register("vol_of_vol", oracle=_VOLVOL_ORACLE, tags=("events",), survey_ref="W6")
+def vol_of_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    rets = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    rolling = rets.select(
+        "user_id",
+        F.stddev("ret").over(w.rowsBetween(-9, 0)).alias("roll_std"),
+    )
+    return rolling.groupBy("user_id").agg(
+        F.round(F.stddev("roll_std"), 6).alias("vol_of_vol")
+    )
+
+
+# --------------------------------------------------------------------------
+# V5/J6: novelty detection — event types outside the registered set
+# (rag_ingester.py:140-145 KNOWN_EVENTS anti-join).
+# --------------------------------------------------------------------------
+
+_NOVEL_ORACLE = """
+WITH known AS (SELECT unnest(['click', 'view', 'purchase']) AS event_type)
+SELECT e.event_type, COUNT(*) AS n
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.event_type = e.event_type)
+GROUP BY e.event_type
+"""
+
+
+@register("novel_event_detection", oracle=_NOVEL_ORACLE, tags=("events",), survey_ref="V5,J6,D5")
+def novel_event_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    known = spark.createDataFrame(
+        [("click",), ("view",), ("purchase",)], "event_type string"
+    )
+    return (
+        ev.join(F.broadcast(known), "event_type", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Descriptive-stats block (A6) — the reference's repeated
 # count/mean/std/percentile summary (survival.py:178-196 et al).
 # --------------------------------------------------------------------------
