@@ -45,18 +45,11 @@ MINHASH_AB = (
 )
 
 
-def hex8_to_int_sql(x: str) -> str:
-    """SQL fragment turning the first 8 hex chars of expression `x` into a
-    32-bit integer — ascii() + arithmetic only, valid in Spark SQL and
-    DuckDB alike (spliced into both dialects)."""
-    # CAST the place value to BIGINT: nibble * 16^7 exceeds int32 and both
-    # engines would overflow 32-bit arithmetic (Spark wraps, DuckDB raises).
-    return " + ".join(
-        f"(CASE WHEN ascii(substring({x}, {pos}, 1)) >= 97 "
-        f"THEN ascii(substring({x}, {pos}, 1)) - 87 "
-        f"ELSE ascii(substring({x}, {pos}, 1)) - 48 END) * CAST({16 ** (8 - pos)} AS BIGINT)"
-        for pos in range(1, 9)
-    )
+# Engine-specific hex→int: both parse the first 8 md5 hex chars to the
+# identical 32-bit integer (verified cross-engine), each via its native
+# builtin — Spark's conv(), DuckDB's 0x-literal cast.
+SPARK_HEX8 = "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)"
+DUCKDB_HEX8 = "CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)"
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -95,15 +88,9 @@ def minhash_signatures(
     shingled = docs.select(
         F.col(id_col), word_shingles_text(text_col, w).alias("shingles")
     ).where(F.size("shingles") > 0)
-    # Two nested transforms: md5 materializes once per shingle; the nibble
-    # expansion (which references its input 16x) then reads the computed
-    # 8-char prefix, never re-evaluating md5.
     base = shingled.select(
         F.col(id_col),
-        F.expr(
-            f"transform(transform(shingles, s -> substring(md5(s), 1, 8)),"
-            f" x -> {hex8_to_int_sql('x')})"
-        ).alias("hv"),
+        F.expr(f"transform(shingles, s -> {SPARK_HEX8})").alias("hv"),
     )
     sig_cols = [
         F.array_min(

@@ -431,6 +431,63 @@ def novel_event_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# T2 batch form: gap-based sessionization — lag(ts) + running sum of
+# gap>threshold flags assigns session ids in one window pass (the batch
+# dual of streaming session windows; scales with one shuffle on user_id).
+# --------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN date_diff('second',
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id), ts) >= 3600
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event_id,
+       MAX(event_id) AS last_event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_no
+"""
+
+
+@register("gap_sessionization", oracle=_SESSIONIZE_ORACLE, tags=("events",), survey_ref="T2 batch,W1")
+def gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) >= 3600)
+    ).cast("int")
+    sessions = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Descriptive-stats block (A6) — the reference's repeated
 # count/mean/std/percentile summary (survival.py:178-196 et al).
 # --------------------------------------------------------------------------

@@ -24,10 +24,10 @@ from vectra_player_spark.functions.text import (
     tokens,
 )
 from vectra_player_spark.operators.dedup import (
+    DUCKDB_HEX8,
     MINHASH_AB,
     MINHASH_P,
     exact_duplicates,
-    hex8_to_int_sql,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -139,8 +139,7 @@ _MINHASH_ORACLE = (
     + f"""
 , base AS (
   SELECT doc_id,
-         list_transform(list_transform(shingles, s -> substring(md5(s), 1, 8)),
-                        x -> {hex8_to_int_sql('x')}) AS hv
+         list_transform(shingles, s -> {DUCKDB_HEX8}) AS hv
   FROM shingled WHERE len(shingles) > 0
 ),
 sig AS (
