@@ -63,6 +63,49 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (BASELINE.json dedup mandate): pairs
+# above a cosine threshold, blocked by label — blocking is the scale lever
+# (at 100 TB the block key comes from coarse quantization / LSH, same
+# plan shape: equi-join on the block, then the exact kernel).
+# --------------------------------------------------------------------------
+
+_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb)
+             / NULLIF(sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb)), 0), 6) AS cosine_sim
+FROM e a
+JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb)
+      / NULLIF(sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb)), 0) >= 0.3
+"""
+
+
+@register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE, tags=("vector", "dedup"), survey_ref="embedding near-dup (mandate)")
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.functions.vectors import cosine
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("emb").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), "label", F.col("emb").alias("emb_b")
+    )
+    sim = cosine("emb_a", "emb_b")
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(sim >= 0.3)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
+    )
+
+
 @register("knn_ivf_cosine", oracle=None, tags=("vector",), survey_ref="V4 scale path")
 def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate IVF top-k (coarse cells = per-label centroids); rows-only
