@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -30,12 +31,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as long nanoseconds and truncate to
-        # microseconds (exactly what DuckDB's reader does with ns → us).
+        # The driver's events.ts is parquet TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read it as long nanoseconds and
+        # truncate to microseconds (exactly what DuckDB's reader does with
+        # ns → us). Files already carrying µs timestamps pass through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
