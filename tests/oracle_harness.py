@@ -36,12 +36,20 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype(str)
         elif s.dtype == object:
-            # DuckDB may hand back Decimal / int objects; normalize.
+            # DuckDB may hand back Decimal / int / numpy-array objects;
+            # normalize scalars and sequences to comparable forms.
             def norm(v):
+                import numpy as np
+
                 if v is None:
                     return None
                 if isinstance(v, float):
                     return round(v, 6)
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    return tuple(
+                        round(float(x), 6) if isinstance(x, (float, np.floating)) else x
+                        for x in v
+                    )
                 return v
 
             df[c] = s.map(norm)

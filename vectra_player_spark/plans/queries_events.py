@@ -488,6 +488,62 @@ def gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# games_with_prices derivation (FIXTURES §3): per-episode ordered price
+# array + array-HOF stats — the reference's core derived table
+# (training_data/README.md:10-31), built as ONE groupBy with an ordered
+# array_agg; peak/final/max-drop come from array functions, no re-explode.
+# --------------------------------------------------------------------------
+
+_EPISODE_ARRAYS_ORACLE = """
+WITH eps AS (
+  SELECT user_id AS game_id,
+         LIST(ROUND(value, 6) ORDER BY event_id) AS prices
+  FROM events
+  GROUP BY user_id
+)
+SELECT game_id,
+       CAST(len(prices) AS BIGINT) AS duration_ticks,
+       prices,
+       ROUND(list_max(prices), 6) AS peak_price,
+       CAST(list_position(prices, list_max(prices)) AS BIGINT) AS peak_tick,
+       prices[-1] AS final_price,
+       ROUND(list_max(list_transform(generate_series(2, len(prices)),
+                                     i -> prices[i - 1] - prices[i])), 6) AS max_drop
+FROM eps
+"""
+
+
+@register("episode_price_arrays", oracle=_EPISODE_ARRAYS_ORACLE, tags=("events",), survey_ref="FIXTURES §3,M1,J5")
+def episode_price_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    eps = (
+        ev.groupBy(F.col("user_id").alias("game_id"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("event_id", F.round("value", 6).alias("v")))
+                ),
+                lambda x: x["v"],
+            ).alias("prices")
+        )
+    )
+    prices = F.col("prices")
+    drops = F.expr(
+        "CASE WHEN size(prices) < 2 THEN NULL ELSE "
+        "array_max(transform(sequence(1, size(prices) - 1), i -> prices[i - 1] - prices[i])) END"
+    )
+    return eps.select(
+        "game_id",
+        F.size(prices).cast("bigint").alias("duration_ticks"),
+        "prices",
+        F.round(F.array_max(prices), 6).alias("peak_price"),
+        (F.array_position(prices, F.array_max(prices))).cast("bigint").alias("peak_tick"),
+        F.element_at(prices, -1).alias("final_price"),
+        F.round(drops, 6).alias("max_drop"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Descriptive-stats block (A6) — the reference's repeated
 # count/mean/std/percentile summary (survival.py:178-196 et al).
 # --------------------------------------------------------------------------
