@@ -1,0 +1,121 @@
+"""Semantic-fidelity tests: the Spark operators must match the reference's
+NUMPY/PANDAS semantics, not just the DuckDB oracle (both engines could be
+consistently wrong). Uses hypothesis for randomized inputs.
+
+Key check: np.convolve(h, ones(w)/w, 'same') with even w maps to
+SUM OVER (ROWS BETWEEN w/2 PRECEDING AND w/2-1 FOLLOWING)/w including the
+truncated-edge behavior (SURVEY §7 hard-part 3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from vectra_player_spark.operators.asof import asof_join
+from vectra_player_spark.operators.survival import hazard_rate, km_survival
+
+DURATIONS = st.lists(st.integers(min_value=1, max_value=40), min_size=3, max_size=60)
+
+
+@pytest.fixture(scope="module")
+def sdf_factory(spark):
+    def make(durs):
+        return spark.createDataFrame([(int(d),) for d in durs], "duration long")
+
+    return make
+
+
+class TestKaplanMeierVsNumpy:
+    @settings(max_examples=6, deadline=None)
+    @given(durs=DURATIONS)
+    def test_matches_reference_formula(self, sdf_factory, durs):
+        got = {r.t: r for r in km_survival(sdf_factory(durs)).collect()}
+        arr = np.sort(np.array(durs))
+        times = np.unique(arr)
+        s = 1.0
+        for t in times:
+            at_risk = int((arr >= t).sum())
+            events = int((arr == t).sum())
+            s *= 1.0 - events / at_risk
+            row = got[int(t)]
+            assert row.at_risk == at_risk
+            assert row.events == events
+            assert abs(row.survival - round(s, 6)) <= 1e-6
+
+    def test_curve_hits_zero_at_max(self, sdf_factory):
+        rows = km_survival(sdf_factory([3, 5, 5, 9])).orderBy("t").collect()
+        assert rows[-1].survival == 0.0  # everyone dead at max duration
+
+
+# Distinct duration values with multiplicities — guarantees the hazard
+# signal is >= the kernel length (np.convolve swaps operands below that;
+# real hazard curves, hundreds of ticks, always satisfy it).
+DISTINCT_DURS = st.lists(
+    st.tuples(st.integers(1, 200), st.integers(1, 5)),
+    min_size=12,
+    max_size=50,
+    unique_by=lambda x: x[0],
+)
+
+
+class TestHazardSmoothingVsConvolve:
+    @settings(max_examples=6, deadline=None)
+    @given(spec=DISTINCT_DURS)
+    def test_matches_np_convolve_same(self, sdf_factory, spec):
+        durs = [d for d, mult in spec for _ in range(mult)]
+        rows = hazard_rate(sdf_factory(durs), bandwidth=10).orderBy("t").collect()
+        raw = np.array([r.events / r.at_risk for r in rows])
+        expected = np.convolve(raw, np.ones(10) / 10.0, mode="same")
+        got = np.array([r.hazard_smoothed for r in rows])
+        assert np.allclose(got, np.round(expected, 6), atol=2e-6), (
+            got.tolist(),
+            expected.tolist(),
+        )
+
+
+class TestAsofVsPandasMergeAsof:
+    @settings(max_examples=5, deadline=None)
+    @given(
+        left_keys=st.lists(st.integers(0, 100), min_size=1, max_size=25, unique=True),
+        right_keys=st.lists(st.integers(0, 100), min_size=1, max_size=25, unique=True),
+    )
+    def test_backward_matches_pandas(self, spark, left_keys, right_keys):
+        left = spark.createDataFrame([(int(k),) for k in sorted(left_keys)], "k long")
+        right = spark.createDataFrame(
+            [(int(k), float(k) * 2.0) for k in sorted(right_keys)], "k long, payload double"
+        )
+        got = (
+            asof_join(left, right, on="k", right_cols=["payload"])
+            .orderBy("k")
+            .toPandas()
+        )
+        expected = pd.merge_asof(
+            pd.DataFrame({"k": sorted(left_keys)}),
+            pd.DataFrame({"k": sorted(right_keys), "payload": [k * 2.0 for k in sorted(right_keys)]}),
+            on="k",
+            direction="backward",
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), expected.reset_index(drop=True), check_dtype=False
+        )
+
+    def test_forward_direction(self, spark):
+        left = spark.createDataFrame([(5,), (10,)], "k long")
+        right = spark.createDataFrame([(7, "a"), (12, "b")], "k long, v string")
+        got = {
+            r.k: r.v
+            for r in asof_join(left, right, on="k", right_cols=["v"], direction="forward").collect()
+        }
+        assert got == {5: "a", 10: "b"}
+
+    def test_by_key_isolation(self, spark):
+        left = spark.createDataFrame([("u1", 10), ("u2", 10)], "u string, k long")
+        right = spark.createDataFrame([("u1", 5, "x")], "u string, k long, v string")
+        got = {
+            (r.u, r.k): r.v
+            for r in asof_join(left, right, on="k", by="u", right_cols=["v"]).collect()
+        }
+        assert got[("u1", 10)] == "x"
+        assert got[("u2", 10)] is None  # u2 must not see u1's rows

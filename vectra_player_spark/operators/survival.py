@@ -63,6 +63,11 @@ def hazard_rate(
     """M6: raw hazard events/at_risk + convolve-'same' smoothing (survival.py:74-125)."""
     hist = duration_histogram(durations, duration_col)
     w_rev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    # np.convolve(mode='same') with an even kernel w: out[i] averages
+    # a[i-w/2 .. i+w/2-1] with truncated edges keeping the /w divisor —
+    # verified against numpy impulse response in tests/test_semantics.py.
+    # (Only valid for signals at least w long; numpy swaps operands below
+    # that, which real hazard curves never hit.)
     half = bandwidth // 2
     w_smooth = Window.orderBy("t").rowsBetween(-half, bandwidth - half - 1)
     return (
