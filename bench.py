@@ -31,23 +31,28 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     for name, spec in bench_specs:
-        df = spec.spark_fn(spark, sf_dir)
-        start = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            df = spec.spark_fn(spark, sf_dir)
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as e:  # noqa: BLE001 — one bad query must not kill the run
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    failed = [k for k, v in timings.items() if v < 0]
+    total_ok = {k: v for k, v in timings.items() if v >= 0}
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(total_ok.values()), 3)
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
     spark.stop()
 
 

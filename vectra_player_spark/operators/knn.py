@@ -26,12 +26,22 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query vector (excluding self)."""
+    """Exact top-k cosine neighbors per query vector (excluding self).
+
+    Norms are computed ONCE per vector before the join (the pair kernel is
+    then a single dot-product fold) — at n_q × n_c pairs this is the
+    difference between 1 and 3 array folds per pair."""
+    from vectra_player_spark.functions.vectors import norm
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_norm"),
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(vec_col).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -39,7 +49,11 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), 6).alias("cosine_sim"),
+            F.round(
+                dot("q_vec", "c_vec")
+                / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

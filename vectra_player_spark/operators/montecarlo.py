@@ -40,43 +40,51 @@ def simulate_iterations(
 
     def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for it in pdf["id"].tolist():
-                rng = np.random.default_rng([seed, int(it)])
-                draws = rng.random(n_games)
-                bankroll = starting_bankroll
-                peak = starting_bankroll
-                max_dd = 0.0
-                bet = base_bet
-                wins = 0
-                bets = 0
-                ruined = False
-                for g in range(n_games):
-                    if bankroll < bet:
-                        ruined = True
-                        break
-                    bets += 1
-                    if draws[g] < win_prob:
-                        bankroll += payout * bet
-                        bet = base_bet
-                        wins += 1
-                    else:
-                        bankroll -= bet
-                        bet = min(bet * 2.0, martingale_cap * base_bet)
-                    peak = max(peak, bankroll)
-                    if peak > 0:
-                        max_dd = max(max_dd, (peak - bankroll) / peak)
-                out.append((int(it), bankroll, max_dd, wins, bets, ruined))
+            ids = pdf["id"].to_numpy()
+            m = len(ids)
+            if m == 0:
+                continue
+            # per-iteration RNG keyed on (seed, id) — identical draws under
+            # any partitioning; rows stacked into an (iterations, games)
+            # matrix so the martingale steps vectorize ACROSS iterations
+            # (the game loop is sequential by definition; the iteration
+            # axis is not).
+            draws = np.stack(
+                [np.random.default_rng([seed, int(i)]).random(n_games) for i in ids]
+            )
+            bankroll = np.full(m, starting_bankroll)
+            peak = np.full(m, starting_bankroll)
+            max_dd = np.zeros(m)
+            bet = np.full(m, base_bet)
+            wins = np.zeros(m, dtype=np.int64)
+            bets = np.zeros(m, dtype=np.int64)
+            alive = np.ones(m, dtype=bool)
+            for g in range(n_games):
+                ruin_now = alive & (bankroll < bet)
+                alive &= ~ruin_now
+                act = alive
+                if not act.any():
+                    break
+                bets[act] += 1
+                win = act & (draws[:, g] < win_prob)
+                lose = act & ~win
+                bankroll[win] += payout * bet[win]
+                bet[win] = base_bet
+                wins[win] += 1
+                bankroll[lose] -= bet[lose]
+                bet[lose] = np.minimum(bet[lose] * 2.0, martingale_cap * base_bet)
+                np.maximum(peak, bankroll, out=peak, where=act)
+                dd = np.where(peak > 0, (peak - bankroll) / peak, 0.0)
+                np.maximum(max_dd, dd, out=max_dd, where=act)
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "iteration",
-                    "final_bankroll",
-                    "max_drawdown",
-                    "n_wins",
-                    "n_bets",
-                    "ruined",
-                ],
+                {
+                    "iteration": ids.astype(np.int64),
+                    "final_bankroll": bankroll,
+                    "max_drawdown": max_dd,
+                    "n_wins": wins,
+                    "n_bets": bets,
+                    "ruined": ~alive,
+                }
             )
 
     return spark.range(n_iterations).mapInPandas(sim, SIM_SCHEMA)

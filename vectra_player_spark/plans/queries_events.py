@@ -461,7 +461,7 @@ GROUP BY user_id, session_no
 """
 
 
-@register("gap_sessionization", oracle=_SESSIONIZE_ORACLE, tags=("events",), survey_ref="T2 batch,W1")
+@register("gap_sessionization", oracle=_SESSIONIZE_ORACLE, tags=("events", "bench"), survey_ref="T2 batch,W1")
 def gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")

@@ -94,7 +94,7 @@ FROM lrs
 """
 
 
-@register("bayesian_gap_signal", oracle=_GAP_ORACLE, tags=("ml",), survey_ref="M10,T4,W12")
+@register("bayesian_gap_signal", oracle=_GAP_ORACLE, tags=("ml", "bench"), survey_ref="M10,T4,W12")
 def bayesian_gap_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")

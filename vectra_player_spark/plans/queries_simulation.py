@@ -15,7 +15,7 @@ from vectra_player_spark.operators.montecarlo import simulate_iterations, summar
 from vectra_player_spark.plans.registry import register
 
 
-@register("monte_carlo_summary", oracle=None, tags=("simulation",), survey_ref="M11,M12")
+@register("monte_carlo_summary", oracle=None, tags=("simulation", "bench"), survey_ref="M11,M12")
 def monte_carlo_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_iter = simulate_iterations(spark, n_iterations=2000, n_games=200, seed=42)
     return summarize_simulation(per_iter)

@@ -62,7 +62,7 @@ FROM km2
 )
 
 
-@register("km_survival_curve", oracle=_KM_ORACLE, tags=("survival",), survey_ref="M5,W12")
+@register("km_survival_curve", oracle=_KM_ORACLE, tags=("survival", "bench"), survey_ref="M5,W12")
 def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_survival(_durations(spark, sf_dir))
 

@@ -225,7 +225,7 @@ FROM hashed
 )
 
 
-@register("doc_simhash", oracle=_SIMHASH_ORACLE, tags=("text", "dedup"), survey_ref="D1-D2 scale path,F8")
+@register("doc_simhash", oracle=_SIMHASH_ORACLE, tags=("text", "dedup", "bench"), survey_ref="D1-D2 scale path,F8")
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(t(spark, sf_dir, "documents"))
 

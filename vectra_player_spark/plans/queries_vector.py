@@ -71,33 +71,38 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _NEARDUP_ORACLE = """
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_dot_product(a.emb, b.emb)
-             / NULLIF(sqrt(list_dot_product(a.emb, a.emb))
-                      * sqrt(list_dot_product(b.emb, b.emb)), 0), 6) AS cosine_sim
+       ROUND(list_dot_product(a.emb, b.emb) / NULLIF(a.nrm * b.nrm, 0), 6) AS cosine_sim
 FROM e a
 JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.emb, b.emb)
-      / NULLIF(sqrt(list_dot_product(a.emb, a.emb))
-               * sqrt(list_dot_product(b.emb, b.emb)), 0) >= 0.3
+WHERE list_dot_product(a.emb, b.emb) / NULLIF(a.nrm * b.nrm, 0) >= 0.3
 """
 
 
-@register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE, tags=("vector", "dedup"), survey_ref="embedding near-dup (mandate)")
+@register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE, tags=("vector", "dedup", "bench"), survey_ref="embedding near-dup (mandate)")
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vectra_player_spark.functions.vectors import cosine
+    from vectra_player_spark.functions.vectors import dot, norm
 
     emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).withColumn("nrm", norm("emb"))
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("emb").alias("emb_a")
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("emb").alias("emb_a"), F.col("nrm").alias("n_a"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), "label", F.col("emb").alias("emb_b")
+        F.col("vec_id").alias("vec_b"), "label",
+        F.col("emb").alias("emb_b"), F.col("nrm").alias("n_b"),
     )
-    sim = cosine("emb_a", "emb_b")
+    sim = dot("emb_a", "emb_b") / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0))
     return (
         a.join(b, "label")
         .where(F.col("vec_a") < F.col("vec_b"))
