@@ -28,7 +28,9 @@ def get_spark(app_name: str = "vectra_player_spark", cpus: int | None = None) ->
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Small dims (region/nation/supplier/model tables) should always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = driver-only: all executor threads share this heap.
+        # Undersizing it turns back-to-back queries into GC storms.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
