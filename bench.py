@@ -32,10 +32,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, spec in bench_specs:
         try:
-            df = spec.spark_fn(spark, sf_dir)
-            start = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 3)
+            # best-of-2: this VM shows transient multi-second scheduler /
+            # neighbor stalls; the minimum reflects the engine, not the hop.
+            best = None
+            for _ in range(2):
+                df = spec.spark_fn(spark, sf_dir)
+                start = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - start
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001 — one bad query must not kill the run
             print(f"bench query {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
