@@ -231,6 +231,61 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Fingerprints + token counting (mandate: "token counting (whitespace + a
+# BPE-ish regex), document fingerprinting (rolling hash)"):
+# - whole-doc md5 (exact-dup key)
+# - order-sensitive polynomial rolling hash over token hashes:
+#   fp = fold((acc * 31 + h(tok)) mod p) — Spark aggregate() with 0 init ≡
+#   DuckDB list_reduce() over a 0-prepended list
+# - BPE-ish token count: regex word/number/punct classes (RE2- and
+#   Java-regex-compatible pattern, no lookarounds)
+# --------------------------------------------------------------------------
+
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+_ROLL_P = 2147483647
+
+_FINGERPRINT_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS tokens
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, text, tokens,
+         list_transform(tokens, s -> {DUCKDB_HEX8}) AS th
+  FROM toks
+)
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS exact_fp,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                        (acc, x) -> (acc * 31 + x) % {_ROLL_P}) AS BIGINT) AS rolling_fp,
+       CAST(len(tokens) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS bpe_tokens
+FROM hashed
+"""
+
+
+@register("doc_fingerprints", oracle=_FINGERPRINT_ORACLE, tags=("text",), survey_ref="F8 (rolling hash, BPE-ish tokens)")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.operators.dedup import SPARK_HEX8
+
+    docs = t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "text",
+        tokens("text").alias("toks"),
+    ).withColumn("th", F.expr(f"transform(toks, s -> {SPARK_HEX8})"))
+    return hashed.select(
+        "doc_id",
+        fingerprint("text").alias("exact_fp"),
+        F.expr(
+            f"aggregate(th, CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {_ROLL_P})"
+        ).alias("rolling_fp"),
+        F.size("toks").cast("bigint").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-language corpus rollup (A3/A6 over documents).
 # --------------------------------------------------------------------------
 
