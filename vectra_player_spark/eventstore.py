@@ -17,10 +17,31 @@ from vectra_player_spark.schema import COMPLETE_GAME_SCHEMA
 
 
 class EventStore:
-    """Query layer over an envelope lake DataFrame (see sources.event_lake)."""
+    """Query layer over an envelope lake DataFrame (see sources.event_lake).
+
+    Method-for-method coverage of the reference's EventStoreQuery
+    (duckdb.py:48-458): query/query_arrow, episode fetchers, player
+    queries, listings and counts — with the N+1 patterns replaced by
+    episode-keyed DataFrames.
+    """
+
+    VIEW_NAME = "events_lake"
 
     def __init__(self, envelope: DataFrame):
         self.envelope = envelope
+
+    # -- ad-hoc SQL (duckdb.py:82-123) --------------------------------------
+
+    def query(self, sql: str) -> DataFrame:
+        """§3.1 ad-hoc SQL entry point: the envelope is exposed as the
+        `events_lake` view; Catalyst replaces DuckDB's parse/bind/optimize.
+        Parameterization: use the DataFrame API or spark.sql named args."""
+        self.envelope.createOrReplaceTempView(self.VIEW_NAME)
+        return self.envelope.sparkSession.sql(sql)
+
+    def query_arrow(self, sql: str):
+        """S13: zero-copy-ish Arrow exchange (duckdb.py:104-123)."""
+        return self.query(sql).toArrow()
 
     # -- episodes (duckdb.py:129-184) --------------------------------------
 
@@ -45,6 +66,23 @@ class EventStore:
             .agg(F.count(F.lit(1)).alias("tick_count"))
             .where(F.col("tick_count") >= min_ticks)
         )
+
+    def iter_episodes(self, min_ticks: int = 10, limit: int | None = None):
+        """duckdb.py:155-238 without the N+1 pattern: ONE qualifying-games
+        scan + ONE episode-keyed fetch; yields (game_id, pandas) pairs at
+        the driver edge like the reference's generator. For distributed
+        per-episode compute use applyInPandas instead — this iterator is
+        the drop-in for the reference's driver-side consumers."""
+        qualifying = self.qualifying_games(min_ticks).select("game_id")
+        if limit is not None:
+            qualifying = qualifying.orderBy("game_id").limit(limit)
+        rows = (
+            self.envelope.join(F.broadcast(qualifying), "game_id", "left_semi")
+            .orderBy("game_id", "seq")
+            .toPandas()
+        )
+        for game_id, pdf in rows.groupby("game_id", sort=True):
+            yield game_id, pdf.reset_index(drop=True)
 
     def player_events(self, player_id: str) -> DataFrame:
         """J2: all events of every game the player touched — semi-join on
@@ -85,6 +123,50 @@ class EventStore:
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
         )
+
+    def get_player_games(self, player_id: str, limit: int = 100) -> DataFrame:
+        """duckdb.py:279-310: games a player participated in, with bounds."""
+        return (
+            self.envelope.where(
+                (F.col("player_id") == player_id) & F.col("game_id").isNotNull()
+            )
+            .groupBy("game_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+            .orderBy("first_ts")
+            .limit(limit)
+        )
+
+    def get_player_actions(self, player_id: str, limit: int = 100) -> DataFrame:
+        """duckdb.py:312-338: a player's action rows, episode-ordered."""
+        return (
+            self.envelope.where(
+                (F.col("player_id") == player_id)
+                & (F.col("doc_type") == "player_action")
+            )
+            .orderBy("seq")
+            .limit(limit)
+        )
+
+    def list_players(self, limit: int = 100) -> DataFrame:
+        """duckdb.py:363-384: distinct players with activity bounds."""
+        return (
+            self.envelope.where(F.col("player_id").isNotNull())
+            .groupBy("player_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("first_ts"))
+            .orderBy("first_ts")
+            .limit(limit)
+        )
+
+    def count_events(self, doc_type: str | None = None) -> int:
+        """duckdb.py:386-402 — partition-pruned when doc_type is given."""
+        df = self.envelope
+        if doc_type is not None:
+            df = df.where(F.col("doc_type") == doc_type)
+        return df.count()
 
 
 def load_games(envelope: DataFrame, min_prices: int = 2) -> DataFrame:
