@@ -189,6 +189,52 @@ def test_streaming_capture_to_lake(spark, tmp_path):
         q2.stop()
 
 
+def test_streaming_checkpoint_recovery(spark, tmp_path):
+    """Sink restart with the same checkpoint must not duplicate rows
+    (exactly-once file sink semantics) and must pick up new input."""
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def tick(seq):
+        return {
+            "session_id": "f1", "seq": seq,
+            "ts_ms": 1_700_000_000_000 + seq * 250, "game_id": "g1",
+            "active": True, "rugged": False, "allow_pre_round_buys": False,
+            "cooldown_timer": 0, "price": 1.0, "tick": seq,
+            "server_seed": None, "backfill_ticks": None, "backfill_prices": None,
+        }
+
+    with open(src / "a.jsonl", "w") as f:
+        for s in range(5):
+            f.write(json.dumps(tick(s)) + "\n")
+
+    out, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+
+    def env_stream():
+        return read_tick_stream(spark, str(src)).select(
+            F.lit("game_tick").alias("doc_type"),
+            F.lit("2026-01-10").alias("date"),
+            "seq",
+            "game_id",
+        )
+
+    q = stream_to_lake(env_stream(), out, ckpt, trigger_seconds=1)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == 5
+
+    with open(src / "b.jsonl", "w") as f:
+        for s in range(5, 8):
+            f.write(json.dumps(tick(s)) + "\n")
+
+    q2 = stream_to_lake(env_stream(), out, ckpt, trigger_seconds=1)
+    q2.processAllAvailable()
+    q2.stop()
+    rows = spark.read.parquet(out)
+    assert rows.count() == 8  # old batch not re-emitted, new batch present
+    assert rows.select("seq").distinct().count() == 8
+
+
 def test_eventstore_listings(spark, pipeline_lake):
     es = EventStore(read_event_lake(spark, pipeline_lake))
     counts = {r.doc_type: r.n for r in es.doc_type_counts().collect()}
