@@ -1,0 +1,62 @@
+"""Skew-salting and bucketed-table tests: row-identical results and the
+exchange-free plans they exist to produce."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectra_player_spark.operators.skew import bucketed_table, salted_join, write_bucketed
+
+
+def test_salted_join_row_identical(spark):
+    # heavily skewed big side: 90% of rows share key 1
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, float(i)) for i in range(1000)], "k long, v double"
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(10)], "k long, name string")
+    plain = big.join(small, "k").groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 6).alias("s")
+    )
+    salted = salted_join(big, small, "k", salt_factor=8).groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 6).alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_deterministic_salt(spark):
+    big = spark.createDataFrame([(1, float(i)) for i in range(100)], "k long, v double")
+    small = spark.createDataFrame([(1, "x")], "k long, name string")
+    a = salted_join(big, small, "k").count()
+    b = salted_join(big.repartition(13), small, "k").count()
+    assert a == b == 100  # hash-salt, not rand(): stable under retries
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # warehouse dir is static (set to /tmp/spark_warehouse by get_spark)
+    eps = spark.createDataFrame(
+        [(f"g{i % 20}", i, float(i)) for i in range(2000)],
+        "game_id string, seq long, value double",
+    )
+    dims = spark.createDataFrame(
+        [(f"g{i}", f"meta{i}") for i in range(20)], "game_id string, meta string"
+    )
+    write_bucketed(eps, "eps_bucketed", "game_id", buckets=8, sort_col="game_id")
+    write_bucketed(dims, "dims_bucketed", "game_id", buckets=8)
+    # disable broadcast so the join would otherwise need a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_table(spark, "eps_bucketed").join(
+            bucketed_table(spark, "dims_bucketed"), "game_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucketing pre-co-located both sides
+        assert joined.count() == 2000
+        # groupBy on the bucket key is exchange-free too
+        agg = bucketed_table(spark, "eps_bucketed").groupBy("game_id").count()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS eps_bucketed")
+        spark.sql("DROP TABLE IF EXISTS dims_bucketed")

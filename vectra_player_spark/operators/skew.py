@@ -1,0 +1,52 @@
+"""Skew and co-location levers for 100 TB joins (SURVEY §4 / SCALE.md).
+
+- salted_join: the classic hot-key remedy when AQE's skew-join splitting
+  isn't available or the skew is on the BUILD side of an agg: explode the
+  small side into `salt_factor` replicas, salt the big side's key with a
+  deterministic hash bucket, join on (key, salt). Row-identical to a plain
+  inner join.
+- write_bucketed / bucketed_table: persist a table bucketed+sorted by the
+  episode key so every later join/groupBy on that key is exchange-free
+  (the lake-side analog of the reference keeping one file per game).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Inner/left join tolerant of a skewed `key` on the big side.
+
+    The big side gets a deterministic salt from a row hash (NOT rand() —
+    retries/speculative tasks must salt identically); the small side is
+    exploded ×salt_factor so every (key, salt) pair finds its match."""
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_factor))
+    )
+    small_exploded = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+    )
+    return big_salted.join(small_exploded, [key, "_salt"], how).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, buckets: int = 32, sort_col: str | None = None
+) -> None:
+    """Persist bucketed (and optionally sorted) by `key` — later joins and
+    groupBys on `key` read pre-shuffled data (no Exchange in the plan)."""
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

@@ -32,6 +32,7 @@ def get_spark(app_name: str = "vectra_player_spark", cpus: int | None = None) ->
         # Undersizing it turns back-to-back queries into GC storms.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark_warehouse"))
         .config("spark.sql.parquet.filterPushdown", "true")
     )
     spark = builder.getOrCreate()
