@@ -48,7 +48,7 @@ def training_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "value",
-        (F.row_number().over(w) - 1).alias("tick"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("tick"),
         F.count(F.lit(1)).over(wp).alias("episode_len"),
         F.round(F.stddev("value").over(w.rowsBetween(-4, 0)), 6).alias("vol_5"),
         F.round((F.col("value") - F.lag("value", 3).over(w)) / 3.0, 6).alias("momentum_3"),
@@ -85,7 +85,8 @@ lrs AS (
               ELSE 1.0 END AS lr
   FROM gaps WHERE gap_s IS NOT NULL
 )
-SELECT user_id, event_id, CAST(gap_s AS BIGINT) AS gap_s, ROUND(lr, 6) AS lr,
+SELECT user_id, event_id, CAST(gap_s AS BIGINT) AS gap_s,
+       CAST(ROUND(lr, 6) AS DOUBLE) AS lr,
        ROUND(EXP(SUM(LN(lr)) OVER (PARTITION BY user_id ORDER BY event_id
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) * (1.0 / 9.0), 6) AS posterior_odds,
        ROUND(1 - 1 / (1 + EXP(SUM(LN(lr)) OVER (PARTITION BY user_id ORDER BY event_id
@@ -146,11 +147,11 @@ cuts AS (
   FROM vol
 )
 SELECT v.user_id, ROUND(v.return_std, 6) AS return_std,
-       CASE WHEN v.return_std <= c.p20 THEN 1.5
-            WHEN v.return_std <= c.p40 THEN 1.25
-            WHEN v.return_std <= c.p60 THEN 1.0
-            WHEN v.return_std <= c.p80 THEN 0.75
-            ELSE 0.5 END AS size_multiplier
+       CAST(CASE WHEN v.return_std <= c.p20 THEN 1.5
+                 WHEN v.return_std <= c.p40 THEN 1.25
+                 WHEN v.return_std <= c.p60 THEN 1.0
+                 WHEN v.return_std <= c.p80 THEN 0.75
+                 ELSE 0.5 END AS DOUBLE) AS size_multiplier
 FROM vol v CROSS JOIN cuts c
 """
 

@@ -57,7 +57,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return (
         emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
-        .select("label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("v"))
+        .select("label", (F.col("pos") + 1).cast("bigint").alias("pos"), F.col("col").alias("v"))
         .groupBy("label", "pos")
         .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
     )
