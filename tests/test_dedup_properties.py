@@ -1,0 +1,110 @@
+"""Dedup-family property tests: statistical behavior, not just oracle
+equality — minhash signature agreement estimates Jaccard; exact dups
+always LSH-collide; near-dups beat unrelated docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectra_player_spark.operators.dedup import (
+    MINHASH_K,
+    doc_shingles,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+
+VOCAB = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _doc(words):
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = [VOCAB[(i * 3 + j) % len(VOCAB)] for i in range(30) for j in (0, 1)]
+    docs = [
+        (0, _doc(base)),                       # original
+        (1, _doc(base)),                       # exact duplicate
+        (2, _doc(base[:50] + ["omega"] * 10)), # near duplicate (~80% overlap)
+        (3, _doc([VOCAB[(7 * i) % 10] + "x" for i in range(60)])),  # unrelated
+    ]
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def _true_jaccard(spark_df, a, b):
+    sh = doc_shingles(spark_df).toPandas()
+    sa = set(sh[sh.doc_id == a].shingle)
+    sb = set(sh[sh.doc_id == b].shingle)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_duplicates_group(corpus):
+    groups = exact_duplicates(corpus).collect()
+    dup_group = [g for g in groups if g.n_dups == 2]
+    assert len(dup_group) == 1
+    assert dup_group[0].keeper_doc_id == 0
+
+
+def test_identical_docs_always_lsh_collide(corpus):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(corpus).collect()}
+    assert (0, 1) in pairs  # identical signatures -> every band collides
+    assert (0, 3) not in pairs and (1, 3) not in pairs  # unrelated never
+
+
+def test_signature_agreement_tracks_jaccard(corpus):
+    sigs = {r.doc_id: [r[f"h{i}"] for i in range(MINHASH_K)] for r in
+            minhash_signatures(corpus).collect()}
+    agree_near = sum(a == b for a, b in zip(sigs[0], sigs[2])) / MINHASH_K
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[3])) / MINHASH_K
+    j_near = _true_jaccard(corpus, 0, 2)
+    assert j_near > 0.3
+    # K=8 is coarse; assert ordering + ballpark rather than tight bounds
+    assert agree_near > agree_far
+    assert agree_far <= 0.25
+    assert abs(agree_near - j_near) < 0.5
+
+
+def test_simhash_hamming_ordering(corpus):
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(corpus).collect()}
+    assert fps[0] == fps[1]  # identical docs -> identical fingerprints
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(fps[0], fps[2]) < hamming(fps[0], fps[3])
+
+
+def test_compaction_roundtrip(spark, tmp_path):
+    """S6: multi-file partition compacts to one file, rows intact."""
+    import glob
+
+    from vectra_player_spark.sources.event_lake import (
+        compact_partition,
+        normalize_envelope,
+        read_event_lake,
+        write_event_lake,
+    )
+
+    path = str(tmp_path / "lake")
+    for batch in range(3):  # three appends -> multiple files per partition
+        raw = spark.createDataFrame(
+            [
+                {
+                    "ts": "2026-01-10T00:00:00+00:00", "source": "cdp",
+                    "doc_type": "game_tick", "session_id": "s",
+                    "seq": batch * 10 + i, "direction": "received",
+                    "raw_json": "{}", "game_id": "g1",
+                }
+                for i in range(5)
+            ]
+        )
+        write_event_lake(normalize_envelope(raw), path)
+    part = f"{path}/doc_type=game_tick/date=2026-01-10"
+    assert len(glob.glob(f"{part}/*.parquet")) >= 3
+    compact_partition(spark, path, "game_tick", "2026-01-10", target_files=1)
+    assert len(glob.glob(f"{part}/*.parquet")) == 1
+    assert read_event_lake(spark, path, doc_type="game_tick").count() == 15
