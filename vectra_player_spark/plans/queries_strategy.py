@@ -139,6 +139,50 @@ def strategy_grid_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sweep_aggregate(_strategy_outcomes(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# The reference's stage-A sweep at its EXACT config count: 2,100 configs
+# (100 entries × 7 bet counts × 3 window lengths) — the 400.6 s baseline
+# workload (scalping_opt_sweep_2026-02-08.json). Same histogram-weighted
+# plan; the config axis is nearly free.
+# ---------------------------------------------------------------------------
+
+_GRID_2100_ORACLE = _GRID_ORACLE.replace(
+    "FROM range(0, 51) e, range(1, 6) n, (VALUES (4), (6), (8)) L(len)",
+    "FROM range(0, 100) e, range(1, 8) n, (VALUES (4), (6), (8)) L(len)",
+).replace("SELECT e.range * 2 AS entry_tick", "SELECT e.range * 1 AS entry_tick")
+
+
+@register("strategy_grid_sweep_2100", oracle=_GRID_2100_ORACLE, tags=("strategy", "bench"), survey_ref="M16 (reference stage-A scale)")
+def strategy_grid_sweep_2100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    durations = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    hist = durations.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    entries = spark.range(0, 100).select((F.col("id") * 1).alias("entry_tick"))
+    bets = spark.range(1, 8).select(F.col("id").alias("num_bets"))
+    lens = spark.createDataFrame([(4,), (6,), (8,)], "window_len long")
+    grid = entries.crossJoin(bets).crossJoin(lens)
+
+    off = F.col("d") - F.col("entry_tick")
+    spacing = F.col("window_len") + F.lit(2)
+    slot = F.floor(off * 1.0 / spacing).cast("bigint")
+    win = (
+        (off >= 0) & (slot < F.col("num_bets")) & ((off % spacing) < F.col("window_len"))
+    ).cast("int")
+    placed = F.when(off < 0, F.lit(0)).otherwise(F.least(F.col("num_bets"), slot + 1))
+    outcomes = hist.crossJoin(F.broadcast(grid)).select(
+        "entry_tick",
+        "num_bets",
+        "window_len",
+        "n",
+        off.alias("off"),
+        win.alias("win"),
+        placed.cast("bigint").alias("bets"),
+    )
+    return _sweep_aggregate(outcomes)
+
+
 _BEST_CONFIG_ORACLE = (
     _GRID_ORACLE.rsplit("GROUP BY entry_tick, num_bets, window_len", 1)[0]
     + """GROUP BY entry_tick, num_bets, window_len
