@@ -151,6 +151,66 @@ def kelly_entry_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kelly_sizing(cond, payout_b=5.0)
 
 
+# Kelly named-fractions table (analyzers/kelly.py:40-337): the full/half/
+# quarter/eighth Kelly variants plus fixed sizings, per entry tick.
+_KELLY_FRACTIONS_ORACLE = (
+    _DURATIONS_CTE
+    + """
+, hist AS (SELECT duration AS t, COUNT(*) AS events FROM durations GROUP BY 1),
+grid AS (SELECT range AS t_grid FROM range(0, 101)),
+cond AS (
+  SELECT
+    g.t_grid AS t,
+    CASE WHEN SUM(CASE WHEN h.t >= g.t_grid THEN h.events ELSE 0 END) > 0
+         THEN SUM(CASE WHEN h.t >= g.t_grid AND h.t < g.t_grid + 10 THEN h.events ELSE 0 END)
+              * 1.0 / SUM(CASE WHEN h.t >= g.t_grid THEN h.events ELSE 0 END)
+         ELSE 0.0 END AS p_raw
+  FROM grid g CROSS JOIN hist h
+  GROUP BY g.t_grid
+),
+k AS (
+  SELECT t, ROUND(p_raw, 6) AS p_end,
+         GREATEST((ROUND(p_raw, 6) * 5.0 - (1 - ROUND(p_raw, 6))) / 5.0, 0.0) AS kf
+  FROM cond
+)
+SELECT t, p_end,
+       ROUND(kf, 6) AS kelly_full,
+       ROUND(kf * 0.5, 6) AS kelly_half,
+       ROUND(kf * 0.25, 6) AS kelly_quarter,
+       ROUND(kf * 0.125, 6) AS kelly_eighth,
+       CAST(0.01 AS DOUBLE) AS fixed_1pct,
+       CAST(0.02 AS DOUBLE) AS fixed_2pct,
+       CAST(0.05 AS DOUBLE) AS fixed_5pct,
+       CAST(0.1 AS DOUBLE) AS fixed_10pct,
+       ROUND(p_end * 6.0 - 1.0, 6) AS ev_per_unit
+FROM k
+"""
+)
+
+
+@register("kelly_fractions_table", oracle=_KELLY_FRACTIONS_ORACLE, tags=("survival",), survey_ref="M9 (named fractions)")
+def kelly_fractions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.range(0, 101).select(F.col("id").alias("t_grid"))
+    cond = conditional_end_probability(_durations(spark, sf_dir), grid, window=10).select(
+        "t", "p_end"
+    )
+    p = F.col("p_end")
+    kf = F.greatest((p * 5.0 - (1 - p)) / 5.0, F.lit(0.0))
+    return cond.select(
+        "t",
+        "p_end",
+        F.round(kf, 6).alias("kelly_full"),
+        F.round(kf * 0.5, 6).alias("kelly_half"),
+        F.round(kf * 0.25, 6).alias("kelly_quarter"),
+        F.round(kf * 0.125, 6).alias("kelly_eighth"),
+        F.lit(0.01).alias("fixed_1pct"),
+        F.lit(0.02).alias("fixed_2pct"),
+        F.lit(0.05).alias("fixed_5pct"),
+        F.lit(0.1).alias("fixed_10pct"),
+        F.round(p * 6.0 - 1.0, 6).alias("ev_per_unit"),
+    )
+
+
 _OPT_ORACLE = (
     _DURATIONS_CTE
     + """
