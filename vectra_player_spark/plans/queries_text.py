@@ -209,7 +209,7 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SIMHASH_FP = " + ".join(
-    f"CASE WHEN list_sum(list_transform(hs, h -> (ascii(substr(h, {i + 1}, 1)) % 2) * 2 - 1)) > 0 "
+    f"CASE WHEN list_sum(list_transform(hv, v -> CAST((v >> {i}) & 1 AS INT) * 2 - 1)) > 0 "
     f"THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
     for i in range(32)
 )
@@ -217,7 +217,7 @@ _SIMHASH_ORACLE = (
     _TOKS_CTE
     + f"""
 , hashed AS (
-  SELECT doc_id, list_transform(list_distinct(tokens), x -> md5(x)) AS hs FROM toks
+  SELECT doc_id, list_transform(list_distinct(tokens), s -> {DUCKDB_HEX8}) AS hv FROM toks
 )
 SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash
 FROM hashed
