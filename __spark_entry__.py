@@ -10,11 +10,19 @@ operator from SURVEY.md §2.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from vectra_player_spark import plans
+# The driver may import this module by file path from another CWD; make the
+# engine package importable regardless.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from vectra_player_spark import plans  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
