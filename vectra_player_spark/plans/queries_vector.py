@@ -11,7 +11,9 @@ then round to 6.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectra_player_spark.operators.knn import brute_force_topk, ivf_topk
@@ -106,6 +108,131 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "label")
         .where(F.col("vec_a") < F.col("vec_b"))
+        .where(sim >= 0.3)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Finer-blocked near-dup (the SCALE.md lever): banded random-hyperplane LSH.
+# Each of 3 bands hashes a vector to a 4-bit sign-pattern bucket; a pair is
+# a candidate iff it shares (label, band, bucket) for ANY band
+# (OR-amplification, same design as doc_minhash_lsh_pairs). Per-band block
+# cost drops ~2^4 vs label-only blocking while ~90% of true near-dup
+# (cosine >= 0.9) pairs survive; threshold-level 0.3 pairs keep ~1/3 —
+# tune bands/bits per recall target. Hyperplanes derive from md5 (no RNG),
+# so the oracle reproduces the EXACT same blocking and this approximate
+# scale path is value-hash-checked, not rows-only.
+# --------------------------------------------------------------------------
+
+_LSH_DIM = 64
+_LSH_BANDS = 3
+_LSH_BITS = 4  # per band
+
+
+def _hyperplane(b: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from md5 parity."""
+    return [
+        1.0 if int(hashlib.md5(f"lsh:{b}:{p}".encode()).hexdigest(), 16) % 2 == 0 else -1.0
+        for p in range(_LSH_DIM)
+    ]
+
+
+_HYPERPLANES = [_hyperplane(b) for b in range(_LSH_BANDS * _LSH_BITS)]
+
+
+def _band_bucket_sql(emb: str, band: int) -> str:
+    terms = []
+    for bit in range(_LSH_BITS):
+        h = _HYPERPLANES[band * _LSH_BITS + bit]
+        lit = "[" + ", ".join(str(v) for v in h) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({emb}, {lit}) >= 0 THEN {1 << bit} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_NEARDUP_LSH_ORACLE = f"""
+WITH e0 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+e AS (
+  SELECT vec_id, label, emb,
+         sqrt(list_dot_product(emb, emb)) AS nrm,
+         {_band_bucket_sql("emb", 0)} AS bk0,
+         {_band_bucket_sql("emb", 1)} AS bk1,
+         {_band_bucket_sql("emb", 2)} AS bk2
+  FROM e0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb) / NULLIF(a.nrm * b.nrm, 0), 6) AS cosine_sim
+FROM e a
+JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        AND (a.bk0 = b.bk0 OR a.bk1 = b.bk1 OR a.bk2 = b.bk2)
+WHERE list_dot_product(a.emb, b.emb) / NULLIF(a.nrm * b.nrm, 0) >= 0.3
+"""
+
+
+def _band_bucket_col(emb: Column, band: int) -> Column:
+    from vectra_player_spark.functions.vectors import dot
+
+    total = F.lit(0)
+    for bit in range(_LSH_BITS):
+        h = _HYPERPLANES[band * _LSH_BITS + bit]
+        plane = F.array(*[F.lit(v) for v in h])
+        total = total + F.when(dot(emb, plane) >= 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return total
+
+
+@register(
+    "embedding_neardup_lsh",
+    oracle=_NEARDUP_LSH_ORACLE,
+    tags=("vector", "dedup", "bench"),
+    survey_ref="embedding near-dup scale path (mandate)",
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup pairs. Spark plan: explode (band, bucket) keys →
+    equi-join candidates on (label, band, bucket) → distinct id pairs →
+    re-join embeddings for the exact cosine kernel. The oracle expresses the
+    identical candidate set as an OR of band equalities (fine at oracle
+    scale); the Spark form keeps every join equi-keyed so it survives
+    100 TB — no OR-join, no per-label cartesian."""
+    from vectra_player_spark.functions.vectors import dot, norm
+
+    base = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("nrm", norm("emb"))
+    )
+    keyed = base.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(*[_band_bucket_col(F.col("emb"), k) for k in range(_LSH_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        keyed.select(F.col("vec_id").alias("vec_a"), "label", "band", "bucket")
+        .join(
+            keyed.select(F.col("vec_id").alias("vec_b"), "label", "band", "bucket"),
+            ["label", "band", "bucket"],
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    sim = dot("emb_a", "emb_b") / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0))
+    return (
+        cand.join(
+            base.select(F.col("vec_id").alias("vec_a"),
+                        F.col("emb").alias("emb_a"), F.col("nrm").alias("n_a")),
+            "vec_a",
+        )
+        .join(
+            base.select(F.col("vec_id").alias("vec_b"),
+                        F.col("emb").alias("emb_b"), F.col("nrm").alias("n_b")),
+            "vec_b",
+        )
         .where(sim >= 0.3)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
     )
