@@ -108,3 +108,26 @@ def test_compaction_roundtrip(spark, tmp_path):
     compact_partition(spark, path, "game_tick", "2026-01-10", target_files=1)
     assert len(glob.glob(f"{part}/*.parquet")) == 1
     assert read_event_lake(spark, path, doc_type="game_tick").count() == 15
+
+
+# --------------------------------------------------------------------------
+# Banded-hyperplane LSH near-dup (embedding_neardup_lsh) guarantees:
+# candidates are a subset of the exact label-blocked pairs, and pairs that
+# are duplicates after rounding (cosine 1.0) collide in every band, so the
+# scale path never loses a true duplicate.
+# --------------------------------------------------------------------------
+
+
+def test_embedding_lsh_subset_and_exact_dup_recall(spark, sf_dir):
+    from vectra_player_spark import plans
+
+    exact = plans.QUERIES["embedding_neardup_pairs"].spark_fn(spark, sf_dir).toPandas()
+    lsh = plans.QUERIES["embedding_neardup_lsh"].spark_fn(spark, sf_dir).toPandas()
+    exact_pairs = set(zip(exact.vec_a, exact.vec_b))
+    lsh_pairs = set(zip(lsh.vec_a, lsh.vec_b))
+    assert exact_pairs, "fixture should produce at least one near-dup pair"
+    assert lsh_pairs <= exact_pairs
+    true_dups = {
+        (r.vec_a, r.vec_b) for r in exact.itertuples() if r.cosine_sim >= 1.0
+    }
+    assert true_dups <= lsh_pairs
