@@ -83,3 +83,12 @@ def test_lake_scan_partition_pruning(spark, tmp_path):
     df = read_event_lake(spark, path, doc_type="game_tick")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "doc_type" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_embedding_lsh_joins_stay_equi_keyed(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "embedding_neardup_lsh")
+    # the whole point of banded blocking: every join is an equi-join on the
+    # (label, band, bucket) / vec_id keys — a cartesian or nested-loop plan
+    # would reintroduce the quadratic blow-up the blocking removes
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
