@@ -131,3 +131,17 @@ def test_embedding_lsh_subset_and_exact_dup_recall(spark, sf_dir):
         (r.vec_a, r.vec_b) for r in exact.itertuples() if r.cosine_sim >= 1.0
     }
     assert true_dups <= lsh_pairs
+
+
+def test_connected_components_known_graph(spark):
+    from vectra_player_spark.operators.dedup import connected_components
+
+    # path 1-2-3 plus isolated pair 10-11: two components, min-id keepers
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "vec_a long, vec_b long"
+    )
+    got = {
+        (r.node_id, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}

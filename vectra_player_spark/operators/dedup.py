@@ -215,3 +215,62 @@ def simhash_fingerprints(
         )
         fp = term if fp is None else fp + term
     return hashed.select(F.col(id_col), fp.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "vec_a", dst: str = "vec_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over near-dup pairs — the canonicalization step
+    after any pairwise dedup method (minhash/simhash/embedding-LSH): members
+    of one component are duplicates of each other; the minimum id is the
+    canonical keeper.
+
+    Deterministic min-label propagation (GraphX-style CC without the
+    GraphFrames dependency): every node's label converges to the minimum id
+    in its component in O(diameter) rounds — dup clusters are shallow, so
+    this is typically 2-4 rounds. Each round is two equi-joins on the node
+    key; `localCheckpoint(eager)` truncates lineage so the plan stays
+    bounded regardless of round count (at cluster scale, swap for
+    `checkpoint()` against a reliable store and track convergence with an
+    accumulator instead of the count action).
+
+    Returns (node_id, component): one row per node that appears in a pair;
+    nodes in no pair are singletons by definition and are omitted.
+    """
+    edges = (
+        pairs.select(F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v"))
+        .union(
+            pairs.select(F.col(dst).cast("bigint").alias("u"), F.col(src).cast("bigint").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("u").alias("node_id")).distinct().withColumn(
+        "component", F.col("node_id")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["node_id"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node_id"] == nbr_min["u"], "left")
+            .select(
+                labels["node_id"],
+                F.least(
+                    labels["component"], F.coalesce(F.col("nbr_min"), labels["component"])
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -253,3 +253,63 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.where(F.col("vec_id") < 10)
     return ivf_topk(queries, emb, centroids, k=5, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# Dedup-group canonicalization: connected components over the banded-LSH
+# near-dup pairs. The oracle computes the same components with a recursive
+# transitive closure (fine at oracle scale); the Spark operator is
+# min-label propagation — O(diameter) rounds of equi-joins, the standard
+# cluster-scale CC. Both are exact integer computations → hash-checked.
+# --------------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE
+e0 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+e AS (
+  SELECT vec_id, label, emb,
+         sqrt(list_dot_product(emb, emb)) AS nrm,
+         {_band_bucket_sql("emb", 0)} AS bk0,
+         {_band_bucket_sql("emb", 1)} AS bk1,
+         {_band_bucket_sql("emb", 2)} AS bk2
+  FROM e0
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a
+  JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+          AND (a.bk0 = b.bk0 OR a.bk1 = b.bk1 OR a.bk2 = b.bk2)
+  WHERE list_dot_product(a.emb, b.emb) / NULLIF(a.nrm * b.nrm, 0) >= 0.3
+),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM p
+  UNION
+  SELECT vec_b AS u, vec_a AS v FROM p
+),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT t.node, e2.v FROM reach t JOIN edges e2 ON t.r = e2.u
+)
+SELECT CAST(node AS BIGINT) AS node_id,
+       CAST(LEAST(node, MIN(r)) AS BIGINT) AS component
+FROM reach
+GROUP BY node
+"""
+
+
+@register(
+    "embedding_neardup_components",
+    oracle=_COMPONENTS_ORACLE,
+    tags=("vector", "dedup"),
+    survey_ref="dedup group canonicalization (mandate)",
+)
+def embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the banded-LSH pairs: (node_id, component)
+    with component = min member id (the canonical keeper)."""
+    from vectra_player_spark.operators.dedup import connected_components
+
+    pairs = embedding_neardup_lsh(spark, sf_dir)
+    return connected_components(pairs, "vec_a", "vec_b")
