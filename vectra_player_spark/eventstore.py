@@ -9,6 +9,8 @@ scans, which is the shape that survives 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -72,17 +74,32 @@ class EventStore:
         scan + ONE episode-keyed fetch; yields (game_id, pandas) pairs at
         the driver edge like the reference's generator. For distributed
         per-episode compute use applyInPandas instead — this iterator is
-        the drop-in for the reference's driver-side consumers."""
+        the drop-in for the reference's driver-side consumers.
+
+        Driver memory is bounded per-episode, not per-result-set: the
+        sorted frame is consumed incrementally via toLocalIterator() (one
+        partition in flight at a time), so only the episode currently
+        being assembled is resident — the reference generator's memory
+        profile, regardless of how many games qualify."""
         qualifying = self.qualifying_games(min_ticks).select("game_id")
         if limit is not None:
             qualifying = qualifying.orderBy("game_id").limit(limit)
-        rows = (
+        sorted_rows = (
             self.envelope.join(F.broadcast(qualifying), "game_id", "left_semi")
             .orderBy("game_id", "seq")
-            .toPandas()
         )
-        for game_id, pdf in rows.groupby("game_id", sort=True):
-            yield game_id, pdf.reset_index(drop=True)
+        columns = sorted_rows.columns
+        gid_idx = columns.index("game_id")
+        current_gid, buf = None, []
+        for row in sorted_rows.toLocalIterator(prefetchPartitions=True):
+            gid = row[gid_idx]
+            if gid != current_gid and buf:
+                yield current_gid, pd.DataFrame(buf, columns=columns)
+                buf = []
+            current_gid = gid
+            buf.append(tuple(row))
+        if buf:
+            yield current_gid, pd.DataFrame(buf, columns=columns)
 
     def player_events(self, player_id: str) -> DataFrame:
         """J2: all events of every game the player touched — semi-join on

@@ -190,6 +190,8 @@ def summarize_replay(trace: DataFrame) -> DataFrame:
         F.sum(F.col("bet_placed").cast("long")).alias("n_bets"),
         F.sum((F.col("bet_placed") & F.col("won")).cast("long")).alias("n_wins"),
         F.sum(F.col("vetoed").cast("long")).alias("n_vetoed"),
-        F.round(F.last("bankroll") - 100.0, 6).alias("pnl"),
+        # max_by picks the final-tick bankroll deterministically; last()
+        # depends on physical row order and breaks under repartition/AQE.
+        F.round(F.max_by("bankroll", "tick") - 100.0, 6).alias("pnl"),
         F.max(F.when(F.col("risk_state") == "PAUSED", 1).otherwise(0)).alias("hit_pause"),
     )

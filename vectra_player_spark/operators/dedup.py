@@ -174,13 +174,15 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            (
                 F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("_jaccard_raw"),
         )
-        .where(F.col("jaccard") >= threshold)
+        # Threshold on the UNROUNDED ratio (matches the oracle's WHERE);
+        # round only for the output column.
+        .where(F.col("_jaccard_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("_jaccard_raw", 6).alias("jaccard"))
     )
 
 

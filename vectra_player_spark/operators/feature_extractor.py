@@ -37,32 +37,69 @@ FEATURES_SCHEMA = (
 @dataclass(frozen=True)
 class HistoricalStats:
     """Broadcastable duration-distribution stats (the 'stats' argument of
-    FeatureExtractor.extract_features)."""
+    FeatureExtractor.extract_features).
+
+    The empirical CDF is held as a (distinct duration → cumulative count)
+    histogram, NOT the raw duration list: distinct episode lengths are
+    bounded by the max game length (a few thousand ticks) regardless of
+    how many episodes exist, so the broadcast stays a few KB at any scale
+    while `pct_at` stays EXACT — bisect over distinct values with
+    cumulative counts gives the same fraction as bisect over the full
+    sorted multiset."""
 
     mean: float
     std: float
     p25: float
     p50: float
     p75: float
-    sorted_durations: tuple
+    cdf_durations: tuple  # sorted distinct duration values
+    cdf_cum_counts: tuple  # cumulative row counts aligned with cdf_durations
+    n: int
+
+    def pct_at(self, value: float) -> float:
+        """Fraction of historical durations <= value (empirical CDF)."""
+        import bisect
+
+        if not self.n:
+            return 0.0
+        i = bisect.bisect_right(self.cdf_durations, value)
+        return self.cdf_cum_counts[i - 1] / self.n if i else 0.0
 
     @classmethod
     def fit(cls, durations: DataFrame, duration_col: str = "duration") -> "HistoricalStats":
+        """Fully distributed fit: scalar aggregates (exact percentile is
+        executor-side, its state bounded by distinct values) plus one
+        distinct-duration histogram — no full-column collect anywhere
+        (the previous sort_array(collect_list) form was a driver OOM at
+        100× episode counts)."""
         row = durations.agg(
             F.avg(duration_col).alias("mean"),
             F.stddev(duration_col).alias("std"),
             F.expr(f"percentile({duration_col}, 0.25)").alias("p25"),
             F.expr(f"percentile({duration_col}, 0.5)").alias("p50"),
             F.expr(f"percentile({duration_col}, 0.75)").alias("p75"),
-            F.sort_array(F.collect_list(duration_col)).alias("all"),
         ).collect()[0]
+        hist = (
+            durations.groupBy(F.col(duration_col).alias("d"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy("d")
+            .collect()
+        )
+        values = tuple(r["d"] for r in hist)
+        cum = []
+        total = 0
+        for r in hist:
+            total += int(r["c"])
+            cum.append(total)
         return cls(
             float(row["mean"]),
             float(row["std"] or 0.0),
             float(row["p25"]),
             float(row["p50"]),
             float(row["p75"]),
-            tuple(row["all"]),
+            values,
+            tuple(cum),
+            total,
         )
 
 
@@ -78,8 +115,6 @@ def extract_episode_features(
     theta_max: float = 3.0,
 ) -> DataFrame:
     """M3: one feature row per tick per episode (sequential state pass)."""
-    import bisect
-
     spark = episodes.sparkSession
     bc = spark.sparkContext.broadcast(stats)
 
@@ -91,7 +126,6 @@ def extract_episode_features(
         gid = pdf[episode_key].iloc[0]
         prices = pdf[price_col].astype(float).tolist()
         n = len(prices)
-        sorted_d = list(st.sorted_durations)
         iqr = st.p75 - st.p25
         out = []
         spikes: list[int] = []  # tick indices of abs-return spikes
@@ -101,11 +135,7 @@ def extract_episode_features(
             if tick > 0:
                 rets.append(prices[tick] - prices[tick - 1])
             # statistical position of the current age vs history
-            pct = (
-                bisect.bisect_right(sorted_d, tick) / len(sorted_d)
-                if sorted_d
-                else 0.0
-            )
+            pct = st.pct_at(tick)
             z = (tick - st.mean) / st.std if st.std > 0 else 0.0
             iqr_pos = (tick - st.p50) / iqr if iqr > 0 else 0.0
             # volatility evolution over trailing windows

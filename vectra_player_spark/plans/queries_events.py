@@ -503,7 +503,9 @@ WITH eps AS (
 )
 SELECT game_id,
        CAST(len(prices) AS BIGINT) AS duration_ticks,
-       prices,
+       md5(array_to_string(
+         list_transform(prices, p -> CAST(CAST(p AS DECIMAL(18,6)) AS VARCHAR)), ','
+       )) AS prices_hash,
        ROUND(list_max(prices), 6) AS peak_price,
        CAST(list_position(prices, list_max(prices)) AS BIGINT) AS peak_tick,
        prices[-1] AS final_price,
@@ -532,10 +534,20 @@ def episode_price_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN size(prices) < 2 THEN NULL ELSE "
         "array_max(transform(sequence(1, size(prices) - 1), i -> prices[i - 1] - prices[i])) END"
     )
+    # The per-episode ordered array itself is the operator's product; the
+    # driver's canonicalizer cannot sort list columns, so the correctness
+    # surface emits an order-sensitive md5 over the fixed-decimal rendering
+    # (NOTES.md risk #2). Identical rendering on the DuckDB side.
+    prices_hash = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(prices, lambda p: p.cast("decimal(18,6)").cast("string")),
+        )
+    )
     return eps.select(
         "game_id",
         F.size(prices).cast("bigint").alias("duration_ticks"),
-        "prices",
+        prices_hash.alias("prices_hash"),
         F.round(F.array_max(prices), 6).alias("peak_price"),
         (F.array_position(prices, F.array_max(prices))).cast("bigint").alias("peak_tick"),
         F.element_at(prices, -1).alias("final_price"),

@@ -60,20 +60,40 @@ def read_event_lake(
 def compact_partition(spark: SparkSession, path: str, doc_type: str, date: str, target_files: int = 1) -> None:
     """S6: small-file compaction — rewrite one (doc_type, date) partition
     into `target_files` files. The read is partition-pruned; the rewrite
-    touches only that directory."""
-    part_path = f"{path}/doc_type={doc_type}/date={date}"
-    df = spark.read.parquet(part_path)
-    (
-        df.coalesce(target_files)
-        .write.mode("overwrite")
-        .parquet(part_path + "_compacted")
-    )
-    # Atomic swap is filesystem-level; on object stores this is a manifest
-    # commit. Local implementation: replace directory.
-    import shutil
+    touches only that directory.
 
-    shutil.rmtree(part_path)
-    shutil.move(part_path + "_compacted", part_path)
+    Swap discipline: the compacted output is staged under a `_compact_tmp`
+    sibling of the lake root — the leading underscore makes Spark/Hive
+    partition discovery ignore it, so a concurrent full-lake scan never
+    sees the partition twice. The swap itself is two renames (original →
+    trash, staged → canonical): the canonical path is missing only between
+    those renames, and a crash leaves the original recoverable in trash
+    rather than deleted. On object stores the equivalent is a manifest
+    commit (Delta/Iceberg); this is the HDFS/local-FS protocol.
+    """
+    import os
+    import shutil
+    import uuid
+
+    part_rel = f"doc_type={doc_type}/date={date}"
+    part_path = f"{path}/{part_rel}"
+    # Staging + trash live under underscore-prefixed dirs: invisible to
+    # partition discovery, so readers never double-count during the swap.
+    token = uuid.uuid4().hex
+    staged = f"{path}/_compact_tmp/{token}"
+    trash = f"{path}/_compact_trash/{token}"
+
+    df = spark.read.parquet(part_path)
+    df.coalesce(target_files).write.mode("overwrite").parquet(staged)
+
+    os.makedirs(os.path.dirname(trash), exist_ok=True)
+    shutil.move(part_path, trash)  # original preserved, not deleted
+    try:
+        shutil.move(staged, part_path)
+    except BaseException:
+        shutil.move(trash, part_path)  # roll back: restore the original
+        raise
+    shutil.rmtree(trash)
 
 
 def export_jsonl(df: DataFrame, path: str, by_doc_type: bool = True) -> None:

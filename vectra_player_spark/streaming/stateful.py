@@ -119,8 +119,14 @@ def phase_machine_fn(
             False,
         )
     out = []
-    for pdf in pdfs:
-        for row in pdf.sort_values("seq").itertuples():
+    # applyInPandasWithState delivers a group's batch as MULTIPLE Arrow
+    # chunks (arrow.maxRecordsPerBatch); sorting each chunk independently
+    # would replay out-of-order ticks spanning chunk boundaries in the
+    # wrong order. Materialize the whole group, then sort ONCE.
+    chunks = list(pdfs)
+    batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if not batch.empty:
+        for row in batch.sort_values("seq").itertuples():
             phase = _detect_phase(row)
             gid = row.game_id
             if gid != cur_game:
@@ -229,8 +235,12 @@ def sessionize_fn(
             )
         ticks, prices, had_gaps, n_backfilled, seed = [], [], False, 0, None
 
-    for pdf in pdfs:
-        for row in pdf.sort_values("seq").itertuples():
+    # Same multi-chunk hazard as phase_machine_fn: concat the group's
+    # chunks before the single seq-sort so cross-chunk ordering holds.
+    chunks = list(pdfs)
+    batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if not batch.empty:
+        for row in batch.sort_values("seq").itertuples():
             if row.game_id != gid:
                 finalize()
                 gid = row.game_id

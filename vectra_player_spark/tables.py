@@ -27,9 +27,26 @@ TABLES = (
 )
 
 
+# (applicationId, sf_dir, name) → DataFrame. A DataFrame is an immutable
+# logical plan, so reuse across queries in the same session is free and
+# skips the per-read parquet footer/schema inference (~0.1-0.3 s per call
+# — material when the correctness harness runs the full registry).
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read(spark, sf_dir, name)
+    _PLAN_CACHE[key] = df
+    return df
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The driver's events.ts is parquet TIMESTAMP(NANOS), which Spark's
         # vectorized reader rejects; read it as long nanoseconds and
