@@ -78,6 +78,33 @@ def test_simhash_hamming_ordering(corpus):
     assert hamming(fps[0], fps[2]) < hamming(fps[0], fps[3])
 
 
+def test_simhash_banded_recall_is_exact(corpus):
+    """Pigeonhole guarantee: for k < bands the byte-banded candidate join
+    finds EXACTLY the brute-force hamming<=k pairs."""
+    from vectra_player_spark.operators.dedup import simhash_neardup_pairs
+
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(corpus).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    for k in (0, 1, 3):
+        brute = {
+            (a, b)
+            for a in fps
+            for b in fps
+            if a < b and hamming(fps[a], fps[b]) <= k
+        }
+        banded = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_neardup_pairs(corpus, k=k).collect()
+        }
+        assert banded == brute, f"k={k}"
+
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(corpus, k=4, bands=4)
+
+
 def test_compaction_roundtrip(spark, tmp_path):
     """S6: multi-file partition compacts to one file, rows intact."""
     import glob

@@ -14,9 +14,9 @@ is hash-checkable cross-engine. All are shuffle-frugal by construction:
   within a posting list — at scale you'd cap posting-list length (drop
   ultra-common shingles, like stopword shingles) which is exposed as
   `max_doc_freq`.
-- simhash: 32-bit fingerprint from per-token md5 hex-nibble parity; near-dup
-  = identical fingerprint (scale path: band the 32 bits into 4 bytes for
-  hamming<=k candidate search).
+- simhash: 32-bit fingerprint from per-token md5 bit folds; near-dup =
+  byte-banded candidate join (4 bands → exact recall for hamming<=3 by
+  pigeonhole) + popcount(xor)<=k precision filter — simhash_neardup_pairs.
 """
 
 from __future__ import annotations
@@ -217,6 +217,61 @@ def simhash_fingerprints(
         )
         fp = term if fp is None else fp + term
     return hashed.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs at hamming distance <= k over 32-bit SimHash
+    fingerprints, via byte-banded candidate generation.
+
+    The 32-bit fingerprint splits into `bands` bytes; by pigeonhole, any
+    pair differing in <= bands-1 bits shares at least one identical byte,
+    so for k < bands the band equi-join has EXACT recall — no all-pairs
+    product, candidates only materialize inside a (band_idx, band_byte)
+    bucket, then popcount(xor) <= k filters precision. The same banded
+    shape as minhash_lsh_pairs: 100 TB-safe, shuffle on the band key only.
+
+    Catches the reference corpus's near-identical re-broadcasts
+    (training_data/README.md:162 documents 12.5x duplication) that exact
+    fingerprint equality misses at hamming 1-3.
+    """
+    if k >= bands:
+        raise ValueError(f"exact recall needs k < bands (got k={k}, bands={bands})")
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    band_width = 32 // bands
+    mask = (1 << band_width) - 1
+    stack_expr = ", ".join(
+        f"{b}, (simhash >> {b * band_width}) & {mask}" for b in range(bands)
+    )
+    long = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.expr(f"stack({bands}, {stack_expr}) AS (band_idx, band_byte)"),
+    )
+    a = long.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band_idx", "band_byte",
+    )
+    b = long.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band_idx", "band_byte",
+    )
+    return (
+        a.join(b, ["band_idx", "band_byte"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.expr("sim_a ^ sim_b")).cast("bigint")
+        )
+        .where(F.col("hamming") <= k)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def connected_components(

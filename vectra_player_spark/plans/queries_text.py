@@ -31,6 +31,7 @@ from vectra_player_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
+    simhash_neardup_pairs,
 )
 from vectra_player_spark.plans.registry import register
 from vectra_player_spark.tables import t
@@ -228,6 +229,42 @@ FROM hashed
 @register("doc_simhash", oracle=_SIMHASH_ORACLE, tags=("text", "dedup", "bench"), survey_ref="D1-D2 scale path,F8")
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs at hamming <= 3 (byte-banded candidate join; the
+# oracle checks the SEMANTICS with an all-pairs popcount filter — fine at
+# sf0.01, while the Spark side only materializes band-bucket candidates.
+# 4 bands over 32 bits give exact recall for hamming <= 3 by pigeonhole,
+# so the two forms are equivalent by construction).
+# --------------------------------------------------------------------------
+
+_SIMHASH_NEARDUP_ORACLE = (
+    _TOKS_CTE
+    + f"""
+, hashed AS (
+  SELECT doc_id, list_transform(list_distinct(tokens), s -> {DUCKDB_HEX8}) AS hv FROM toks
+),
+fps AS (
+  SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash
+  FROM hashed
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+)
+
+
+@register(
+    "doc_simhash_neardup_pairs",
+    oracle=_SIMHASH_NEARDUP_ORACLE,
+    tags=("text", "dedup"),
+    survey_ref="D near-dup scale path (SimHash hamming<=k)",
+)
+def doc_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_neardup_pairs(t(spark, sf_dir, "documents"), k=3, bands=4)
 
 
 # --------------------------------------------------------------------------
