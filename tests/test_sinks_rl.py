@@ -53,6 +53,59 @@ class TestUpsertSink:
         assert con.execute("SELECT COUNT(*) FROM games").fetchone()[0] == 1
         con.close()
 
+    def test_distributed_merge_matches_driver_merge(self, spark, tmp_path):
+        """Partition-parallel foreachPartition merge produces the exact
+        same table as applying the merge rules in one driver-side batch —
+        and the handler contains no .collect()."""
+        import inspect
+
+        from vectra_player_spark.sources import upsert_sink
+
+        # One distinct non-null seed per game — the feed invariant (a game
+        # reveals its seed once); under it the per-key fold is fully
+        # order-independent, so driver-order and distributed application
+        # must agree exactly.
+        rows = [
+            ("g1", 1.5, False, None, 10),
+            ("g2", 2.0, True, "s2", 5),
+            ("g1", 1.2, True, "s1", 12),  # re-broadcast: lower peak, rug set
+            ("g2", 1.0, False, None, 3),
+            ("g3", 9.9, False, None, 1),
+        ]
+        schema = (
+            "game_id string, peak_multiplier double, rugged boolean, "
+            "server_seed string, n_ticks long"
+        )
+
+        db_driver = str(tmp_path / "driver.db")
+        upsert_games_batch(
+            db_driver,
+            [
+                dict(zip(["game_id", "peak_multiplier", "rugged", "server_seed", "n_ticks"], r))
+                for r in rows
+            ],
+        )
+
+        db_dist = str(tmp_path / "dist.db")
+        write_upsert(
+            spark.createDataFrame(rows, schema).repartition(8), db_dist,
+            num_partitions=4,
+        )
+
+        def table(db):
+            con = sqlite3.connect(db)
+            got = sorted(
+                con.execute(
+                    "SELECT game_id, peak_multiplier, rugged, server_seed, n_ticks FROM games"
+                )
+            )
+            con.close()
+            return got
+
+        assert table(db_dist) == table(db_driver)
+        assert ".collect()" not in inspect.getsource(upsert_sink.write_upsert)
+        assert ".collect()" not in inspect.getsource(upsert_sink._partition_merger)
+
 
 class TestRLObservations:
     def test_obs_shape_and_values(self, spark):

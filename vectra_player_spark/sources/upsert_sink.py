@@ -42,7 +42,9 @@ def upsert_games_batch(db_path: str, rows: list[dict]) -> None:
     """The reference's upsert contract: new game rows insert; existing rows
     keep MAX(rugged), MAX(peak_multiplier), MAX(n_ticks) and COALESCE the
     seed (never un-reveal a revealed seed)."""
-    con = sqlite3.connect(db_path)
+    # timeout: partition-parallel writers serialize on SQLite's file lock
+    # instead of failing fast with "database is locked".
+    con = sqlite3.connect(db_path, timeout=60.0)
     try:
         con.execute(GAME_TABLE_DDL)
         con.executemany(
@@ -74,18 +76,59 @@ def upsert_games_batch(db_path: str, rows: list[dict]) -> None:
         con.close()
 
 
+def _partition_merger(db_path: str, chunk_size: int = 1000):
+    """Executor-side merge closure for foreachPartition: applies the same
+    INSERT-OR-IGNORE + monotone-MAX/COALESCE rules in bounded chunks —
+    rows stream through the worker, never the driver."""
+
+    def merge(rows_iter) -> None:
+        chunk: list[dict] = []
+        for row in rows_iter:
+            chunk.append(row.asDict())
+            if len(chunk) >= chunk_size:
+                upsert_games_batch(db_path, chunk)
+                chunk = []
+        if chunk:
+            upsert_games_batch(db_path, chunk)
+
+    return merge
+
+
+def write_upsert(df: DataFrame, db_path: str, num_partitions: int | None = None) -> None:
+    """Batch-side entry: partition-parallel merge of a game-summary
+    DataFrame into the store — NO driver collect.
+
+    The batch is first pre-aggregated per game_id with the same monotone
+    rules the store applies (MAX peak/rugged/n_ticks), so each key reaches
+    the store exactly once per batch — Spark's map-side partial aggregation
+    shrinks the shuffle AND the DB round-trips, and the per-key fold
+    becomes order-independent. The seed uses MIN over non-nulls: the feed
+    reveals at most one distinct seed per game (storage.py's COALESCE
+    never overwrites), so MIN is just a deterministic way to pick the one
+    revealed value under any row order; cross-batch, the store's COALESCE
+    still keeps the earliest batch's seed. foreachPartition then merges
+    each partition through its own connection. Against SQLite the writers
+    serialize on the file lock (busy-timeout); against a real warehouse
+    this same aggregated frame feeds a JDBC upsert or a Delta/Iceberg
+    MERGE INTO (storage.py:112-207 semantics)."""
+    from pyspark.sql import functions as F
+
+    agg = df.groupBy("game_id").agg(
+        F.max("peak_multiplier").alias("peak_multiplier"),
+        F.max("rugged").alias("rugged"),
+        F.min("server_seed").alias("server_seed"),
+        F.max("n_ticks").alias("n_ticks"),
+    )
+    if num_partitions is not None:
+        agg = agg.coalesce(num_partitions)
+    agg.foreachPartition(_partition_merger(db_path))
+
+
 def foreach_batch_upsert(db_path: str) -> Callable[[DataFrame, int], None]:
-    """writeStream.foreachBatch handler: collect the (small, per-trigger)
-    game-summary batch and merge it."""
+    """writeStream.foreachBatch handler: partition-parallel merge of each
+    micro-batch (same path as write_upsert — no driver collect)."""
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        rows = [r.asDict() for r in batch.collect()]
-        if rows:
-            upsert_games_batch(db_path, rows)
+        write_upsert(batch, db_path)
 
     return handle
-
-
-def write_upsert(df: DataFrame, db_path: str) -> None:
-    """Batch-side entry: merge a game-summary DataFrame into the store."""
-    upsert_games_batch(db_path, [r.asDict() for r in df.collect()])
