@@ -30,18 +30,22 @@ def main() -> None:
         (name, spec) for name, spec in sorted(plans.QUERIES.items()) if "bench" in spec.tags
     ]
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, spec in bench_specs:
         try:
-            # best-of-2: this VM shows transient multi-second scheduler /
-            # neighbor stalls; the minimum reflects the engine, not the hop.
-            best = None
-            for _ in range(2):
+            # best-of-3 with the max-min spread recorded per query: this VM
+            # shows transient multi-second scheduler / neighbor stalls
+            # (NOTES.md risk #6) — the minimum reflects the engine, and the
+            # spread makes round-over-round regressions attributable (a real
+            # regression moves the min; a noisy neighbor moves the spread).
+            runs = []
+            for _ in range(3):
                 df = spec.spark_fn(spark, sf_dir)
                 start = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
-                elapsed = time.perf_counter() - start
-                best = elapsed if best is None else min(best, elapsed)
-            timings[name] = round(best, 3)
+                runs.append(time.perf_counter() - start)
+            timings[name] = round(min(runs), 3)
+            spreads[name] = round(max(runs) - min(runs), 3)
         except Exception as e:  # noqa: BLE001 — one bad query must not kill the run
             print(f"bench query {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -54,6 +58,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
         "sf": sf,
     }
     if failed:

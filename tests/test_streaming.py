@@ -173,3 +173,100 @@ def test_windowed_rates_and_trade_annotation(spark, stream_dir):
     )
     out = {r.seq: r.is_forced_sell for r in annotate_trades(actions, phases).collect()}
     assert out == {6: True, 8: False}
+
+
+# --------------------------------------------------------------------------
+# S10 reader substitution: the same raw Socket.IO frames through a REAL TCP
+# socket reader and through the file reader produce identical TICK_SCHEMA
+# rows via the one shared parse chain (read_raw_frames → parse_tick_frames).
+# --------------------------------------------------------------------------
+
+RAW_FRAMES = [
+    '42["gameStateUpdate",{"gameId":"g1","active":true,"rugged":false,'
+    '"price":1.25,"tickCount":7,"cooldownTimer":0,"allowPreRoundBuys":false,'
+    '"partialPrices":{"startTick":2,"endTick":10,"values":{"10":1.2,"2":1.1,"3":1.15}}}]',
+    '42["gameStateUpdate",{"gameId":"g1","active":false,"rugged":true,'
+    '"price":0.02,"tickCount":8,'
+    '"provablyFair":{"serverSeed":"seed-xyz","serverSeedHash":"h"}}]',
+    "3",  # engine.io pong — must be ignored, not crash the chain
+    '42["newTrade",{"playerId":"p1"}]',  # other event — filtered out
+    "GARBAGE«FRAME",  # malformed — skip-malformed discipline
+]
+
+EXPECTED = {
+    7: ("g1", True, False, 1.25, None, (2, 3, 10), (1.1, 1.15, 1.2)),
+    8: ("g1", False, True, 0.02, "seed-xyz", None, None),
+}
+
+
+def _check_tick_rows(rows):
+    assert {r.tick for r in rows} == {7, 8}
+    for r in rows:
+        gid, active, rugged, price, seed, bft, bfp = EXPECTED[r.tick]
+        assert r.game_id == gid and r.active == active and r.rugged == rugged
+        assert r.price == price and r.server_seed == seed
+        got_bft = tuple(r.backfill_ticks) if r.backfill_ticks else None
+        got_bfp = tuple(r.backfill_prices) if r.backfill_prices else None
+        assert got_bft == bft and got_bfp == bfp  # numeric-sorted, aligned
+
+
+def test_raw_frames_via_file_reader(spark, tmp_path):
+    from vectra_player_spark.streaming.jobs import parse_tick_frames, read_raw_frames
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    (d / "a.txt").write_text("\n".join(RAW_FRAMES) + "\n")
+    raw = read_raw_frames(spark, source="files", path=str(d))
+    q = _run_query(parse_tick_frames(raw), "file_ticks")
+    try:
+        _check_tick_rows(spark.table("file_ticks").collect())
+    finally:
+        q.stop()
+
+
+def test_raw_frames_via_tcp_socket_reader(spark):
+    """Drives the actual `socket` source against a local TCP server — the
+    reader-swap proof: no change to the parse chain or operators."""
+    import socket
+    import threading
+    import time
+
+    from vectra_player_spark.streaming.jobs import parse_tick_frames, read_raw_frames
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            payload = ("\n".join(RAW_FRAMES) + "\n").encode()
+            conn.sendall(payload)
+            stop.wait(timeout=60)  # hold the connection until the test ends
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        raw = read_raw_frames(spark, source="socket", host="127.0.0.1", port=port)
+        q = (
+            parse_tick_frames(raw)
+            .writeStream.format("memory")
+            .queryName("socket_ticks")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.table("socket_ticks").count() >= 2:
+                    break
+                time.sleep(0.5)
+            _check_tick_rows(spark.table("socket_ticks").collect())
+        finally:
+            q.stop()
+    finally:
+        stop.set()
+        server.close()

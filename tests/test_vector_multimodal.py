@@ -82,6 +82,66 @@ def test_search_returns_relevant_chunk(spark, tmp_path):
     assert "g1" in hits[0].text  # token overlap ranks g1 chunks first
 
 
+def test_ivf_kmeans_recall_meets_target(spark, sf_dir):
+    """V4 scale path: k-means IVF recall@10 vs brute force. The synthetic
+    embeddings are near-uniform (IVF's worst case, recall ≈ nprobe/cells);
+    0.65 leaves seed margin below the measured 0.78 @ nprobe 8/16."""
+    from vectra_player_spark import plans
+
+    row = plans.QUERIES["knn_ivf_kmeans_recall"].spark_fn(spark, sf_dir).collect()[0]
+    assert row.n_queries == 50
+    assert row.mean_recall >= 0.65, row
+
+
+class LanceLikeFakeStore:
+    """Test double shaped like a LanceDB/Chroma collection wrapper
+    (indexer.py:68-118): add/scan/clear against an in-process table.
+    Proves the indexer pipeline (checkpoint, chunking, embedding, search)
+    is store-agnostic — swapping in the real backend is constructor
+    config, not code."""
+
+    def __init__(self):
+        self.rows = []  # list of dicts, like a collection's records
+        self.calls = []
+
+    def add(self, embedded):
+        self.calls.append("add")
+        self.rows.extend(r.asDict() for r in embedded.collect())
+
+    def scan(self, spark):
+        self.calls.append("scan")
+        return spark.createDataFrame(
+            self.rows,
+            "chunk_id string, ts string, doc_type string, text string, "
+            "embedding array<float>",
+        )
+
+    def clear(self):
+        self.calls.append("clear")
+        self.rows = []
+
+
+def test_indexer_drives_external_store(spark, tmp_path):
+    """V2/V3/V4 against a non-parquet backend via the VectorStore seam."""
+    store = LanceLikeFakeStore()
+    idx = VectorIndexer(
+        manifest_path=str(tmp_path / "ckpt.json"), store=store
+    )
+    assert idx.build_incremental(_envelope(spark, 5)) == 5
+    assert len(store.rows) == 5
+    # checkpoint still works with an external store
+    assert idx.build_incremental(_envelope(spark, 5)) == 0
+    assert idx.build_incremental(_envelope(spark, 8)) == 3
+    assert len(store.rows) == 8
+    # search scans the external store, not a parquet path
+    hits = idx.search(spark, "game g1 tick", top_k=3).collect()
+    assert len(hits) == 3 and "g1" in hits[0].text
+    # rebuild clears the store then reindexes everything
+    assert idx.rebuild(_envelope(spark, 8)) == 8
+    assert len(store.rows) == 8
+    assert "clear" in store.calls and "scan" in store.calls
+
+
 def test_image_features_stub(spark):
     rows = [
         ("m1", "image", b"\x89PNG fake bytes", "image/png", {}),

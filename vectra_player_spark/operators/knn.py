@@ -66,6 +66,49 @@ def brute_force_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Real coarse quantizer for IVF: Spark ML k-means over the embedding
+    column (distributed Lloyd iterations; the model's k × dim centers are
+    driver-small by construction). Returns (cell_id, centroid) ready for
+    assign_cells / ivf_topk."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id int, centroid array<double>",
+    )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Mean per-query recall of an approximate top-k result vs the exact
+    one: |approx ∩ exact| / |exact| per query, averaged. Both inputs are
+    (query_id, neighbor_id, ...) frames from *_topk."""
+    hits = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    per_q = (
+        exact.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.avg(F.coalesce("hit", F.lit(0))).alias("recall"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+    )
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -92,14 +92,67 @@ def embed_chunks(chunks: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     return chunks.withColumn("embedding", _embed_batch(F.col("text")))
 
 
-class VectorIndexer:
-    """V2/V3: checkpointed incremental index builder."""
+class VectorStore:
+    """Store seam behind the indexer (reference: a ChromaDB collection,
+    indexer.py:68-118; north star names LanceDB). Three operations —
+    add / scan / clear — are all the build pipeline needs; online ANN
+    serving stays out of engine scope. Implementations receive whole
+    DataFrames so a real backend can write executor-side (lance/Delta
+    writer, foreachPartition upsert) without driver funneling."""
 
-    def __init__(self, index_dir: str, manifest_path: str | None = None):
+    def add(self, embedded: DataFrame) -> None:
+        raise NotImplementedError
+
+    def scan(self, spark: SparkSession) -> DataFrame:
+        raise NotImplementedError
+
+    def clear(self) -> None:
+        raise NotImplementedError
+
+
+class ParquetVectorStore(VectorStore):
+    """Default store: parquet directory (canonical, rebuildable truth)."""
+
+    def __init__(self, index_dir: str):
+        self.vec_dir = os.path.join(index_dir, "vectors")
+
+    def add(self, embedded: DataFrame) -> None:
+        embedded.write.mode("append").parquet(self.vec_dir)
+
+    def scan(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.vec_dir)
+
+    def clear(self) -> None:
+        import shutil
+
+        if os.path.exists(self.vec_dir):
+            shutil.rmtree(self.vec_dir)
+
+
+class VectorIndexer:
+    """V2/V3: checkpointed incremental index builder over a VectorStore.
+
+    Swapping the parquet store for LanceDB/Chroma is constructor config
+    (`store=`), not code: the checkpoint/chunk/embed pipeline is
+    store-agnostic."""
+
+    def __init__(
+        self,
+        index_dir: str | None = None,
+        manifest_path: str | None = None,
+        store: VectorStore | None = None,
+    ):
+        if store is None and index_dir is None:
+            raise ValueError("need index_dir (parquet store) or an explicit store")
         self.index_dir = index_dir
-        self.manifest_path = manifest_path or os.path.join(
-            index_dir, "_manifest", "vector_index_checkpoint.json"
-        )
+        self.store = store or ParquetVectorStore(index_dir)
+        if manifest_path is None:
+            if index_dir is None:
+                raise ValueError("manifest_path required when using an external store")
+            manifest_path = os.path.join(
+                index_dir, "_manifest", "vector_index_checkpoint.json"
+            )
+        self.manifest_path = manifest_path
 
     def last_indexed_ts(self) -> str:
         if os.path.exists(self.manifest_path):
@@ -123,18 +176,14 @@ class VectorIndexer:
         n = embedded.count()
         if n == 0:
             return 0
-        embedded.write.mode("append").parquet(os.path.join(self.index_dir, "vectors"))
+        self.store.add(embedded)
         max_ts = fresh.agg(F.max("ts")).collect()[0][0]
         self._write_checkpoint(max_ts)
         return n
 
     def rebuild(self, envelope: DataFrame) -> int:
         """V3: clear store, reset checkpoint to epoch, rerun incremental."""
-        import shutil
-
-        vec_dir = os.path.join(self.index_dir, "vectors")
-        if os.path.exists(vec_dir):
-            shutil.rmtree(vec_dir)
+        self.store.clear()
         if os.path.exists(self.manifest_path):
             os.remove(self.manifest_path)
         return self.build_incremental(envelope)
@@ -145,7 +194,7 @@ class VectorIndexer:
         verification and offline evaluation)."""
         from vectra_player_spark.functions.vectors import cosine
 
-        index = spark.read.parquet(os.path.join(self.index_dir, "vectors"))
+        index = self.store.scan(spark)
         q = embed_chunks(
             spark.createDataFrame([("q", "", "", query_text)], CHUNK_SCHEMA)
         ).select(F.col("embedding").alias("q_vec"))

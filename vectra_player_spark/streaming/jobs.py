@@ -19,6 +19,92 @@ def read_tick_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(TICK_SCHEMA).json(path)
 
 
+def read_raw_frames(
+    spark: SparkSession,
+    source: str = "files",
+    path: str | None = None,
+    host: str | None = None,
+    port: int | None = None,
+    kafka_servers: str | None = None,
+    topic: str | None = None,
+) -> DataFrame:
+    """S10 reader family: raw Socket.IO frame streams from interchangeable
+    transports. Every variant yields a `frame` string column (Kafka adds
+    `seq`/`ts_ms` from its offset/timestamp metadata); parse_tick_frames
+    then produces identical TICK_SCHEMA rows regardless of reader — the
+    substitution the reference performs at its CDP-interceptor boundary
+    (src/sources/cdp_websocket_interceptor.py feeding socketio_parser)."""
+    if source == "files":
+        return spark.readStream.text(path).select(F.col("value").alias("frame"))
+    if source == "socket":
+        return (
+            spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", int(port))
+            .load()
+            .select(F.col("value").alias("frame"))
+        )
+    if source == "kafka":
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_servers)
+            .option("subscribe", topic)
+            .load()
+            .select(
+                F.col("value").cast("string").alias("frame"),
+                F.col("offset").alias("seq"),
+                F.unix_millis("timestamp").alias("ts_ms"),
+            )
+        )
+    raise ValueError(f"unknown source {source!r} (files|socket|kafka)")
+
+
+def parse_tick_frames(raw: DataFrame, session_id: str = "live") -> DataFrame:
+    """F10→T* bridge: raw frames → parsed gameStateUpdate TICK_SCHEMA rows.
+
+    The parse chain (Arrow-batched Socket.IO decode, event filter, typed
+    JSON projection, partialPrices flattening) is transport-agnostic: a
+    reader only has to supply `frame`. Ordering metadata: Kafka's
+    offset/timestamp pass through as seq/ts_ms; transports without
+    metadata (socket, files) fall back to tickCount order and batch
+    ingest time — the reference stamps arrival seq at the interceptor the
+    same way."""
+    from vectra_player_spark.schema import GAME_STATE_UPDATE_SCHEMA
+    from vectra_player_spark.sources.socketio import parse_frames_udf
+
+    has_seq = "seq" in raw.columns
+    has_ts = "ts_ms" in raw.columns
+    parsed = raw.withColumn("p", parse_frames_udf("frame"))
+    ticks = parsed.where(F.col("p.event_name") == "gameStateUpdate").withColumn(
+        "d", F.from_json(F.col("p.data_json"), GAME_STATE_UPDATE_SCHEMA)
+    )
+    # partialPrices carries {tick-as-string: price}; sort entries by the
+    # numeric tick so backfill arrays align deterministically.
+    bf = F.expr(
+        "array_sort(transform(map_entries(d.partialPrices.values), "
+        "e -> struct(CAST(e.key AS BIGINT) AS t, e.value AS p)))"
+    )
+    return ticks.select(
+        F.lit(session_id).alias("session_id"),
+        (F.col("seq") if has_seq else F.col("d.tickCount")).cast("long").alias("seq"),
+        (
+            F.col("ts_ms")
+            if has_ts
+            else F.unix_millis(F.current_timestamp())
+        ).cast("long").alias("ts_ms"),
+        F.col("d.gameId").alias("game_id"),
+        F.col("d.active").alias("active"),
+        F.col("d.rugged").alias("rugged"),
+        F.col("d.allowPreRoundBuys").alias("allow_pre_round_buys"),
+        F.col("d.cooldownTimer").alias("cooldown_timer"),
+        F.col("d.price").alias("price"),
+        F.col("d.tickCount").alias("tick"),
+        F.col("d.provablyFair.serverSeed").alias("server_seed"),
+        bf.getField("t").alias("backfill_ticks"),
+        bf.getField("p").alias("backfill_prices"),
+    )
+
+
 def stream_to_lake(
     env_stream: DataFrame, out_path: str, checkpoint: str, trigger_seconds: int = 5
 ):
