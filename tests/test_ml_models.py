@@ -67,6 +67,50 @@ class TestGBT:
         assert [r.threshold for r in ta] == [0.1, 0.167, 0.2, 0.25, 0.3, 0.4, 0.5]
         assert all(r.n_bets <= r.n for r in ta)
 
+    def test_balanced_weights_formula_and_effect(self, spark, sf_dir):
+        """Reference parity (model.py:63-294 class weighting): weights
+        follow sklearn's 'balanced' n/(n_classes*n_c); the minority class
+        (rug_in_window=1) gets the larger weight; weighted training calls
+        more positives at a fixed threshold than unweighted."""
+        from vectra_player_spark.operators.ml_models import balanced_class_weights
+        from vectra_player_spark.plans.queries_ml import training_set_builder
+
+        training = training_set_builder(spark, sf_dir)
+        labeled = training.na.drop(
+            subset=["value", "vol_5", "momentum_3"]
+        ).withColumn("label", F.col("rug_in_window").cast("double"))
+        weighted = balanced_class_weights(labeled)
+        per_class = {
+            r.label: (r.w, r.n)
+            for r in weighted.groupBy("label")
+            .agg(F.first("weight").alias("w"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(n for _, n in per_class.values())
+        for label, (w, n) in per_class.items():
+            assert abs(w - total / (2 * n)) < 1e-9
+        minority = min(per_class, key=lambda k: per_class[k][1])
+        assert per_class[minority][0] == max(w for w, _ in per_class.values())
+
+        feats = ["tick", "value", "vol_5", "momentum_3"]
+        _, plain = train_gbt(training, feats, max_iter=5)
+        _, balanced = train_gbt(training, feats, max_iter=5, balance_classes=True)
+        calls = lambda df: df.where(F.col("p_rug") >= 0.5).count()  # noqa: E731
+        assert calls(balanced) >= calls(plain)
+
+    def test_threshold_table_ev_identity(self, spark, sf_dir):
+        """ev_per_row * n == n_wins*payout - (n_bets - n_wins) for every
+        threshold row, and bet counts shrink monotonically in threshold."""
+        from vectra_player_spark.plans.queries_backtest import gbt_threshold_analysis
+
+        ta = gbt_threshold_analysis(spark, sf_dir).collect()
+        assert len(ta) == 7
+        for r in ta:
+            expected_ev = (r.n_wins * 5.0 - (r.n_bets - r.n_wins)) / r.n
+            assert abs(r.ev_per_row - expected_ev) < 1e-5, r
+        bets = [r.n_bets for r in ta]
+        assert bets == sorted(bets, reverse=True)
+
 
 class TestProfileProducer:
     def test_profile_document(self, spark):

@@ -16,6 +16,22 @@ from pyspark.sql import functions as F
 THRESHOLDS = (0.1, 0.167, 0.2, 0.25, 0.3, 0.4, 0.5)
 
 
+def balanced_class_weights(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """sklearn-'balanced' sample weights: w_c = n / (n_classes * n_c).
+    The per-class counts are one scalar aggregate (never a row collect);
+    weights attach via a broadcast join on the label."""
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n_c"))
+    n_classes = counts.count()
+    total = df.count()
+    weights = counts.select(
+        label_col,
+        (F.lit(float(total)) / (F.lit(float(n_classes)) * F.col("_n_c"))).alias(
+            "weight"
+        ),
+    )
+    return df.join(F.broadcast(weights), label_col)
+
+
 def train_gbt(
     training: DataFrame,
     feature_cols: list[str],
@@ -23,9 +39,16 @@ def train_gbt(
     max_iter: int = 20,
     max_depth: int = 4,
     seed: int = 42,
+    balance_classes: bool = False,
 ):
     """Fit GBTClassifier; returns (model, scored_validation). Split is
-    deterministic on a hash of the row (no randomSplit order-dependence)."""
+    deterministic on a hash of the row (no randomSplit order-dependence).
+
+    balance_classes=True reproduces the reference classifier's balanced
+    sample weighting (src/ml/model.py:63-294: rug-in-window positives are
+    the rare class, so unweighted training under-calls them); Spark ML's
+    weightCol carries the same w_c = n/(n_classes·n_c) weights sklearn's
+    'balanced' mode derives."""
     from pyspark.ml.classification import GBTClassifier
     from pyspark.ml.feature import VectorAssembler
 
@@ -43,6 +66,9 @@ def train_gbt(
     gbt = GBTClassifier(
         maxIter=max_iter, maxDepth=max_depth, seed=seed, labelCol="label"
     )
+    if balance_classes:
+        train_df = balanced_class_weights(train_df)
+        gbt = gbt.setWeightCol("weight")
     model = gbt.fit(assembler.transform(train_df))
     scored = model.transform(assembler.transform(valid_df))
     from pyspark.ml.functions import vector_to_array
@@ -67,6 +93,9 @@ def threshold_analysis(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(bet.cast("long")).alias("n_bets"),
+            F.sum(F.when(bet & (F.col("label") == 1.0), 1).otherwise(0)).alias(
+                "n_wins"
+            ),
             F.round(F.avg(profit), 6).alias("ev_per_row"),
             F.round(
                 F.sum(F.when(bet & (F.col("label") == 1.0), 1).otherwise(0))

@@ -64,6 +64,26 @@ def decision_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_decision_pipeline(_episodes(spark, sf_dir), curve, mean_dur)
 
 
+@register("gbt_threshold_analysis", oracle=None, tags=("ml",), survey_ref="M19")
+def gbt_threshold_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M19 end-to-end: M4 training set → balanced-weight GBT (the
+    reference classifier's class weighting, src/ml/model.py:63-294) →
+    EV-threshold table over the deterministic validation split. Rows-only
+    for the driver (tree ensembles aren't SQL-expressible); the EV
+    identity ev_per_row·n == n_wins·payout − (n_bets − n_wins) is pinned
+    by tests/test_ml_models.py."""
+    from vectra_player_spark.operators.ml_models import threshold_analysis, train_gbt
+    from vectra_player_spark.plans.queries_ml import training_set_builder
+
+    training = training_set_builder(spark, sf_dir)
+    _, scored = train_gbt(
+        training,
+        ["tick", "value", "vol_5", "momentum_3"],
+        balance_classes=True,
+    )
+    return threshold_analysis(scored)
+
+
 @register("rl_observation_set", oracle=None, tags=("ml",), survey_ref="M20")
 def rl_observation_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M20 data-prep: 15-dim observation array per (episode, tick)."""
