@@ -346,3 +346,165 @@ def doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         F.sum(F.size(tokens("text"))).alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus canonicalization: MinHash-LSH candidate pairs →
+# connected components → one keeper per duplicate cluster, emitted for
+# EVERY doc (singletons are their own keeper). This is the actual
+# deliverable of a training-data dedup pass: a (doc_id, canonical_id,
+# is_keeper) assignment you can semi-join the corpus against. The Spark
+# side is banded-LSH + O(diameter) min-label propagation (100 TB shape);
+# the oracle recomputes the same pairs and closes them with a recursive
+# CTE (fine at oracle scale) — exact integer output, so hash-checked.
+# --------------------------------------------------------------------------
+
+_MINHASH_PAIRS_BODY = _MINHASH_ORACLE.split("WITH", 1)[1]
+
+_DEDUP_CANONICAL_ORACLE = (
+    "WITH RECURSIVE "
+    + _MINHASH_PAIRS_BODY.rsplit("SELECT DISTINCT", 1)[0]
+    + """
+, p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM long a
+  JOIN long b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM p
+),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT t.node, e2.v FROM reach t JOIN edges e2 ON t.r = e2.u
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS component
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       CAST(COALESCE(comp.component, d.doc_id) AS BIGINT) AS canonical_id,
+       (COALESCE(comp.component, d.doc_id) = d.doc_id) AS is_keeper
+FROM documents d
+LEFT JOIN comp ON comp.node = d.doc_id
+"""
+)
+
+
+@register(
+    "doc_dedup_canonical",
+    oracle=_DEDUP_CANONICAL_ORACLE,
+    tags=("text", "dedup"),
+    survey_ref="D scale path end-to-end (LSH -> CC -> keeper)",
+)
+def doc_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.operators.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["node_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("bigint").alias("canonical_id"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("is_keeper"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C4-style quality filter: per-doc rule flags + the overall keep decision.
+# Emitting flags for EVERY doc (not just survivors) keeps the decision
+# auditable — the standard shape for corpus-curation pipelines.
+# --------------------------------------------------------------------------
+
+_QUALITY_FILTER_ORACLE = (
+    _TOKS_CTE
+    + f"""
+, m AS (
+  SELECT doc_id, lang,
+         len(tokens) AS n_tokens,
+         len(list_filter(tokens, x -> x IN ({_STOP_LIST}))) * 1.0
+           / NULLIF(len(tokens), 0) AS stop_ratio,
+         CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE)
+           / NULLIF(len(tokens), 0) AS mtl
+  FROM toks
+)
+SELECT doc_id,
+       (n_tokens >= 20) AS len_ok,
+       (mtl >= 3.0 AND mtl <= 12.0) AS tok_len_ok,
+       (stop_ratio >= 0.02) AS lang_ok,
+       (n_tokens >= 20 AND mtl >= 3.0 AND mtl <= 12.0 AND stop_ratio >= 0.02) AS kept
+FROM m
+"""
+)
+
+
+@register(
+    "doc_quality_filter",
+    oracle=_QUALITY_FILTER_ORACLE,
+    tags=("text",),
+    survey_ref="quality filtering (mandate)",
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").withColumn("tokens", tokens("text"))
+    n_tokens = F.size("tokens")
+    ratio = stopword_ratio("tokens")
+    mtl = mean_token_length("tokens")
+    len_ok = n_tokens >= 20
+    tok_len_ok = (mtl >= 3.0) & (mtl <= 12.0)
+    lang_ok = ratio >= 0.02
+    return docs.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        tok_len_ok.alias("tok_len_ok"),
+        lang_ok.alias("lang_ok"),
+        (len_ok & tok_len_ok & lang_ok).alias("kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling for training-mix construction: at most
+# N docs per (lang, source) stratum, chosen by md5 order — reproducible
+# across engines and runs, no RNG. One window pass; at 100 TB the
+# partition key is the stratum, so sampling never funnels data anywhere.
+# --------------------------------------------------------------------------
+
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 5
+"""
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=_STRATIFIED_ORACLE,
+    tags=("text",),
+    survey_ref="training-mix sampling (mandate-adjacent)",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", "source",
+            F.row_number().over(w).cast("bigint").alias("sample_rank"),
+        )
+        .where(F.col("sample_rank") <= 5)
+    )

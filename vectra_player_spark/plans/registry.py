@@ -101,6 +101,13 @@ DEFERRED: tuple[str, ...] = (
     "pivot_event_counts",
     "doc_fingerprints",
     "pre_event_window",
+    # Round-2 additions: locally oracle-verified breadth whose families
+    # already have an in-cap green representative (dedup canonicalization
+    # via embedding_neardup_components, quality via doc_text_quality,
+    # window sampling via best_row_dedup/paginate).
+    "doc_dedup_canonical",
+    "doc_quality_filter",
+    "doc_stratified_sample",
 )
 
 
