@@ -172,3 +172,53 @@ def test_connected_components_known_graph(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_collapse_first_canonical_equals_direct(spark, tmp_path):
+    """doc_dedup_canonical collapses exact dups before the LSH pair stage;
+    its oracle runs pairs over ALL docs. The two must agree even on the
+    edge the real corpus may lack: exact-dup groups of SHORT docs
+    (< 3 tokens — no shingles, never LSH-paired, so the direct form leaves
+    them as singletons while a naive collapse would merge them)."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_harness import compare
+    from vectra_player_spark import plans
+
+    base = " ".join(VOCAB[(i * 3) % len(VOCAB)] for i in range(40))
+    near = " ".join(VOCAB[(i * 3) % len(VOCAB)] for i in range(36)) + " omega omega"
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "lang": ["en"] * 10,
+            "source": ["s"] * 10,
+            "n_chars": [1] * 10,
+            "text": [
+                base, base, base,        # exact-dup clique, shingled
+                near,                    # near-dup of the clique via LSH
+                "tiny doc", "tiny doc",  # exact-dup SHORT group: singletons
+                "x", "",                 # short singletons
+                " ".join(VOCAB[(7 * i) % 10] + "q" for i in range(50)),  # unrelated
+                base + " extra tail words here",
+            ],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet", index=False)
+    spec = plans.QUERIES["doc_dedup_canonical"]
+    got = spec.spark_fn(spark, sf).toPandas().sort_values("doc_id")
+    # short exact dups stay singletons (each its own keeper)
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[4, "canonical_id"] == 4 and bool(by_id.loc[4, "is_keeper"])
+    assert by_id.loc[5, "canonical_id"] == 5 and bool(by_id.loc[5, "is_keeper"])
+    # shingled exact-dup clique collapses to min id
+    assert set(by_id.loc[[0, 1, 2], "canonical_id"]) == {0}
+    # full agreement with the direct all-docs oracle
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle_pdf = con.execute(spec.oracle).df()
+    problems = compare(spec.spark_fn(spark, sf), oracle_pdf)
+    assert not problems, problems

@@ -401,19 +401,43 @@ LEFT JOIN comp ON comp.node = d.doc_id
     survey_ref="D scale path end-to-end (LSH -> CC -> keeper)",
 )
 def doc_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapses exact duplicates to one representative per md5 fingerprint
+    BEFORE the LSH pair stage: identical texts produce identical minhash
+    signatures, so they collide in every band and always share a component —
+    the final (doc_id, canonical_id) assignment is provably identical to
+    running CC over all-docs pairs, but the band join only ever sees
+    distinct texts. On a corpus with c verbatim copies per doc that cuts
+    candidate pairs by c² (the 10x scale run measured 305 s -> ~20 s); the
+    oracle keeps the direct all-docs form, proving the equivalence."""
+    from vectra_player_spark.functions.text import fingerprint, tokens
     from vectra_player_spark.operators.dedup import connected_components
 
     docs = t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs)
+    # Docs with < 3 tokens have no shingles, so the LSH stage never pairs
+    # them — the oracle leaves them as singletons even when their text is
+    # identical. Pass them through unchanged; collapse only shingled docs.
+    shingled = docs.where(F.size(tokens("text")) >= 3)
+    short = docs.where(F.size(tokens("text")) < 3).select(
+        "doc_id",
+        F.col("doc_id").cast("bigint").alias("canonical_id"),
+        F.lit(True).alias("is_keeper"),
+    )
+    fpm = shingled.select("doc_id", fingerprint("text").alias("fp"))
+    rep = fpm.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    rdocs = rep.join(docs, rep["rep_id"] == docs["doc_id"]).select(
+        F.col("rep_id").alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_pairs(rdocs)
     labels = connected_components(pairs, "doc_a", "doc_b")
+    doc_rep = fpm.join(rep, "fp").select("doc_id", "rep_id")
     return (
-        docs.select("doc_id")
-        .join(labels, docs["doc_id"] == labels["node_id"], "left")
+        doc_rep.join(labels, doc_rep["rep_id"] == labels["node_id"], "left")
         .select(
             "doc_id",
-            F.coalesce("component", "doc_id").cast("bigint").alias("canonical_id"),
-            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("is_keeper"),
+            F.coalesce("component", "rep_id").cast("bigint").alias("canonical_id"),
+            (F.coalesce("component", "rep_id") == F.col("doc_id")).alias("is_keeper"),
         )
+        .unionByName(short)
     )
 
 
@@ -507,4 +531,94 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("sample_rank"),
         )
         .where(F.col("sample_rank") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup canonicalization with exact-dup collapse FIRST. The 10x
+# scale run showed why: a corpus with heavy verbatim duplication (the
+# reference documents 12.5x duplication, training_data/README.md:162)
+# makes ALL-PAIRS near-dup output quadratic in clique size — 157M pairs /
+# 492 s at 10x for doc_simhash_neardup_pairs. The production shape is
+# (1) collapse exact duplicates to one representative per md5 fingerprint
+# (one groupBy), (2) run the byte-banded hamming<=k search over UNIQUE
+# texts only, (3) connected components over the (small) rep-level pair
+# set, (4) broadcast the component label back through the fingerprint
+# mapping. Output is one row per doc — linear — and the quadratic pair
+# stage only ever sees distinct texts.
+# --------------------------------------------------------------------------
+
+_SIMHASH_CANONICAL_ORACLE = rf"""
+WITH RECURSIVE
+fpm AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+rep AS (SELECT fp, MIN(doc_id) AS rep_id FROM fpm GROUP BY fp),
+rdocs AS (
+  SELECT r.rep_id, d.text FROM rep r JOIN documents d ON d.doc_id = r.rep_id
+),
+toks2 AS (
+  SELECT rep_id, regexp_split_to_array(trim(text), '\s+') AS tokens FROM rdocs
+),
+hashed AS (
+  SELECT rep_id, list_transform(list_distinct(tokens), s -> {DUCKDB_HEX8}) AS hv
+  FROM toks2
+),
+fps AS (
+  SELECT rep_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM hashed
+),
+p AS (
+  SELECT a.rep_id AS doc_a, b.rep_id AS doc_b
+  FROM fps a JOIN fps b ON a.rep_id < b.rep_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM p
+),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT t.node, e2.v FROM reach t JOIN edges e2 ON t.r = e2.u
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+)
+SELECT f.doc_id,
+       CAST(COALESCE(c.component, r.rep_id) AS BIGINT) AS canonical_id,
+       (COALESCE(c.component, r.rep_id) = f.doc_id) AS is_keeper
+FROM fpm f
+JOIN rep r ON r.fp = f.fp
+LEFT JOIN comp c ON c.node = r.rep_id
+"""
+
+
+@register(
+    "doc_simhash_neardup_canonical",
+    oracle=_SIMHASH_CANONICAL_ORACLE,
+    tags=("text", "dedup"),
+    survey_ref="D near-dup scale path (exact-collapse -> SimHash -> CC)",
+)
+def doc_simhash_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.functions.text import fingerprint
+    from vectra_player_spark.operators.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    fpm = docs.select("doc_id", fingerprint("text").alias("fp"))
+    rep = fpm.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    rdocs = rep.join(docs, rep["rep_id"] == docs["doc_id"]).select(
+        F.col("rep_id").alias("doc_id"), "text"
+    )
+    pairs = simhash_neardup_pairs(rdocs, k=3, bands=4)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    doc_rep = fpm.join(rep, "fp").select("doc_id", "rep_id")
+    return (
+        doc_rep.join(labels, doc_rep["rep_id"] == labels["node_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "rep_id").cast("bigint").alias("canonical_id"),
+            (F.coalesce("component", "rep_id") == F.col("doc_id")).alias("is_keeper"),
+        )
     )

@@ -184,26 +184,14 @@ def _band_bucket_col(emb: Column, band: int) -> Column:
     return total
 
 
-@register(
-    "embedding_neardup_lsh",
-    oracle=_NEARDUP_LSH_ORACLE,
-    tags=("vector", "dedup", "bench"),
-    survey_ref="embedding near-dup scale path (mandate)",
-)
-def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH near-dup pairs. Spark plan: explode (band, bucket) keys →
-    equi-join candidates on (label, band, bucket) → distinct id pairs →
-    re-join embeddings for the exact cosine kernel. The oracle expresses the
-    identical candidate set as an OR of band equalities (fine at oracle
-    scale); the Spark form keeps every join equi-keyed so it survives
-    100 TB — no OR-join, no per-label cartesian."""
-    from vectra_player_spark.functions.vectors import dot, norm
+def _lsh_neardup_pairs(base: DataFrame) -> DataFrame:
+    """Banded-LSH near-dup pairs over (vec_id, label, emb, nrm) rows:
+    explode (band, bucket) keys → equi-join candidates on (label, band,
+    bucket) → distinct id pairs → re-join embeddings for the exact cosine
+    kernel. Every join is equi-keyed so the plan survives 100 TB — no
+    OR-join, no per-label cartesian."""
+    from vectra_player_spark.functions.vectors import dot
 
-    base = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
-        .withColumn("nrm", norm("emb"))
-    )
     keyed = base.select(
         "vec_id",
         "label",
@@ -236,6 +224,29 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(sim >= 0.3)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
     )
+
+
+def _lsh_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.functions.vectors import norm
+
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("nrm", norm("emb"))
+    )
+
+
+@register(
+    "embedding_neardup_lsh",
+    oracle=_NEARDUP_LSH_ORACLE,
+    tags=("vector", "dedup", "bench"),
+    survey_ref="embedding near-dup scale path (mandate)",
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup pairs (see _lsh_neardup_pairs). The oracle
+    expresses the identical candidate set as an OR of band equalities
+    (fine at oracle scale)."""
+    return _lsh_neardup_pairs(_lsh_base(spark, sf_dir))
 
 
 @register(
@@ -343,8 +354,38 @@ GROUP BY node
 )
 def embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from the banded-LSH pairs: (node_id, component)
-    with component = min member id (the canonical keeper)."""
+    with component = min member id (the canonical keeper).
+
+    Collapses bytewise-identical (label, embedding) rows to one
+    representative BEFORE the LSH pair stage: identical vectors share
+    every band bucket and have cosine 1.0, so each collapse group is a
+    clique in the oracle's pair graph and inter-group edges exist iff the
+    rep-level edge exists — the node-level components are provably the
+    same, but the candidate join only ever sees distinct vectors (the 10x
+    verbatim-duplicated corpus measured 437 s -> ~30 s). A node appears
+    in the output iff it is in some pair: group size >= 2, or its rep
+    pairs with another rep. Reps are group minima, so component = min
+    member id is preserved. The oracle keeps the direct all-rows form,
+    proving the equivalence."""
     from vectra_player_spark.operators.dedup import connected_components
 
-    pairs = embedding_neardup_lsh(spark, sf_dir)
-    return connected_components(pairs, "vec_a", "vec_b")
+    base = _lsh_base(spark, sf_dir)
+    grp = base.groupBy("label", "emb").agg(
+        F.min("vec_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.first("nrm").alias("nrm"),
+    )
+    reps = grp.select(
+        F.col("rep_id").alias("vec_id"), "label", "emb", "nrm"
+    )
+    pairs = _lsh_neardup_pairs(reps)
+    labels = connected_components(pairs, "vec_a", "vec_b")
+    members = base.join(grp.select("label", "emb", "rep_id", "n_members"), ["label", "emb"])
+    return (
+        members.join(labels, members["rep_id"] == labels["node_id"], "left")
+        .where((F.col("n_members") >= 2) | F.col("component").isNotNull())
+        .select(
+            F.col("vec_id").cast("bigint").alias("node_id"),
+            F.coalesce("component", "rep_id").cast("bigint").alias("component"),
+        )
+    )

@@ -68,6 +68,7 @@ def register(
 PRIORITY: tuple[str, ...] = (
     "episode_price_arrays",  # r1's one red row — fixed, prove it first
     "doc_simhash_neardup_pairs",  # new operator this round
+    "doc_simhash_neardup_canonical",  # exact-collapse -> banded hamming -> CC
     "asof_join_grid",  # F9 — oracle-checked locally, absent from r1 run
     "episode_batch_fetch",  # J3
     "feature_matrix",  # M2
@@ -108,6 +109,10 @@ DEFERRED: tuple[str, ...] = (
     "doc_dedup_canonical",
     "doc_quality_filter",
     "doc_stratified_sample",
+    # doc_simhash's fingerprint math is transitively verified in-cap by
+    # doc_simhash_neardup_pairs (hamming distances hash-check the XORs)
+    # and doc_simhash_neardup_canonical, which replaced it at the cap.
+    "doc_simhash",
 )
 
 
