@@ -22,6 +22,8 @@ from vectra_player_spark.functions.text import (
     mean_token_length,
     stopword_ratio,
     tokens,
+    word_shingles,
+    word_shingles_text,
 )
 from vectra_player_spark.operators.dedup import (
     DUCKDB_HEX8,
@@ -620,5 +622,162 @@ def doc_simhash_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame
             "doc_id",
             F.coalesce("component", "rep_id").cast("bigint").alias("canonical_id"),
             (F.coalesce("component", "rep_id") == F.col("doc_id")).alias("is_keeper"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition filter (token-based: the corpus is single-line,
+# so line-dedup rules are degenerate here). Signals:
+# - top_bigram_frac: tokens covered by the most frequent bigram / n_tokens
+#   (explode + two groupBys — linear, shuffles on (doc_id, bigram))
+# - dup_trigram_frac: 1 - distinct/total trigrams, computed per-row with
+#   array HOFs (no shuffle)
+# - kept: both under threshold. Thresholds mirror Gopher's spirit (0.18 /
+#   0.30) adapted to token counting; both engines compute the identical
+#   rule so the flag is hash-checked.
+# --------------------------------------------------------------------------
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tokens
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         len(tokens) AS n_tokens,
+         list_transform(generate_series(1, greatest(len(tokens) - 1, 0)),
+                        i -> array_to_string(tokens[i:i+1], ' ')) AS bigrams,
+         list_transform(generate_series(1, greatest(len(tokens) - 2, 0)),
+                        i -> array_to_string(tokens[i:i+2], ' ')) AS trigrams
+  FROM toks
+),
+big AS (
+  SELECT doc_id, unnest(bigrams) AS bg FROM grams
+),
+bgc AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count FROM bgc GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(t.top_bigram_count, 0) * 2.0 / NULLIF(g.n_tokens, 0), 6)
+         AS top_bigram_frac,
+       ROUND(CASE WHEN len(g.trigrams) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(g.trigrams)) * 1.0 / len(g.trigrams)
+             END, 6) AS dup_trigram_frac,
+       (COALESCE(t.top_bigram_count, 0) * 2.0 / NULLIF(g.n_tokens, 0) <= 0.18
+        AND (CASE WHEN len(g.trigrams) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(g.trigrams)) * 1.0 / len(g.trigrams)
+             END) <= 0.30) AS kept
+FROM grams g LEFT JOIN top t ON t.doc_id = g.doc_id
+"""
+
+
+@register(
+    "doc_repetition_filter",
+    oracle=_REPETITION_ORACLE,
+    tags=("text",),
+    survey_ref="quality filtering: repetition signals (mandate-adjacent)",
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        word_shingles("toks", 2).alias("bigrams"),
+        word_shingles("toks", 3).alias("trigrams"),
+    )
+    top = (
+        grams.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    tb = F.coalesce("top_bigram_count", F.lit(0)) * 2.0 / F.nullif(
+        F.col("n_tokens").cast("double"), F.lit(0.0)
+    )
+    dt = F.when(F.size("trigrams") == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct("trigrams")) / F.size("trigrams").cast("double")
+    )
+    return (
+        grams.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(tb, 6).alias("top_bigram_frac"),
+            F.round(dt, 6).alias("dup_trigram_frac"),
+            ((tb <= 0.18) & (dt <= 0.30)).alias("kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs sharing any 5-gram with an
+# eval/benchmark set (here: doc_id < 20, a stand-in for a held-out
+# benchmark table). The standard n-gram-overlap contamination check. Scale
+# shape: the benchmark's distinct shingle set is tiny relative to the
+# corpus, so the Spark side BROADCASTS it — at 100 TB the training corpus
+# is scanned once, map-side, with no big-big shuffle.
+# --------------------------------------------------------------------------
+
+_DECONTAMINATION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(generate_series(1, greatest(len(tokens) - 4, 0)),
+                          i -> array_to_string(tokens[i:i+4], ' ')))) AS shingle
+  FROM toks
+),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared
+  FROM train t JOIN eval_sh e ON t.shingle = e.shingle
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+       (COALESCE(h.n_shared, 0) > 0) AS contaminated
+FROM documents d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id >= 20
+"""
+
+
+@register(
+    "doc_decontamination",
+    oracle=_DECONTAMINATION_ORACLE,
+    tags=("text", "dedup"),
+    survey_ref="benchmark decontamination (mandate-adjacent)",
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles_text("text", 5))).alias("shingle")
+    )
+    eval_sh = sh.where(F.col("doc_id") < 20).select("shingle").distinct()
+    train = sh.where(F.col("doc_id") >= 20)
+    hits = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        docs.where(F.col("doc_id") >= 20)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared_ngrams"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
         )
     )

@@ -113,6 +113,10 @@ DEFERRED: tuple[str, ...] = (
     # doc_simhash_neardup_pairs (hamming distances hash-check the XORs)
     # and doc_simhash_neardup_canonical, which replaced it at the cap.
     "doc_simhash",
+    # Quality/contamination breadth; locally oracle-verified, family
+    # representatives (doc_text_quality, doc_ngram_jaccard_pairs) in-cap.
+    "doc_repetition_filter",
+    "doc_decontamination",
 )
 
 
