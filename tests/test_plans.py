@@ -92,3 +92,21 @@ def test_embedding_lsh_joins_stay_equi_keyed(spark, sf_dir):
     # would reintroduce the quadratic blow-up the blocking removes
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_broadcasts_eval_ngrams(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "doc_decontamination")
+    # the benchmark's distinct shingle set must broadcast: at corpus scale
+    # the training side is scanned once map-side; a sort-merge join on the
+    # shingle key would shuffle the whole corpus's n-grams
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_dedup_canonical_collapses_before_pair_join(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "doc_dedup_canonical")
+    # collapse-first: a HashAggregate on the fingerprint must sit below the
+    # LSH band self-join (pairs are generated over reps, not raw docs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # fp collapse + CC aggregates
