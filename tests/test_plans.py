@@ -110,3 +110,46 @@ def test_dedup_canonical_collapses_before_pair_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2  # fp collapse + CC aggregates
+
+
+# Queries whose plan legitimately contains BroadcastNestedLoopJoin: a tiny
+# broadcast parameter grid (thresholds, Kelly fractions, MC configs, knn
+# query vectors) crossed against data or against a scalar aggregate. The
+# broadcast side is O(grid), never data-sized.
+_BNLJ_ALLOWED = {
+    "asof_join_grid",
+    "conditional_end_prob",
+    "gbt_threshold_analysis",
+    "kelly_entry_table",
+    "kelly_fractions_table",
+    "knn_bruteforce_cosine",
+    "knn_ivf_cosine",
+    "knn_ivf_kmeans_recall",
+    "monte_carlo_summary",
+    "optimal_entry_window",
+    "strategy_best_config",
+    "strategy_grid_sweep",
+    "strategy_grid_sweep_2100",
+    "volatility_sizing_tiers",
+}
+
+
+def test_no_plan_antipatterns_anywhere(spark, sf_dir):
+    """Global guard over EVERY registered query's physical plan:
+    - BatchEvalPython (row-at-a-time Python UDF) is banned outright — the
+      engine's hot paths are built-ins/HOFs or Arrow-batched only;
+    - CartesianProduct is banned outright;
+    - BroadcastNestedLoopJoin only where a parameter grid broadcasts."""
+    offenders = {}
+    for name, spec in sorted(plans.QUERIES.items()):
+        plan = _physical(spark, sf_dir, name)
+        bad = []
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

@@ -595,3 +595,59 @@ def descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         F.round(F.max("value"), 6).alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch analog of the T1 phase state machine: per-user event-type
+# transition matrix. LAG over the (user_id, event_id) sequence yields
+# (prev -> curr) transitions; counts and within-prev probabilities give
+# the Markov view the streaming machine maintains incrementally. One
+# window pass + one groupBy — at 100 TB the window partitions by user
+# (high cardinality) and the transition matrix is |types|² rows.
+# --------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type AS curr_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, curr_type, n_transitions,
+       ROUND(n_transitions * 1.0 /
+             SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS p_transition
+FROM c
+"""
+
+
+@register(
+    "event_transition_matrix",
+    oracle=_TRANSITION_ORACLE,
+    tags=("events",),
+    survey_ref="T1 batch analog (state transitions)",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("curr_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "curr_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp).cast("double"), 6
+        ).alias("p_transition"),
+    )

@@ -78,6 +78,11 @@ PRIORITY: tuple[str, ...] = (
     "lake_summary_stats",  # M24
     "embedding_neardup_lsh",  # scale path for embedding dedup
     "embedding_neardup_components",  # CC canonicalization
+    # T1's only oracle-expressible form (the streaming machine itself is
+    # unit-tested): batch transition matrix. Takes the in-cap slot that
+    # pushes embedding_neardup_pairs (exact baseline, family covered by
+    # the two rows above) to position 50.
+    "event_transition_matrix",
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
