@@ -274,6 +274,65 @@ def simhash_neardup_pairs(
     )
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Chunk-level (sub-document) exact dedup — the scalable approximation of
+    suffix-array substring dedup used by LLM-data pipelines: split each doc
+    into consecutive ``chunk_tokens``-token chunks, hash each chunk, and keep
+    only the corpus-wide FIRST occurrence (min (doc_id, chunk_idx)) of every
+    distinct chunk. Catches boilerplate / quoted passages shared across
+    otherwise-distinct documents that document-level fingerprints miss.
+
+    Returns one row per doc: total chunks, duplicated chunks, and an md5 over
+    the surviving (kept, in-order) chunk text — NULL when every chunk of the
+    doc already appeared earlier in the corpus (i.e. the doc is pure dup).
+
+    Scale shape: one explode (corpus tokens / chunk_tokens rows), ONE
+    shuffle on the chunk hash for the keep-first window, one groupBy doc_id.
+    No joins, no all-pairs anything — linear in corpus size at 100 TB.
+    """
+    ct = chunk_tokens
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    chunks = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(toks) / {ct}.0) AS INT) - 1), "
+                f"i -> concat_ws(' ', slice(toks, i * {ct} + 1, {ct})))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_text",
+    )
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy(id_col, "chunk_idx")
+    flagged = chunks.withColumn("kept", F.row_number().over(w) == 1)
+    kept_struct = F.when(F.col("kept"), F.struct("chunk_idx", "chunk_text"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).cast("bigint").alias("n_dup_chunks"),
+        # md5 over kept chunks in document order; NULL when nothing survives
+        # (matches the oracle's md5(string_agg(...) FILTER ...) null form).
+        F.when(
+            F.sum(F.col("kept").cast("int")) > 0,
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["chunk_text"],
+                    ),
+                )
+            ),
+        ).alias("clean_hash"),
+    )
+
+
 def connected_components(
     pairs: DataFrame, src: str = "vec_a", dst: str = "vec_b", max_iter: int = 50
 ) -> DataFrame:

@@ -625,6 +625,262 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# Ordered funnel (view -> click -> purchase): sequential-pattern matching
+# via chained running-min windows — stage N's candidate events qualify only
+# after the running first stage-N-1 event. Three window passes over ONE
+# hash exchange on user_id (the shared sort order is reused), then a single
+# groupBy. The batch analog of the reference's per-episode phase
+# progression; no self-joins, no explode — linear at 100 TB.
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, event_id, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_view
+  FROM events
+),
+s2 AS (
+  SELECT *,
+         CASE WHEN event_type = 'click' AND run_view IS NOT NULL
+                   AND event_id > run_view THEN event_id END AS click_cand
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+         MIN(click_cand) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_click
+  FROM s2
+),
+s4 AS (
+  SELECT *,
+         CASE WHEN event_type = 'purchase' AND run_click IS NOT NULL
+                   AND event_id > run_click THEN event_id END AS purchase_cand
+  FROM s3
+)
+SELECT user_id,
+       MIN(CASE WHEN event_type = 'view' THEN event_id END) AS first_view_id,
+       MIN(click_cand) AS first_click_id,
+       MIN(purchase_cand) AS first_purchase_id,
+       CAST(CASE
+         WHEN MIN(purchase_cand) IS NOT NULL THEN 3
+         WHEN MIN(click_cand) IS NOT NULL THEN 2
+         WHEN MIN(CASE WHEN event_type = 'view' THEN event_id END)
+              IS NOT NULL THEN 1
+         ELSE 0 END AS BIGINT) AS funnel_stage
+FROM s4
+GROUP BY user_id
+"""
+
+
+@register(
+    "funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    tags=("events",),
+    survey_ref="sequential funnel (T1-adjacent ordered pattern match)",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_ev = F.when(F.col("event_type") == "view", F.col("event_id"))
+    s1 = ev.select(
+        "user_id", "event_id", "event_type", F.min(view_ev).over(w).alias("run_view")
+    )
+    s2 = s1.withColumn(
+        "click_cand",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("run_view").isNotNull()
+            & (F.col("event_id") > F.col("run_view")),
+            F.col("event_id"),
+        ),
+    )
+    s3 = s2.withColumn("run_click", F.min("click_cand").over(w))
+    s4 = s3.withColumn(
+        "purchase_cand",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("run_click").isNotNull()
+            & (F.col("event_id") > F.col("run_click")),
+            F.col("event_id"),
+        ),
+    )
+    first_view = F.min(view_ev)
+    first_click = F.min("click_cand")
+    first_purchase = F.min("purchase_cand")
+    return s4.groupBy("user_id").agg(
+        first_view.alias("first_view_id"),
+        first_click.alias("first_click_id"),
+        first_purchase.alias("first_purchase_id"),
+        F.when(first_purchase.isNotNull(), 3)
+        .when(first_click.isNotNull(), 2)
+        .when(first_view.isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("funnel_stage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval range join WITHOUT an equi-key: per-user sessions probed by ALL
+# other users' events inside the session's [start, end] time range. Naive
+# form is a theta-join (cartesian + range filter — the oracle does exactly
+# that; DuckDB plans an IEJoin). The Spark scale path discretizes time into
+# fixed-width buckets: each interval explodes into the buckets it covers,
+# each probe row maps to its own bucket, and the join becomes an EQUI-join
+# on bucket + exact range refilter. Cost is |intervals| x avg buckets
+# spanned + |events| — pick the bucket width near the typical interval
+# length (sessions here average ~160 s, max ~2.3 h -> 1 h buckets). Each
+# event matches a given session at most once (its own bucket), so no
+# dedup pass is needed.
+# --------------------------------------------------------------------------
+
+_RANGE_JOIN_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN date_diff('second',
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id), ts) >= 3600
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_no,
+         ts
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, session_no,
+         MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT iv.user_id, iv.session_no, COUNT(*) AS n_concurrent
+FROM iv
+JOIN (SELECT user_id AS e_user, epoch_us(ts) AS eus FROM events) e
+  ON e.eus BETWEEN iv.start_us AND iv.end_us AND e.e_user <> iv.user_id
+GROUP BY iv.user_id, iv.session_no
+"""
+
+_RANGE_BUCKET_US = 3_600_000_000  # 1 h in microseconds
+
+
+@register(
+    "interval_range_join",
+    oracle=_RANGE_JOIN_ORACLE,
+    tags=("events",),
+    survey_ref="range/interval join (bucketed equi-join scale path)",
+)
+def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) >= 3600)
+    ).cast("int")
+    sess = ev.select(
+        "user_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_no"),
+        F.unix_micros("ts").alias("eus"),
+    )
+    iv = sess.groupBy("user_id", "session_no").agg(
+        F.min("eus").alias("start_us"), F.max("eus").alias("end_us")
+    )
+    bkt = _RANGE_BUCKET_US
+    iv_b = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("start_us") / bkt).cast("bigint"),
+                (F.col("end_us") / bkt).cast("bigint"),
+            )
+        ),
+    )
+    probe = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.unix_micros("ts").alias("e_us"),
+        (F.unix_micros("ts") / bkt).cast("bigint").alias("bucket"),
+    )
+    return (
+        iv_b.join(probe, "bucket")
+        .where(
+            F.col("e_us").between(F.col("start_us"), F.col("end_us"))
+            & (F.col("e_user") != F.col("user_id"))
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_concurrent"))
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA (RiskMetrics lambda=0.94) over a bounded 20-tap window. The
+# recursive EWMA is not window-expressible, but the N-tap truncation is an
+# exact finite convolution: both engines evaluate the SAME left-to-right
+# chain of lag(value, j) * lambda^j terms (identical float literals via
+# repr, identical addition order), so the doubles agree bit-for-bit before
+# rounding. One window pass, one shuffle on user_id; 20 LAGs share a
+# single sort — linear at 100 TB.
+# --------------------------------------------------------------------------
+
+_EWMA_LAMBDA = 0.94
+_EWMA_TAPS = 20
+
+
+def _ewma_oracle() -> str:
+    num_terms = []
+    den_terms = []
+    for j in range(_EWMA_TAPS):
+        # E-notation parses as DOUBLE in both engines (a plain decimal
+        # literal would be DECIMAL in DuckDB and overflow when summed).
+        wt = f"{_EWMA_LAMBDA**j:.17e}"
+        x = "value" if j == 0 else f"LAG(value, {j}) OVER w"
+        num_terms.append(f"COALESCE({x} * {wt}, 0.0)")
+        den_terms.append(f"CASE WHEN {x} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+SELECT user_id, event_id,
+       ROUND(({num}) / ({den}), 6) AS ewma_20
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+@register(
+    "ewma_features",
+    oracle=_ewma_oracle(),
+    tags=("events",),
+    survey_ref="W-family: exponentially weighted moving average",
+)
+def ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    num = None
+    den = None
+    for j in range(_EWMA_TAPS):
+        wt = _EWMA_LAMBDA**j
+        x = F.col("value") if j == 0 else F.lag("value", j).over(w)
+        tn = F.coalesce(x * F.lit(wt), F.lit(0.0))
+        td = F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = tn if num is None else num + tn
+        den = td if den is None else den + td
+    return ev.select(
+        "user_id", "event_id", F.round(num / den, 6).alias("ewma_20")
+    )
+
+
 @register(
     "event_transition_matrix",
     oracle=_TRANSITION_ORACLE,

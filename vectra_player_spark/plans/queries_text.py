@@ -754,6 +754,53 @@ WHERE d.doc_id >= 20
 """
 
 
+# --------------------------------------------------------------------------
+# Chunk-level (sub-document) exact dedup — the scalable stand-in for
+# suffix-array substring dedup: consecutive 16-token chunks, corpus-wide
+# keep-first on the chunk hash, md5 over each doc's surviving text. One
+# explode + one shuffle on the chunk hash + one groupBy — linear at 100 TB.
+# --------------------------------------------------------------------------
+
+_CHUNK_DEDUP_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tokens
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         CAST(i - 1 AS BIGINT) AS chunk_idx,
+         array_to_string(tokens[(i - 1) * 16 + 1 : i * 16], ' ') AS chunk_text
+  FROM toks,
+       unnest(generate_series(1, CAST(ceil(len(tokens) / 16.0) AS BIGINT))) AS u(i)
+),
+k AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                            ORDER BY doc_id, chunk_idx) = 1 AS kept
+  FROM ch
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
+       md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx) FILTER (WHERE kept))
+         AS clean_hash
+FROM k
+GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_chunk_dedup",
+    oracle=_CHUNK_DEDUP_ORACLE,
+    tags=("text", "dedup"),
+    survey_ref="sub-document dedup (suffix-array approximation, mandate-adjacent)",
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(t(spark, sf_dir, "documents"), chunk_tokens=16)
+
+
 @register(
     "doc_decontamination",
     oracle=_DECONTAMINATION_ORACLE,

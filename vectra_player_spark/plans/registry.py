@@ -83,6 +83,14 @@ PRIORITY: tuple[str, ...] = (
     # pushes embedding_neardup_pairs (exact baseline, family covered by
     # the two rows above) to position 50.
     "event_transition_matrix",
+    # Round-2 additions (new operator families — unique coverage):
+    "funnel_conversion",  # ordered sequential-pattern funnel
+    "interval_range_join",  # no-equi-key range join via bucketed equi-join
+    "ewma_features",  # W-family EWMA (20-tap exact convolution)
+    "doc_chunk_dedup",  # sub-document chunk dedup (suffix-array stand-in)
+    # V4's only driver-green representative — pinned so the mid-block cut
+    # can't push it past the cap.
+    "knn_bruteforce_cosine",
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
@@ -122,6 +130,16 @@ DEFERRED: tuple[str, ...] = (
     # representatives (doc_text_quality, doc_ngram_jaccard_pairs) in-cap.
     "doc_repetition_filter",
     "doc_decontamination",
+    # Demoted to make room for the round-2 unique-coverage additions:
+    # embedding near-dup family is represented in-cap by the LSH scale path
+    # + CC canonicalization; centroid math by knn_ivf/embedding family;
+    # corpus stats by doc_text_quality; the A1-A5 block by q1 + agg_having;
+    # W6's rolling-stddev math by tick_features' volatility_5/10 + M13.
+    "embedding_centroids",
+    "embedding_neardup_pairs",
+    "doc_corpus_stats",
+    "order_status_stats",
+    "vol_of_vol",
 )
 
 
