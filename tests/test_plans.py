@@ -112,6 +112,30 @@ def test_dedup_canonical_collapses_before_pair_join(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # fp collapse + CC aggregates
 
 
+def test_funnel_reuses_one_user_exchange(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "funnel_conversion")
+    # three chained running-min windows + the final groupBy all share the
+    # user_id hash partitioning: exactly ONE exchange on user_id — the
+    # sequential window passes must not each re-shuffle
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:3000]
+
+
+def test_ewma_is_single_window_pass(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "ewma_features")
+    # all 20 lag taps share one (user_id, event_id) window spec
+    assert plan.count("Window [") == 1, plan[:3000]
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "interval_range_join")
+    # the whole point of time-bucket discretization: the interval probe is
+    # an EQUI-join on the bucket key, never a nested-loop theta-join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(bucket" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+
+
 # Queries whose plan legitimately contains BroadcastNestedLoopJoin: a tiny
 # broadcast parameter grid (thresholds, Kelly fractions, MC configs, knn
 # query vectors) crossed against data or against a scalar aggregate. The

@@ -105,6 +105,37 @@ def test_phase_machine_full_scenario(spark, stream_dir):
         q.stop()
 
 
+def test_phase_machine_multi_chunk_out_of_order(spark, tmp_path):
+    """applyInPandasWithState hands a group's batch to the function as
+    MULTIPLE Arrow chunks (arrow.maxRecordsPerBatch). Rows that arrive
+    out of seq order across chunk boundaries must still replay in seq
+    order — the function concats all chunks before sorting (a per-chunk
+    sort would replay wrong phase transitions at production batch sizes).
+    Forced here with maxRecordsPerBatch=2 and a fully reversed batch."""
+    d = tmp_path / "stream_ooo"
+    d.mkdir()
+    _write_jsonl(d / "batch.jsonl", list(reversed(SCENARIO_A + SCENARIO_B)))
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "2")
+    try:
+        ticks = read_tick_stream(spark, str(d))
+        q = _run_query(phase_machine(ticks), "phases_ooo")
+        try:
+            rows = {r.seq: r for r in spark.table("phases_ooo").collect()}
+            assert len(rows) == 8
+            assert rows[1].phase == "PRESALE"
+            assert rows[2].phase == "ACTIVE" and rows[2].is_transition
+            assert rows[4].gap_ms == 520 and rows[4].gap_lr == 8.0
+            assert rows[6].phase == "RUGGED" and rows[6].rug_count == 1
+            assert rows[7].phase == "COOLDOWN" and rows[7].games_seen == 2
+            assert rows[8].phase == "ACTIVE"
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(conf_key, old)
+
+
 def test_sessionize_backfill_and_boundary(spark, stream_dir):
     _write_jsonl(stream_dir / "batch_b.jsonl", SCENARIO_B)
     ticks = read_tick_stream(spark, str(stream_dir))
