@@ -142,6 +142,7 @@ def test_range_join_is_bucketed_equi_join(spark, sf_dir):
 # broadcast side is O(grid), never data-sized.
 _BNLJ_ALLOWED = {
     "asof_join_grid",
+    "doc_tfidf_topterms",  # 1-row corpus-size scalar broadcast
     "conditional_end_prob",
     "gbt_threshold_analysis",
     "kelly_entry_table",

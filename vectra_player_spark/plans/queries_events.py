@@ -881,6 +881,168 @@ def ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Per-user OLS trend (in-database regression): slope/intercept/r2 of value
+# over the tick index, from EXACT sums — x is the window row_number, y is
+# cast to DECIMAL(18,6), so Sx/Sxx/Sy/Sxy/Syy are exact in both engines;
+# each sum is cast to DOUBLE once and combined in one fixed expression, so
+# the doubles agree bit-for-bit (no engine-dependent float accumulation
+# like the built-in regr_slope). One window pass + one groupBy on user_id.
+# --------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH xy AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS x,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM xy GROUP BY user_id
+)
+SELECT user_id, n AS n_ticks,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+@register(
+    "user_trend_regression",
+    oracle=_TREND_ORACLE,
+    tags=("events",),
+    survey_ref="in-database OLS per group (M-family extension)",
+)
+def user_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    xy = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    s = xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sxx, sy, sxy, syy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy", "syy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "user_id",
+        n.alias("n_ticks"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# NTILE bucketing over pre-aggregated user totals: quartile assignment for
+# stratification. The global window runs over the REDUCED table (one row
+# per user), so the single-partition sort is |users|-sized, not
+# event-sized; at extreme user counts the same semantics come from a
+# range-partitioned sort. Deterministic via the (total DESC, user_id)
+# tiebreak.
+# --------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+WITH totals AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, ROUND(total_value, 6) AS total_value, n_events,
+       CAST(NTILE(4) OVER (ORDER BY total_value DESC, user_id) AS BIGINT)
+         AS value_quartile
+FROM totals
+"""
+
+
+@register(
+    "ntile_user_quartiles",
+    oracle=_NTILE_ORACLE,
+    tags=("events",),
+    survey_ref="W-family: ntile bucketing over reduced totals",
+)
+def ntile_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return totals.select(
+        "user_id",
+        F.round("total_value", 6).alias("total_value"),
+        "n_events",
+        F.ntile(4).over(w).cast("bigint").alias("value_quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity day; retention = count
+# of distinct active users per (cohort_day, day_offset). The classic
+# product-analytics rollup. One distinct on (user, day), one groupBy for
+# cohort assignment, one equi-join back on user_id, one final groupBy —
+# every stage keyed on user or (cohort, offset), no expansion anywhere.
+# --------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id
+)
+SELECT STRFTIME(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', c.cohort_day, u.day) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_active_users
+FROM ud u JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "cohort_retention",
+    oracle=_COHORT_ORACLE,
+    tags=("events",),
+    survey_ref="cohort/retention rollup (A-family extension)",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohorts = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # (user, day) is distinct, and day_offset is a function of day within a
+    # user — so COUNT(*) per (cohort, offset) IS the distinct-user count.
+    return (
+        ud.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
 @register(
     "event_transition_matrix",
     oracle=_TRANSITION_ORACLE,

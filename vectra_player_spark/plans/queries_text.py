@@ -801,6 +801,83 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(t(spark, sf_dir, "documents"), chunk_tokens=16)
 
 
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document (smooth idf = ln((N+1)/(df+1)) + 1, the
+# sklearn formulation): keyword extraction for corpus curation. Term
+# frequencies and document frequencies are two groupBys; the corpus size N
+# broadcasts as a 1-row scalar (the allowed BNLJ pattern); top-3 per doc
+# via row_number with a deterministic (tfidf DESC, term ASC) tiebreak.
+# --------------------------------------------------------------------------
+
+_TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tokens
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM toks, unnest(tokens) AS u(t)
+  GROUP BY doc_id, t
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, ROUND(tfidf, 6) AS tfidf
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register(
+    "doc_tfidf_topterms",
+    oracle=_TFIDF_ORACLE,
+    tags=("text",),
+    survey_ref="TF-IDF keyword extraction (text-analysis mandate extension)",
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
 @register(
     "doc_decontamination",
     oracle=_DECONTAMINATION_ORACLE,

@@ -91,6 +91,9 @@ PRIORITY: tuple[str, ...] = (
     # V4's only driver-green representative — pinned so the mid-block cut
     # can't push it past the cap.
     "knn_bruteforce_cosine",
+    "cohort_retention",  # cohort/retention rollup family
+    "doc_tfidf_topterms",  # TF-IDF keyword extraction family
+    "user_trend_regression",  # in-database OLS from exact sums
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
@@ -140,6 +143,15 @@ DEFERRED: tuple[str, ...] = (
     "doc_corpus_stats",
     "order_status_stats",
     "vol_of_vol",
+    # A7/A8 singles: the histogram shape is exercised in-cap inside every
+    # survival/strategy query (duration-histogram rewrites), and corr is a
+    # single built-in aggregate — lowest-risk rows to verify locally only.
+    "histogram_order_totals",
+    "corr_lineitem_measures",
+    # D1 keep-first stays in-cap via doc_exact_dedup (same min-per-group
+    # shape); window-ranking family via best_row_dedup + paginate.
+    "dedup_keep_first",
+    "ntile_user_quartiles",
 )
 
 
