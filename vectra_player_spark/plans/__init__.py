@@ -20,6 +20,7 @@ from vectra_player_spark.plans import (  # noqa: E402,F401
     queries_simulation,
     queries_ml,
     queries_backtest,
+    queries_multimodal,
 )
 
 __all__ = ["QUERIES", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -94,6 +94,9 @@ PRIORITY: tuple[str, ...] = (
     "cohort_retention",  # cohort/retention rollup family
     "doc_tfidf_topterms",  # TF-IDF keyword extraction family
     "user_trend_regression",  # in-database OLS from exact sums
+    # Multimodal mandate family's first hard-signal row: the Arrow-batched
+    # mapInPandas decode stage verified against SQL (deterministic stub).
+    "multimodal_image_features",
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
@@ -152,6 +155,11 @@ DEFERRED: tuple[str, ...] = (
     # shape); window-ranking family via best_row_dedup + paginate.
     "dedup_keep_first",
     "ntile_user_quartiles",
+    # J-semi family covered in-cap by episode_batch_fetch (J3 semi-join);
+    # frame sampling's explode shape by multimodal_image_features' sibling
+    # pipeline (same media construction + mapInPandas stage).
+    "join_semi_active_customers",
+    "multimodal_frame_sample",
 )
 
 
