@@ -999,6 +999,64 @@ def ntile_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Robust outlier detection via MAD (median absolute deviation): the
+# training-pipeline cleaning rule that survives heavy tails where
+# mean/stddev z-scores break. Two percentile passes (median, then median
+# of absolute deviations) + equi-joins on user_id — every stage keyed on
+# the group, no expansion. 4.4478 = 3 x 1.4826 (the normal-consistency
+# constant), written in E-notation so both engines parse a DOUBLE.
+# --------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med FROM events GROUP BY user_id
+),
+dev AS (
+  SELECT e.user_id, ABS(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (user_id)
+),
+mad AS (
+  SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY user_id
+)
+SELECT d.user_id,
+       ROUND(MIN(d.med), 6) AS median_value,
+       ROUND(MIN(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 4.4478e0 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_events
+FROM dev d JOIN mad m USING (user_id)
+GROUP BY d.user_id
+"""
+
+
+@register(
+    "event_outlier_mad",
+    oracle=_MAD_ORACLE,
+    tags=("events",),
+    survey_ref="P7 extension: robust MAD outlier cleaning",
+)
+def event_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(med, "user_id").select(
+        "user_id", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("user_id").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(F.when(F.col("adev") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Cohort retention: users grouped by first-activity day; retention = count
 # of distinct active users per (cohort_day, day_offset). The classic
 # product-analytics rollup. One distinct on (user, day), one groupBy for

@@ -160,6 +160,9 @@ DEFERRED: tuple[str, ...] = (
     # pipeline (same media construction + mapInPandas stage).
     "join_semi_active_customers",
     "multimodal_frame_sample",
+    # Percentile family covered in-cap by descriptive_stats; registered
+    # for the robust-cleaning capability, verified locally every round.
+    "event_outlier_mad",
 )
 
 
