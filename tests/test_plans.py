@@ -136,6 +136,24 @@ def test_range_join_is_bucketed_equi_join(spark, sf_dir):
     assert "hashpartitioning(bucket" in plan or "BroadcastHashJoin" in plan, plan[:3000]
 
 
+def test_split_and_mixture_are_map_only(spark, sf_dir):
+    # hash split + mixture sampling are projections/filters over the scan:
+    # at 100 TB they must compile to zero shuffles
+    for name in ("doc_train_split", "doc_source_mixture", "doc_denylist_scrub"):
+        plan = _physical(spark, sf_dir, name)
+        assert "Exchange" not in plan, (name, plan[:2000])
+
+
+def test_sequence_packing_single_window(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "doc_sequence_packing")
+    # one cumsum window partitioned by source, then the pack-level agg
+    # reuses that partitioning (groupBy key is a superset prefix? no —
+    # (source, pack_id) requires its own exchange; assert the window is
+    # single and no extra shuffles beyond the two stages)
+    assert plan.count("Window [") == 1, plan[:3000]
+    assert plan.count("Exchange") <= 2, plan[:3000]
+
+
 # Queries whose plan legitimately contains BroadcastNestedLoopJoin: a tiny
 # broadcast parameter grid (thresholds, Kelly fractions, MC configs, knn
 # query vectors) crossed against data or against a scalar aggregate. The

@@ -21,6 +21,7 @@ from vectra_player_spark.plans import (  # noqa: E402,F401
     queries_ml,
     queries_backtest,
     queries_multimodal,
+    queries_pipeline,
 )
 
 __all__ = ["QUERIES", "QuerySpec", "register", "queries", "oracle_sql"]

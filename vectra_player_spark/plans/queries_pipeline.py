@@ -1,0 +1,234 @@
+"""Training-data pipeline queries: split / scrub / pack / mix / percentile.
+
+The ops a pretraining corpus build needs between "dedup" and "tokenize":
+deterministic train/val/test assignment, denylist scrubbing (C4-style
+bad-word filtering — reference motivation: the corpus curation described
+in training_data/README.md), fixed-token-budget sequence packing, and
+per-source mixture sampling (data mixing weights). Plus exact per-group
+percentiles (reference: src/analysis/descriptive.py percentile blocks)
+as the F7 family's interpolated-quantile representative.
+
+Every query here is deterministic (md5-keyed, no RNG) and expressed as
+window/agg SQL on BOTH engines, so all are oracle-checked. Scale notes:
+- split/mix are map-only (a hash + a comparison per row; no shuffle).
+- packing is one window per source partition — the partition key is the
+  source shard, so state never concentrates.
+- percentiles use Spark's exact `percentile` (sort-based per group) to
+  match DuckDB's quantile_cont; at 100 TB swap to percentile_approx
+  (t-digest) — the query shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectra_player_spark.plans.registry import register
+from vectra_player_spark.tables import t
+
+# Deterministic uniform in [0, 1): first 8 md5 hex chars as a 32-bit int.
+# Same construction both engines (operators/dedup.py SPARK_HEX8/DUCKDB_HEX8).
+_SPARK_U01 = (
+    "conv(substring(md5(concat('{salt}:', cast(doc_id as string))), 1, 8), 16, 10)"
+    " / 4294967296.0"
+)
+_DUCK_U01 = (
+    "CAST('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+# --------------------------------------------------------------------------
+# doc_train_split — deterministic hash split, 80/10/10. The split must be
+# stable across runs, engines, and re-shards (keyed on doc_id only), and
+# must not shuffle: at 100 TB this is a projection over the scan.
+# --------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, source, {_DUCK_U01.format(salt="split")} AS u FROM documents)
+"""
+
+
+@register(
+    "doc_train_split",
+    oracle=_SPLIT_ORACLE,
+    tags=("pipeline",),
+    survey_ref="training-mix split (mandate-adjacent); M4 dataset assembly",
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    u = F.expr(_SPARK_U01.format(salt="split"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_denylist_scrub — C4-style denylist redaction: whole-word matches
+# replaced with a sentinel, with a per-doc removed-count. Map-only (two
+# regexes per row, JVM-side); the denylist is a compile-time pattern —
+# at a real 100 TB run the list is broadcast and the pattern built once.
+# DuckDB dialect: regexp_replace needs the 'g' flag (Spark is global by
+# default); both regex engines (Java, RE2) support \\b word boundaries.
+# --------------------------------------------------------------------------
+
+_DENY_PAT = r"\b(spark|hash|merge)\b"
+
+_SCRUB_ORACLE = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_DENY_PAT}')) AS BIGINT) AS n_removed,
+       md5(regexp_replace(text, '{_DENY_PAT}', '[filtered]', 'g')) AS scrubbed_md5
+FROM documents
+"""
+
+
+@register(
+    "doc_denylist_scrub",
+    oracle=_SCRUB_ORACLE,
+    tags=("pipeline",),
+    survey_ref="quality/denylist filtering (mandate: text analysis); P7 row cleaning",
+)
+def doc_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        # Spark SQL string literals consume backslash escapes ('\b' -> 0x08),
+        # so the pattern's backslashes are doubled for the expr path; the
+        # Python-API regexp_replace below takes the pattern verbatim.
+        F.size(F.expr(f"regexp_extract_all(text, '{_DENY_PAT.replace(chr(92), chr(92) * 2)}', 0)"))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(F.regexp_replace("text", _DENY_PAT, "[filtered]")).alias("scrubbed_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_sequence_packing — fixed-token-budget packing: within each source
+# shard, docs in doc_id order fill 256-token packs greedily (a doc starts
+# a new pack when the running total would cross the budget boundary —
+# the floor((cum - tok)/budget) form, i.e. boundary-crossing docs belong
+# to the pack their first token lands in). Output is pack-level: docs
+# per pack, token sum. One window + one groupBy, both partitioned by the
+# source shard — no global state, so packing parallelizes per shard
+# exactly like a real tokenizer-sharded packing job.
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+_PACK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents
+), packed AS (
+  SELECT source, n_tok,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY source, pack_id
+"""
+
+
+@register(
+    "doc_sequence_packing",
+    oracle=_PACK_ORACLE,
+    tags=("pipeline",),
+    survey_ref="sequence packing for pretraining batches (mandate-adjacent); W-family cumsum",
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = docs.select(
+        "source",
+        n_tok.alias("n_tok"),
+        F.floor((F.sum(n_tok).over(w) - n_tok) / float(_PACK_BUDGET))
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_source_mixture — data-mixing weights: each source is sampled at a
+# per-source rate (here 1.0 / 0.5 / 0.25 by source tier) with the same
+# deterministic md5 coin as the split, so mixtures are reproducible and
+# composable with the split (independent salts). Map-only; the weight
+# table would be a broadcast join in the general case — here a CASE so
+# the oracle stays a single expression.
+# --------------------------------------------------------------------------
+
+_MIX_RATE_DUCK = """CASE WHEN CAST(substring(source, 4) AS INTEGER) < 5 THEN 1.0
+            WHEN CAST(substring(source, 4) AS INTEGER) < 10 THEN 0.5
+            ELSE 0.25 END"""
+
+_MIX_ORACLE = f"""
+SELECT doc_id, source
+FROM (SELECT doc_id, source, {_DUCK_U01.format(salt="mix")} AS u FROM documents)
+WHERE u < {_MIX_RATE_DUCK}
+"""
+
+
+@register(
+    "doc_source_mixture",
+    oracle=_MIX_ORACLE,
+    tags=("pipeline",),
+    survey_ref="training-mix source weighting (mandate-adjacent)",
+)
+def doc_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(src_num < 5, F.lit(1.0)).when(src_num < 10, F.lit(0.5)).otherwise(F.lit(0.25))
+    )
+    u = F.expr(_SPARK_U01.format(salt="mix"))
+    return docs.where(u < rate).select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# event_value_percentiles — exact interpolated per-group percentiles
+# (Spark `percentile` == DuckDB `quantile_cont`, both linear interpolation
+# over the sorted group). Rounded to 6dp to absorb summation-order float
+# noise. The 100 TB variant swaps in percentile_approx (t-digest sketch,
+# mergeable map-side) — same plan shape, bounded state.
+# --------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) + 0.0 AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) + 0.0 AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "event_value_percentiles",
+    oracle=_PCTL_ORACLE,
+    tags=("pipeline",),
+    survey_ref="F7/A6 exact percentiles (reference: src/analysis descriptive blocks)",
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("value").cast("bigint").alias("n"),
+        (F.round(F.expr("percentile(value, 0.5D)"), 6) + 0.0).alias("p50"),
+        (F.round(F.expr("percentile(value, 0.9D)"), 6) + 0.0).alias("p90"),
+        (F.round(F.expr("percentile(value, 0.99D)"), 6) + 0.0).alias("p99"),
+    )

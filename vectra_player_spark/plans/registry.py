@@ -97,6 +97,13 @@ PRIORITY: tuple[str, ...] = (
     # Multimodal mandate family's first hard-signal row: the Arrow-batched
     # mapInPandas decode stage verified against SQL (deterministic stub).
     "multimodal_image_features",
+    # Round-2 training-pipeline batch (unique coverage): deterministic
+    # hash split, fixed-budget sequence packing, exact interpolated
+    # per-group percentiles. Their siblings (denylist scrub, source
+    # mixture) share the regex-map / md5-coin shapes and ride mid-block.
+    "doc_train_split",
+    "doc_sequence_packing",
+    "event_value_percentiles",
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
@@ -163,6 +170,14 @@ DEFERRED: tuple[str, ...] = (
     # Percentile family covered in-cap by descriptive_stats; registered
     # for the robust-cleaning capability, verified locally every round.
     "event_outlier_mad",
+    # Demoted for the round-2 pipeline batch: D1's md5-groupBy collapse is
+    # exercised in-cap inside doc_simhash_neardup_canonical's collapse-first
+    # stage; the dedup pair family keeps minhash_lsh + simhash_neardup
+    # in-cap; set algebra is two single built-in operators (except already
+    # here) verified locally every round.
+    "doc_exact_dedup",
+    "doc_ngram_jaccard_pairs",
+    "setop_intersect_customers",
 )
 
 
