@@ -119,3 +119,20 @@ class TestAsofVsPandasMergeAsof:
         }
         assert got[("u1", 10)] == "x"
         assert got[("u2", 10)] is None  # u2 must not see u1's rows
+
+
+class TestSketchAccuracy:
+    """The sketch stand-ins (HLL++ distinct, percentile_approx) must land
+    within their advertised error envelopes of the exact aggregates —
+    the precondition for swapping them in at 100 TB."""
+
+    def test_sketch_report_within_bounds(self, spark, sf_dir):
+        from vectra_player_spark import plans
+
+        rows = plans.QUERIES["sketch_accuracy_report"].spark_fn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # HLL++ with rsd=0.05: allow 3 standard errors.
+            assert r["rel_err_ndv"] <= 0.15, r
+            # percentile_approx at accuracy 10000 on this value range.
+            assert r["abs_err_p50"] <= 0.5, r

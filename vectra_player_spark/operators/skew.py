@@ -37,6 +37,40 @@ def salted_join(
     return big_salted.join(small_exploded, [key, "_salt"], how).drop("_salt")
 
 
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    salt_col: str,
+    salt_factor: int = 16,
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-stage hot-key aggregation: partial agg on (key, salt), merge on key.
+
+    For algebraic aggregates Spark's map-side partial agg already spreads a
+    hot key; the stage this pattern actually rescues at 100 TB is the
+    HOLISTIC agg — exact COUNT(DISTINCT x) on a low-cardinality key, where
+    all of a hot key's rows meet in one reducer. Salting by hash(x) keeps
+    the distinct state sharded: stage 1 dedups (key, salt)-locally, stage 2
+    merges |salt_factor| partial states per key. Row-identical to the
+    unsalted aggregation (pinned by oracle in plans/queries_pipeline.py).
+    """
+    salt = F.pmod(F.hash(F.col(salt_col)), F.lit(salt_factor))
+    partial = df.groupBy(F.col(key), salt.alias("_salt")).agg(
+        F.count("*").alias("_cnt"),
+        F.sum(value_col).alias("_sum"),
+        F.max(value_col).alias("_max"),
+        F.count_distinct(F.col(salt_col)).alias("_ndv"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_cnt").cast("bigint").alias("n_events"),
+        (F.round(F.sum("_sum"), 6) + 0.0).alias("sum_value"),
+        (F.round(F.max("_max"), 6) + 0.0).alias("max_value"),
+        # distinct states are disjoint across salt buckets (salt = f(x)),
+        # so the merge is a plain SUM of partial NDVs — exact, not approx.
+        F.sum("_ndv").cast("bigint").alias("n_users"),
+    )
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, buckets: int = 32, sort_col: str | None = None
 ) -> None:

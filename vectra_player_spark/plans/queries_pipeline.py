@@ -232,3 +232,120 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.expr("percentile(value, 0.9D)"), 6) + 0.0).alias("p90"),
         (F.round(F.expr("percentile(value, 0.99D)"), 6) + 0.0).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# skewed_event_rollup — the hot-key aggregation lever, oracle-proven
+# answer-preserving. event_type is the engine's most skewed key (a handful
+# of values over every event row); the query routes COUNT / SUM / MAX and
+# an EXACT COUNT(DISTINCT user_id) through the two-stage salted plan in
+# operators/skew.py (partial state on (key, hash(user_id) % 16), merge on
+# key). The oracle is the plain one-stage GROUP BY — identical rows means
+# the salting is semantics-free, which is the property that lets a 100 TB
+# job turn it on for any hot key without re-validating results.
+# --------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) + 0.0 AS sum_value,
+       ROUND(MAX(value), 6) + 0.0 AS max_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "skewed_event_rollup",
+    oracle=_SKEW_ORACLE,
+    tags=("pipeline", "skew"),
+    survey_ref="A3/A9 under skew; SCALE.md skew levers",
+)
+def skewed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.operators.skew import salted_aggregate
+
+    ev = t(spark, sf_dir, "events")
+    return salted_aggregate(ev, key="event_type", salt_col="user_id", salt_factor=16)
+
+
+# --------------------------------------------------------------------------
+# sketch_accuracy_report — the 100 TB stand-ins, calibrated against their
+# exact forms in one pass: HyperLogLog++ distinct counts and t-digest-style
+# approximate percentiles next to the exact answers, with error columns.
+# Rows-only (DuckDB's approx sketches are a different implementation, so
+# no cross-engine hash parity exists BY DESIGN); tests/test_semantics.py
+# bounds rel_err_ndv (HLL++ rsd 0.05) and abs_err_p50. This is the query a
+# user runs before swapping exact -> sketch in any in-cap query here.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sketch_accuracy_report",
+    oracle=None,
+    tags=("pipeline", "sketch"),
+    survey_ref="A2/F7 sketch path (approx_count_distinct, percentile_approx)",
+)
+def sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("ndv_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).cast("bigint").alias("ndv_hll"),
+        F.expr("percentile(value, 0.5D)").alias("p50_exact"),
+        F.expr("percentile_approx(value, 0.5D, 10000)").alias("p50_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "ndv_exact",
+        "ndv_hll",
+        (F.abs(F.col("ndv_hll") - F.col("ndv_exact")) / F.col("ndv_exact")).alias(
+            "rel_err_ndv"
+        ),
+        F.round("p50_exact", 6).alias("p50_exact"),
+        F.round("p50_approx", 6).alias("p50_approx"),
+        F.abs(F.col("p50_approx") - F.col("p50_exact")).alias("abs_err_p50"),
+    )
+
+
+# --------------------------------------------------------------------------
+# unpivot_lineitem_measures — wide->long melt (Spark `stack`, the unpivot
+# generator), then a small rollup so the output is the 3×|returnflag|
+# summary. The melt is map-side (Expand/Generate — no shuffle added by the
+# unpivot itself); the only exchange is the final groupBy.
+# --------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH melted AS (
+  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, measure,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(val), 4) + 0.0 AS total,
+       ROUND(AVG(val), 6) + 0.0 AS mean
+FROM melted
+GROUP BY l_returnflag, measure
+"""
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle=_UNPIVOT_ORACLE,
+    tags=("pipeline",),
+    survey_ref="A9/A11 wide->long reshaping (pivot's inverse)",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    melted = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount) AS (measure, val)",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.round(F.sum("val"), 4) + 0.0).alias("total"),
+        (F.round(F.avg("val"), 6) + 0.0).alias("mean"),
+    )

@@ -104,6 +104,9 @@ PRIORITY: tuple[str, ...] = (
     "doc_train_split",
     "doc_sequence_packing",
     "event_value_percentiles",
+    # The two-stage salted hot-key aggregation, oracle-proven identical to
+    # the plain GROUP BY (the SCALE.md skew lever's hard-signal row).
+    "skewed_event_rollup",
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
@@ -178,6 +181,10 @@ DEFERRED: tuple[str, ...] = (
     "doc_exact_dedup",
     "doc_ngram_jaccard_pairs",
     "setop_intersect_customers",
+    # O4 pagination: sort+limit family stays in-cap via topk_orders'
+    # TakeOrderedAndProject sibling strategy_best_config; offset logic
+    # verified locally every round.
+    "paginate_orders",
 )
 
 
