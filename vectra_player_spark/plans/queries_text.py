@@ -905,3 +905,79 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH recall, measured as a QUERY and hash-checked by the oracle:
+# what fraction of the true near-dup pairs (exact 3-gram Jaccard >= 0.2,
+# the doc_ngram_jaccard_pairs semantics) does the banded LSH candidate
+# join (doc_minhash_lsh_pairs semantics) surface? Both sides are
+# deterministic md5 math, so — unlike the k-means IVF recall query —
+# this calibration is value-verified cross-engine, not rows-only. This is
+# the number a 100 TB dedup run quotes when it routes through LSH instead
+# of the quadratic exact join.
+# --------------------------------------------------------------------------
+
+_LSH_RECALL_ORACLE = (
+    "WITH "
+    + _MINHASH_PAIRS_BODY.rsplit("SELECT DISTINCT", 1)[0]
+    + """
+, lsh AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM long a
+  JOIN long b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tokens) - 2, 0)),
+                               i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT c.doc_a, c.doc_b
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE c.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - c.n_common) >= 0.2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       ROUND(SUM(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         + 0.0 AS recall
+FROM exact e
+LEFT JOIN lsh l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+"""
+)
+
+
+@register(
+    "doc_lsh_recall_report",
+    oracle=_LSH_RECALL_ORACLE,
+    tags=("text", "dedup"),
+    survey_ref="D1-D2 scale-path calibration (LSH recall vs exact Jaccard)",
+)
+def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(docs).withColumn("_hit", F.lit(1))
+    joined = exact.join(lsh, ["doc_a", "doc_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_found"),
+        (
+            F.round(
+                F.sum(F.coalesce("_hit", F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("recall"),
+    )
