@@ -144,6 +144,16 @@ def test_split_and_mixture_are_map_only(spark, sf_dir):
         assert "Exchange" not in plan, (name, plan[:2000])
 
 
+def test_skewed_rollup_is_two_stage(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "skewed_event_rollup")
+    # the salted distinct expands to three exchanges — (key, salt, user),
+    # (key, salt), (key) — i.e. the distinct state is sharded by the salt
+    # before anything meets on the bare hot key; the salt expression must
+    # survive into the partitioning keys, not be optimized out
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:3000]
+    assert "pmod(hash(user_id" in plan, plan[:3000]
+
+
 def test_sequence_packing_single_window(spark, sf_dir):
     plan = _physical(spark, sf_dir, "doc_sequence_packing")
     # one cumsum window partitioned by source, then the pack-level agg

@@ -1,0 +1,82 @@
+"""Generate PLANS.md: one-line physical-plan audit for every registered query.
+
+Run: python tools/plan_inventory.py [sf_dir]
+
+For each query the table records the physical-plan facts the scale review
+cares about: how many shuffles, which join strategies, window/generate
+nodes, Arrow-batched Python stages (the ONLY Python allowed in plans —
+BatchEvalPython is banned by tests/test_plans.py), and whether the scan
+pushes filters. Plans are compiled at sf0.001 (plan shape is SF-invariant;
+AQE may coalesce at runtime but strategy choices are visible statically).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_row(name: str, plan: str) -> dict[str, object]:
+    return {
+        "query": name,
+        "exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "window": plan.count("Window ["),
+        "generate": plan.count("Generate ") + plan.count("Expand "),
+        "arrow_py": plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("ArrowEvalPython"),
+        "pushed": "yes" if re.search(r"PushedFilters: \[[^\]]", plan) else "",
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from vectra_player_spark import plans
+    from vectra_player_spark.session import get_spark
+
+    spark = get_spark("plan-inventory")
+    rows = []
+    for name, spec in sorted(plans.QUERIES.items()):
+        try:
+            df = spec.spark_fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            rows.append(plan_row(name, plan))
+        except Exception as e:  # noqa: BLE001
+            rows.append({"query": name, "error": str(e)[:80]})
+
+    cols = ["query", "exchanges", "bhj", "smj", "bnlj", "window", "generate", "arrow_py", "pushed"]
+    lines = [
+        "# PLANS — physical-plan inventory (auto-generated: tools/plan_inventory.py)",
+        "",
+        "Columns: shuffle Exchange count; BroadcastHashJoin / SortMergeJoin /",
+        "BroadcastNestedLoopJoin counts (BNLJ only ever broadcasts parameter",
+        "grids — pinned by tests/test_plans.py); Window and Generate/Expand",
+        "nodes; Arrow-batched Python stages (row-at-a-time BatchEvalPython is",
+        "banned by test); whether the parquet scan has PushedFilters.",
+        "",
+        "| " + " | ".join(cols) + " |",
+        "|" + "---|" * len(cols),
+    ]
+    for r in rows:
+        if "error" in r:
+            lines.append(f"| {r['query']} | plan error: {r['error']} |" + " |" * (len(cols) - 2))
+        else:
+            lines.append("| " + " | ".join(str(r[c]) for c in cols) + " |")
+    out = "\n".join(lines) + "\n"
+    with open("PLANS.md", "w") as f:
+        f.write(out)
+    print(f"wrote PLANS.md ({len(rows)} queries)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
