@@ -83,6 +83,53 @@ def image_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id string, n_bytes long, sample_rate int, n_samples long, "
+    "duration_ms long, rms double, spec_digest string"
+)
+
+
+def audio_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode + feature-extract audio. Stub fabricates a deterministic
+    sample rate / duration / RMS / spectrogram digest from the bytes; the
+    real path calls soundfile/librosa at the marked seam. Same Arrow-batched
+    mapInPandas shape as image_features — the codec swap changes only the
+    per-row body."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                content = bytes(r.content) if r.content is not None else b""
+                if not decode_stub:
+                    # Real implementation seam:
+                    #   import soundfile; data, rate = soundfile.read(io.BytesIO(content))
+                    raise NotImplementedError(
+                        "audio decode requires soundfile/librosa — not provisioned here"
+                    )
+                digest = hashlib.md5(content).hexdigest()
+                rate = 8000 * (1 + int(digest[12:16], 16) % 4)
+                n_samples = len(content) * 4
+                duration_ms = n_samples * 1000 // rate
+                rms = (int(digest[16:20], 16) % 10000) / 10000.0
+                rows.append(
+                    (r.media_id, len(content), rate, n_samples, duration_ms, rms, digest[16:32])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "sample_rate", "n_samples",
+                    "duration_ms", "rms", "spec_digest",
+                ],
+            )
+
+    return media.where(F.col("kind") == "audio").select("media_id", "content").mapInPandas(
+        extract, AUDIO_FEATURES_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = "media_id string, frame_idx int, frame_ts_ms long, frame_digest string"
 
 

@@ -99,3 +99,40 @@ WHERE duration_ms > 0
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media_from_docs(spark, sf_dir, "video")
     return sample_video_frames(media, every_ms=1000, decode_stub=True)
+
+
+_AUDIO_FEATURES_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(8000 * (1 + CAST('0x' || substring(md5(text), 13, 4) AS BIGINT) % 4)
+            AS INT) AS sample_rate,
+       CAST(octet_length(encode(text)) * 4 AS BIGINT) AS n_samples,
+       CAST(FLOOR(octet_length(encode(text)) * 4 * 1000.0
+                  / (8000 * (1 + CAST('0x' || substring(md5(text), 13, 4) AS BIGINT) % 4)))
+            AS BIGINT) AS duration_ms,
+       ROUND((CAST('0x' || substring(md5(text), 17, 4) AS BIGINT) % 10000)
+             / 10000.0, 6) AS rms,
+       substring(md5(text), 17, 16) AS spec_digest
+FROM documents
+"""
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=_AUDIO_FEATURES_ORACLE,
+    tags=("multimodal",),
+    survey_ref="multimodal mandate: audio decode/feature stage (stubbed codec, real plumbing)",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.operators.multimodal import audio_features
+
+    media = _media_from_docs(spark, sf_dir, "audio")
+    return audio_features(media, decode_stub=True).select(
+        "media_id",
+        "n_bytes",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        "spec_digest",
+    )
