@@ -389,3 +389,69 @@ def embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "rep_id").cast("bigint").alias("component"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end RAG retrieval: quality-gate the candidate corpus, exact
+# cosine top-3 per query vector, then join retrieved-document metadata —
+# the full retrieve-for-context pipeline in one declarative plan. The gate
+# applies BEFORE ranking (a disqualified doc must not consume a rank
+# slot), which is the ordering bug hand-rolled RAG stacks hit; here it is
+# oracle-pinned. embeddings.vec_id == documents.doc_id (1:1) in the
+# synthetic lake; at 100 TB the doc join is the chunk-manifest lookup and
+# the brute-force kernel swaps for the IVF path (same surrounding plan).
+# --------------------------------------------------------------------------
+
+_RAG_ORACLE = """
+WITH good AS (SELECT doc_id, lang, n_chars, md5(text) AS doc_md5
+              FROM documents WHERE n_chars >= 50),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_vec FROM e WHERE vec_id < 5),
+cand AS (SELECT e.vec_id, e.emb FROM e JOIN good g ON g.doc_id = e.vec_id
+         WHERE e.vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.q_vec, c.emb)
+               / NULLIF(sqrt(list_dot_product(q.q_vec, q.q_vec))
+                        * sqrt(list_dot_product(c.emb, c.emb)), 0), 6) AS cosine_sim
+  FROM q JOIN cand c ON c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.neighbor_id AS doc_id,
+       r.cosine_sim, g.lang, g.n_chars, g.doc_md5
+FROM ranked r JOIN good g ON g.doc_id = r.neighbor_id
+WHERE r.rank <= 3
+"""
+
+
+@register(
+    "rag_retrieval_context",
+    oracle=_RAG_ORACLE,
+    tags=("vector",),
+    survey_ref="V4+V1 end-to-end retrieval (quality gate -> top-k -> context join)",
+)
+def rag_retrieval_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.operators.knn import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    good = docs.where(F.col("n_chars") >= 50).select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("doc_md5")
+    )
+    cand = emb.where(F.col("vec_id") >= 5).join(
+        good.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    topk = brute_force_topk(emb.where(F.col("vec_id") < 5), cand, k=3)
+    return topk.join(good, topk.neighbor_id == good.doc_id).select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        "cosine_sim",
+        "lang",
+        "n_chars",
+        "doc_md5",
+    )
