@@ -1,0 +1,95 @@
+"""Property tests for the training-pipeline operators: invariants that
+hold for ANY input, complementing the fixed-corpus oracle checks."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from vectra_player_spark.operators.skew import salted_aggregate
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key id
+        st.integers(min_value=0, max_value=20),     # user id (hot: few values)
+        st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+class TestSaltedAggregate:
+    @given(rows=ROWS)
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_equals_plain_groupby(self, spark, rows):
+        df = spark.createDataFrame(
+            [(f"k{k}", u, float(v)) for k, u, v in rows],
+            "event_type string, user_id long, value double",
+        )
+        salted = {
+            r["event_type"]: r.asDict()
+            for r in salted_aggregate(df, "event_type", "user_id", salt_factor=4).collect()
+        }
+        plain = {
+            r["event_type"]: r.asDict()
+            for r in df.groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                (F.round(F.sum("value"), 6) + 0.0).alias("sum_value"),
+                (F.round(F.max("value"), 6) + 0.0).alias("max_value"),
+                F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            )
+            .collect()
+        }
+        assert salted.keys() == plain.keys()
+        for k in plain:
+            for col in ("n_events", "n_users", "max_value"):
+                assert salted[k][col] == plain[k][col], (k, col, salted[k], plain[k])
+            assert abs(salted[k]["sum_value"] - plain[k]["sum_value"]) < 1e-6
+
+
+class TestSequencePacking:
+    """Invariants of the cumsum-window packing (plans/queries_pipeline.py):
+    token totals are conserved, pack ids are dense from 0 per source, and
+    every pack except possibly each source's last holds >= budget tokens
+    once its boundary doc lands (the floor((cum-tok)/budget) form)."""
+
+    @pytest.fixture(scope="class")
+    def packed(self, spark, sf_dir):
+        from vectra_player_spark import plans
+
+        df = plans.QUERIES["doc_sequence_packing"].spark_fn(spark, sf_dir)
+        return df.orderBy("source", "pack_id").collect()
+
+    def test_token_totals_conserved(self, spark, sf_dir, packed):
+        from vectra_player_spark.tables import t
+
+        total = sum(r["pack_tokens"] for r in packed)
+        expected = (
+            t(spark, sf_dir, "documents")
+            .select(F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+        assert total == expected
+
+    def test_pack_ids_dense_per_source(self, packed):
+        by_source: dict[str, list[int]] = {}
+        for r in packed:
+            by_source.setdefault(r["source"], []).append(r["pack_id"])
+        for source, ids in by_source.items():
+            assert ids == list(range(len(ids))), (source, ids)
+
+    def test_full_packs_reach_budget(self, packed):
+        # every pack that is not its source's last spans the 256 boundary:
+        # its cumulative token count reaches the next pack's start
+        by_source: dict[str, list] = {}
+        for r in packed:
+            by_source.setdefault(r["source"], []).append(r)
+        for source, rs in by_source.items():
+            cum = 0
+            for r in rs[:-1]:
+                cum += r["pack_tokens"]
+                assert cum >= (r["pack_id"] + 1) * 256, (source, r, cum)
