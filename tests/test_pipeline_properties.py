@@ -93,3 +93,27 @@ class TestSequencePacking:
             for r in rs[:-1]:
                 cum += r["pack_tokens"]
                 assert cum >= (r["pack_id"] + 1) * 256, (source, r, cum)
+
+
+class TestIncrementalRollup:
+    def test_batch_order_invariant(self, spark, sf_dir):
+        from vectra_player_spark.operators.incremental import (
+            finalize_rollup,
+            merge_rollup,
+            rollup_partial,
+        )
+        from vectra_player_spark.tables import t
+
+        ev = t(spark, sf_dir, "events")
+
+        def fold(order):
+            state = None
+            for i in order:
+                batch = ev.where(F.pmod("event_id", F.lit(3)) == i)
+                state = merge_rollup(state, rollup_partial(batch))
+            return {
+                (r["user_id"], str(r["day"])): r.asDict()
+                for r in finalize_rollup(state).collect()
+            }
+
+        assert fold([0, 1, 2]) == fold([2, 0, 1])

@@ -349,3 +349,44 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum("val"), 4) + 0.0).alias("total"),
         (F.round(F.avg("val"), 6) + 0.0).alias("mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# incremental_daily_rollup — incremental view maintenance, driver-verified:
+# the Spark side folds THREE deterministic batches (event_id % 3) through
+# operators/incremental.merge_rollup; the oracle is DuckDB's single-pass
+# GROUP BY over all events. A hash match proves incremental == full
+# recompute — the invariant a 100 TB stats-cache refresh job rests on.
+# --------------------------------------------------------------------------
+
+_INCR_ORACLE = """
+SELECT user_id, CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) + 0.0 AS sum_value,
+       ROUND(MAX(value), 6) + 0.0 AS max_value,
+       ROUND(MIN(value), 6) + 0.0 AS min_value,
+       ROUND(SUM(value) / COUNT(*), 6) + 0.0 AS avg_value
+FROM events
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+
+@register(
+    "incremental_daily_rollup",
+    oracle=_INCR_ORACLE,
+    tags=("pipeline",),
+    survey_ref="M24 stats cache, incremental form (mergeable partials; streaming update-mode analog)",
+)
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollup,
+        rollup_partial,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    state = None
+    for i in range(3):
+        batch = ev.where(F.pmod("event_id", F.lit(3)) == i)
+        state = merge_rollup(state, rollup_partial(batch))
+    return finalize_rollup(state)
