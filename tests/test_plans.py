@@ -177,6 +177,7 @@ _BNLJ_ALLOWED = {
     "kelly_fractions_table",
     "knn_bruteforce_cosine",
     "knn_ivf_cosine",
+    "rag_retrieval_context",  # brute_force_topk's 5-query broadcast side
     "knn_ivf_kmeans_recall",
     "monte_carlo_summary",
     "optimal_entry_window",

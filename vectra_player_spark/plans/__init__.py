@@ -22,6 +22,7 @@ from vectra_player_spark.plans import (  # noqa: E402,F401
     queries_backtest,
     queries_multimodal,
     queries_pipeline,
+    queries_timeseries,
 )
 
 __all__ = ["QUERIES", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -390,3 +390,108 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = ev.where(F.pmod("event_id", F.lit(3)) == i)
         state = merge_rollup(state, rollup_partial(batch))
     return finalize_rollup(state)
+
+
+# --------------------------------------------------------------------------
+# doc_weighted_sample — deterministic weighted sampling WITHOUT replacement
+# (Efraimidis–Spirakis exponential-key variant): key = -ln(u)/w with an
+# md5-derived uniform u and weight w = n_chars; the N smallest keys are an
+# exact weighted sample. Reference motivation: corpus builders sample
+# documents proportional to length for token-budget planning
+# (training_data/README.md mixture notes). No RNG → both engines compute
+# the identical key, so the selected SET is oracle-checkable. Scale: the
+# key is a map-side projection and the selection is a top-N
+# (TakeOrderedAndProject — per-partition heaps, no global sort shuffle).
+# The +0.5 offset keeps u strictly inside (0,1) so ln() is finite.
+# --------------------------------------------------------------------------
+
+_WS_N = 200
+
+_SPARK_WS_U = (
+    "(conv(substring(md5(concat('wsample:', cast(doc_id as string))), 1, 8), 16, 10)"
+    " + 0.5) / 4294967296.0"
+)
+_DUCK_WS_U = (
+    "(CAST('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    " + 0.5) / 4294967296.0"
+)
+
+_WSAMPLE_ORACLE = f"""
+SELECT doc_id, source, n_chars,
+       ROUND(-ln({_DUCK_WS_U}) / n_chars, 6) + 0.0 AS sample_key
+FROM documents
+ORDER BY -ln({_DUCK_WS_U}) / n_chars, doc_id
+LIMIT {_WS_N}
+"""
+
+
+@register(
+    "doc_weighted_sample",
+    oracle=_WSAMPLE_ORACLE,
+    tags=("pipeline",),
+    survey_ref="weighted corpus sampling (mandate-adjacent); O3 top-N physical path",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    key = -F.expr(f"ln({_SPARK_WS_U})") / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.round(key, 6) + 0.0).alias("sample_key"),
+            key.alias("_k"),
+        )
+        .orderBy("_k", "doc_id")
+        .limit(_WS_N)
+        .drop("_k")
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_pii_scrub — PII redaction: emails and IPv4 literals replaced with
+# typed sentinels, with per-doc match counts and a hash of the scrubbed
+# text (so the redaction itself is value-checked, not just counted).
+# A mandated training-pipeline op: corpora are scrubbed before release.
+# Map-only — two JVM regexes per row, no shuffle; at 100 TB the cost is
+# the scan. Patterns are Java-regex ∩ RE2 compatible (no backrefs or
+# lookaround) so Spark and DuckDB match identically; DuckDB needs the
+# explicit 'g' flag where Spark's regexp_replace is global by default.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_IPV4}', '<IP>', 'g')) AS scrub_sig
+FROM documents
+"""
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=_PII_ORACLE,
+    tags=("pipeline",),
+    survey_ref="PII redaction (training-pipeline mandate); P7 row-level cleaning family",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+    )
+    # F.regexp_extract_all with a lit() pattern bypasses SQL string-literal
+    # escape processing, which would otherwise strip the \b/\d backslashes.
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.md5(scrubbed).alias("scrub_sig"),
+    )

@@ -981,3 +981,70 @@ def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# doc_fuzzy_prefix_pairs — edit-distance near-dup candidates: documents in
+# the same (lang, source, length-bucket) block whose 32-char prefixes are
+# within Levenshtein distance 8. Complements the token-level families
+# (minhash/simhash/jaccard) with the character-level measure the reference
+# corpus notes use for "near-identical re-broadcast" detection. Both
+# engines implement the same classic DP edit distance → integer-exact
+# oracle parity. Scale: quadratic ONLY within a block; the block key
+# includes a 64-char length bucket so block size is bounded by corpus
+# homogeneity, and the prefix truncation caps the DP cost per pair at
+# 32×32. At 100 TB the blocking key is the lever (tighten to n_chars DIV
+# 16 or add a first-token band); the join stays a bucket equi-join.
+# --------------------------------------------------------------------------
+
+_FUZZY_PREFIX_LEN = 32
+_FUZZY_MAX_DIST = 8
+
+_FUZZY_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, lang, source, n_chars // 64 AS len_bkt,
+         substring(text, 1, {_FUZZY_PREFIX_LEN}) AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+FROM p a JOIN p b
+  ON a.lang = b.lang AND a.source = b.source AND a.len_bkt = b.len_bkt
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= {_FUZZY_MAX_DIST}
+"""
+
+
+@register(
+    "doc_fuzzy_prefix_pairs",
+    oracle=_FUZZY_ORACLE,
+    tags=("text", "dedup"),
+    survey_ref="F8 string-function breadth (edit distance); D-family char-level near-dup",
+)
+def doc_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") / 64).cast("bigint").alias("len_bkt"),
+        F.substring("text", 1, _FUZZY_PREFIX_LEN).alias("prefix"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_bkt") == F.col("b.len_bkt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(dist <= _FUZZY_MAX_DIST)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )

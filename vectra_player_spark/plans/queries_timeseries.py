@@ -1,0 +1,115 @@
+"""Time-series resampling and ranking queries over the event stream.
+
+- ohlc_bars: the classic tick→bar downsample (open/high/low/close/volume
+  per user per minute). Reference motivation: the recorder's per-game
+  price series consumers resample ticks into fixed windows before charting
+  and feature extraction (src/analysis/descriptive.py rolling blocks);
+  OHLC is the canonical resample a price-lake user expects.
+- user_value_ranks: the full SQL ranking family (RANK / DENSE_RANK /
+  PERCENT_RANK / CUME_DIST) over per-user totals within an event type —
+  the leaderboard shape (reference: v2-explorer leaderboard views). Totals
+  are accumulated in exact DECIMAL so the rank ORDER BY key is identical
+  on both engines regardless of float summation order.
+
+Scale notes: ohlc_bars is ONE hash aggregate keyed on (user_id, minute) —
+high-cardinality, no skew concentration, map-side partials apply; at
+100 TB it is scan-bound. user_value_ranks reduces events to |users|×
+|event types| rows with one groupBy BEFORE the window, so the global
+rank sort runs over the reduced relation only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectra_player_spark.plans.registry import register
+from vectra_player_spark.tables import t
+
+_OHLC_ORACLE = """
+SELECT user_id,
+       strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       ROUND(arg_min(value, event_id), 6) + 0.0 AS open,
+       ROUND(MAX(value), 6) + 0.0 AS high,
+       ROUND(MIN(value), 6) + 0.0 AS low,
+       ROUND(arg_max(value, event_id), 6) + 0.0 AS close,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+FROM events
+GROUP BY user_id, date_trunc('minute', ts)
+"""
+
+
+@register(
+    "ohlc_bars",
+    oracle=_OHLC_ORACLE,
+    tags=("events", "timeseries"),
+    survey_ref="W11/A9 time-bucket resample; tick→bar downsampling (descriptive.py consumers)",
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash aggregate: min_by/max_by give first/last tick by event_id
+    (unique, so the bar edges are deterministic); volume sums in exact
+    decimal then casts, so partial-agg merge order can't move the hash."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            (F.round(F.min_by("value", "event_id"), 6) + 0.0).alias("open"),
+            (F.round(F.max("value"), 6) + 0.0).alias("high"),
+            (F.round(F.min("value"), 6) + 0.0).alias("low"),
+            (F.round(F.max_by("value", "event_id"), 6) + 0.0).alias("close"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+        )
+        .select(
+            "user_id",
+            F.date_format("m", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+            "n_ticks",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
+_RANKS_ORACLE = """
+WITH totals AS (
+  SELECT event_type, user_id, SUM(CAST(value AS DECIMAL(18,6))) AS tv
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id,
+       CAST(tv AS DOUBLE) AS total_value,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk,
+       ROUND(PERCENT_RANK() OVER w, 6) + 0.0 AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) + 0.0 AS cume
+FROM totals
+WINDOW w AS (PARTITION BY event_type ORDER BY tv DESC)
+"""
+
+
+@register(
+    "user_value_ranks",
+    oracle=_RANKS_ORACLE,
+    tags=("events", "timeseries"),
+    survey_ref="W5/O-family ranking breadth: RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST leaderboard",
+)
+def user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank functions are tie-stable, so ordering by the exact-decimal
+    total alone (no row tiebreak) is deterministic on both engines."""
+    ev = t(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("tv")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("tv").desc())
+    return totals.select(
+        "event_type",
+        "user_id",
+        F.col("tv").cast("double").alias("total_value"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("dense_rnk"),
+        (F.round(F.percent_rank().over(w), 6) + 0.0).alias("pct_rank"),
+        (F.round(F.cume_dist().over(w), 6) + 0.0).alias("cume"),
+    )

@@ -68,7 +68,6 @@ def register(
 PRIORITY: tuple[str, ...] = (
     "episode_price_arrays",  # r1's one red row — fixed, prove it first
     "doc_simhash_neardup_pairs",  # new operator this round
-    "doc_simhash_neardup_canonical",  # exact-collapse -> banded hamming -> CC
     "asof_join_grid",  # F9 — oracle-checked locally, absent from r1 run
     "episode_batch_fetch",  # J3
     "feature_matrix",  # M2
@@ -107,6 +106,9 @@ PRIORITY: tuple[str, ...] = (
     # The two-stage salted hot-key aggregation, oracle-proven identical to
     # the plain GROUP BY (the SCALE.md skew lever's hard-signal row).
     "skewed_event_rollup",
+    # Tick→bar OHLC resample (min_by/max_by bar edges + exact-decimal
+    # volume) — the time-series downsample family's hard-signal row.
+    "ohlc_bars",
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
@@ -139,9 +141,13 @@ DEFERRED: tuple[str, ...] = (
     "doc_quality_filter",
     "doc_stratified_sample",
     # doc_simhash's fingerprint math is transitively verified in-cap by
-    # doc_simhash_neardup_pairs (hamming distances hash-check the XORs)
-    # and doc_simhash_neardup_canonical, which replaced it at the cap.
+    # doc_simhash_neardup_pairs (hamming distances hash-check the XORs).
     "doc_simhash",
+    # The canonicalization composition is covered in-cap piecewise:
+    # banded-hamming candidates by doc_simhash_neardup_pairs, CC
+    # min-label propagation by embedding_neardup_components — demoted to
+    # free the slot for ohlc_bars (a wholly new operator family).
+    "doc_simhash_neardup_canonical",
     # Quality/contamination breadth; locally oracle-verified, family
     # representatives (doc_text_quality, doc_ngram_jaccard_pairs) in-cap.
     "doc_repetition_filter",

@@ -56,6 +56,12 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # µs-precision files read as TIMESTAMP_NTZ; sessions run in UTC
+            # (session.prep_session), so the LTZ cast is value-identical and
+            # keeps every downstream expression (unix_micros, tz-aware
+            # windowing) on one timestamp type across driver data versions.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
