@@ -113,3 +113,48 @@ def user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.percent_rank().over(w), 6) + 0.0).alias("pct_rank"),
         (F.round(F.cume_dist().over(w), 6) + 0.0).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# trailing_hour_stats — RANGE-frame window: per event, count / exact-sum /
+# max of the SAME USER's events in the trailing hour (inclusive). This is
+# the one window frame type the rest of the surface doesn't exercise:
+# value-based RANGE BETWEEN over event-time seconds, where frame peers are
+# determined by the ORDER BY value (ties included wholesale — so results
+# are deterministic even with duplicate timestamps, unlike a ROWS frame).
+# Scale: one hash exchange on user_id + one sort per partition — identical
+# cost profile to the LAG/LEAD family; at 100 TB the range frame runs in
+# the same single Window operator (running accumulation, no re-scan).
+# --------------------------------------------------------------------------
+
+_TRAIL_ORACLE = """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_trailing,
+       ROUND(MAX(value) OVER w, 6) + 0.0 AS max_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "trailing_hour_stats",
+    oracle=_TRAIL_ORACLE,
+    tags=("events", "timeseries"),
+    survey_ref="W-family RANGE-frame breadth: event-time trailing-window aggregates",
+)
+def trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_trailing"),
+        (F.round(F.max("value").over(w), 6) + 0.0).alias("max_trailing"),
+    )
