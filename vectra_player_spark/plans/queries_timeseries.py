@@ -158,3 +158,65 @@ def trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_trailing"),
         (F.round(F.max("value").over(w), 6) + 0.0).alias("max_trailing"),
     )
+
+
+# --------------------------------------------------------------------------
+# native_session_windows — Spark's BUILT-IN session_window operator in
+# batch mode: per-user sessions that extend while consecutive events are
+# within a 1-hour gap (merge when diff <= gap — boundary semantics probed
+# and pinned: an event exactly gap after its predecessor JOINS the
+# session; end = last event ts + gap). This is T2's native form — the
+# same groupBy spec runs under Structured Streaming with a watermark —
+# while gap_sessionization remains the manual lag+cumsum analog. The
+# oracle reproduces the merge rule in µs-exact integer arithmetic.
+# Scale: one hash exchange on user_id + one sort — the session merge is
+# a linear scan per partition (SessionWindowStateStore in streaming).
+# --------------------------------------------------------------------------
+
+_NATIVE_SESS_ORACLE = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+),
+flagged AS (
+  SELECT user_id, us, value,
+         CASE WHEN LAG(us) OVER w IS NULL
+              OR us - LAG(us) OVER w > 3600000000 THEN 1 ELSE 0 END AS new_s
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+sess AS (
+  SELECT user_id, us, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(make_timestamp(MAX(us) + 3600000000), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@register(
+    "native_session_windows",
+    oracle=_NATIVE_SESS_ORACLE,
+    tags=("events", "timeseries", "streaming-analog"),
+    survey_ref="T2 sessionization via the native session_window operator (streaming-identical spec)",
+)
+def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
