@@ -26,11 +26,16 @@ def test_q1_scan_is_pruned_and_pushed(spark, sf_dir):
 
 
 def test_q3_q5_join_strategy_is_broadcast(spark, sf_dir):
+    # True dimensions (nation/region, and q3's size-estimated small sides)
+    # broadcast; the customer-side joins carry NO forced hint — customer is
+    # SF-scaled, so their strategy is AQE's call (broadcast while small,
+    # shuffle join at lake scale). A forced broadcast there OOMs at 100 TB.
     for name in ("q3_top_revenue_orders", "q5_region_revenue"):
         plan = _physical(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
-        assert "SortMergeJoin" not in plan, name  # dims must broadcast at this scale
+    q5 = _physical(spark, sf_dir, "q5_region_revenue")
+    assert q5.count("BroadcastHashJoin") >= 2  # nation + region stay pinned
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):

@@ -83,9 +83,10 @@ class EventStore:
         profile, regardless of how many games qualify."""
         qualifying = self.qualifying_games(min_ticks).select("game_id")
         if limit is not None:
-            qualifying = qualifying.orderBy("game_id").limit(limit)
+            # A limited id set is small by construction — broadcast it.
+            qualifying = F.broadcast(qualifying.orderBy("game_id").limit(limit))
         sorted_rows = (
-            self.envelope.join(F.broadcast(qualifying), "game_id", "left_semi")
+            self.envelope.join(qualifying, "game_id", "left_semi")
             .orderBy("game_id", "seq")
         )
         columns = sorted_rows.columns

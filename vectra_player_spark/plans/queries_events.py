@@ -346,7 +346,10 @@ def volatility_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("percentile(abs(ret), 0.5)").alias("med_abs_ret"))
     )
     return (
-        diffs.join(F.broadcast(med), "user_id")
+        # med scales with user cardinality — no broadcast hint; both sides
+        # are already hash-partitioned on user_id (window + groupBy), so
+        # the join reuses that exchange at any scale.
+        diffs.join(med, "user_id")
         .groupBy("user_id")
         .agg(
             F.round(F.stddev("value"), 6).alias("price_std"),

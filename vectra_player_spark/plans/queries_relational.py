@@ -96,7 +96,10 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # No broadcast hint: customer is SF-scaled (not a dimension) — a
+        # forced broadcast OOMs executors at lake scale. AQE still picks a
+        # broadcast join while the filtered side is under the threshold.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -139,7 +142,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        # dims rides on customer (SF-scaled): broadcast only the true
+        # dimensions (nation/region above); this join is AQE's call.
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
