@@ -21,7 +21,7 @@ is hash-checkable cross-engine. All are shuffle-frugal by construction:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectra_player_spark.functions.text import fingerprint, tokens, word_shingles_text
@@ -59,6 +59,83 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_doc_id"))
     )
+
+
+def rep_members(
+    docs: DataFrame, id_col: str, key_cols: list,
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse-first support: group rows equal on ``key_cols`` (exact
+    duplicates), representative = min id per group. Returns ``(reps,
+    members)`` — ``reps`` is one full row per distinct key (the rep's row),
+    ``members`` maps every row to its rep as (_rep, _member).
+
+    Why this exists: every pairwise near-dup operator below generates
+    candidates quadratically WITHIN a bucket (posting list, simhash band
+    bucket, LSH bucket). On a duplication-heavy corpus (the reference
+    documents 12.5× duplication; the 100× scale corpus has 100 verbatim
+    copies per doc) bucket population scales with the duplication factor d,
+    so candidate volume grows d² — a 100× corpus produced tens of GB of
+    shuffle and ran out of disk. Since every score below is a pure function
+    of content, scoring in representative space is EXACTLY equivalent:
+    inter-group member pairs inherit their rep pair's score, intra-group
+    pairs have the perfect score by definition. Candidate work drops d²,
+    and the final expansion is a pair of equi-joins bounded by output size.
+    """
+    w = Window.partitionBy(*key_cols)
+    tagged = docs.withColumn("_rep", F.min(id_col).over(w))
+    members = tagged.select("_rep", F.col(id_col).alias("_member"))
+    reps = tagged.where(F.col(id_col) == F.col("_rep")).drop("_rep")
+    return reps, members
+
+
+def expand_rep_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    a_col: str,
+    b_col: str,
+    score_cols: list[str],
+    intra_reps: DataFrame | None = None,
+    intra_scores: dict | None = None,
+) -> DataFrame:
+    """Expand representative-space pairs to member-space pairs.
+
+    ``rep_pairs``: (a_col, b_col, *score_cols) with a_col < b_col rep ids.
+    Inter-group: every (member of a) × (member of b) pair, re-ordered with
+    least/greatest (groups are disjoint so members never tie). Intra-group:
+    for groups whose rep appears in ``intra_reps`` (single id column named
+    a_col), all C(n,2) member pairs with the constant perfect scores from
+    ``intra_scores``. Both are equi-joins — total cost is output-bound."""
+    ma = members.select(F.col("_rep").alias(a_col), F.col("_member").alias("_ma"))
+    mb = members.select(F.col("_rep").alias(b_col), F.col("_member").alias("_mb"))
+    inter = (
+        rep_pairs.join(ma, a_col)
+        .join(mb, b_col)
+        .select(
+            F.least("_ma", "_mb").alias(a_col),
+            F.greatest("_ma", "_mb").alias(b_col),
+            *score_cols,
+        )
+    )
+    if intra_reps is None:
+        return inter
+    gm = members.join(
+        intra_reps.select(F.col(a_col).alias("_rep")).distinct(), "_rep"
+    )
+    x = gm.select("_rep", F.col("_member").alias("_ma"))
+    y = gm.select("_rep", F.col("_member").alias("_mb"))
+    intra = (
+        x.join(y, "_rep")
+        .where(F.col("_ma") < F.col("_mb"))
+        .select(
+            F.col("_ma").alias(a_col),
+            F.col("_mb").alias(b_col),
+            *[
+                (v if isinstance(v, Column) else F.lit(v)).alias(c)
+                for c, v in (intra_scores or {}).items()
+            ],
+        )
+    )
+    return inter.unionByName(intra)
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 3) -> DataFrame:
@@ -109,8 +186,17 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
 ) -> DataFrame:
-    """LSH candidate pairs (doc_a < doc_b) sharing at least one band."""
-    sig = minhash_signatures(docs, id_col, text_col, w, k)
+    """LSH candidate pairs (doc_a < doc_b) sharing at least one band.
+
+    Collapse-first: signatures and the band join run over one
+    representative per distinct text (see rep_members — candidate volume
+    is quadratic in the duplication factor otherwise), then member pairs
+    expand via equi-joins. Intra-group pairs exist only for groups WITH
+    shingles: docs shorter than w tokens have no signature and produce no
+    pairs in the direct computation either."""
+    base = docs.select(F.col(id_col), F.col(text_col))
+    reps, members = rep_members(base, id_col, [fingerprint(text_col)])
+    sig = minhash_signatures(reps, id_col, text_col, w, k)
     rows_per_band = k // bands
     band_cols = [
         F.concat_ws(
@@ -134,11 +220,16 @@ def minhash_lsh_pairs(
     b = long.select(
         F.col(id_col).alias("doc_b"), F.col("band_idx"), F.col("band_hash")
     )
-    return (
+    rep_pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+    return expand_rep_pairs(
+        rep_pairs, members, "doc_a", "doc_b", [],
+        intra_reps=sig.select(F.col(id_col).alias("doc_a")),
+        intra_scores={},
     )
 
 
@@ -150,10 +241,30 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by w-gram Jaccard >= threshold via inverted index."""
-    sh = doc_shingles(docs, id_col, text_col, w)
+    """Near-dup pairs by w-gram Jaccard >= threshold via inverted index.
+
+    Collapse-first: the inverted index and pair scoring run over one
+    representative per distinct text (posting lists are otherwise d× longer
+    on a corpus with duplication factor d, and the pairs-within-posting-list
+    stage d² bigger — the 100× corpus made this the single worst shuffle in
+    the engine). Jaccard is a pure function of the two texts, so member
+    pairs inherit the rep pair's score; intra-group pairs score exactly 1.0
+    and exist only for groups with ≥1 (post-cap) shingle, matching the
+    direct computation (shingle-less docs never pair). ``max_doc_freq``
+    still counts RAW document frequency — each rep's shingle contributes
+    its group size — so capped shingles are dropped identically."""
+    base = docs.select(F.col(id_col), F.col(text_col))
+    reps, members = rep_members(base, id_col, [fingerprint(text_col)])
+    sh = doc_shingles(reps, id_col, text_col, w)
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        gsize = members.groupBy(F.col("_rep").alias(id_col)).agg(
+            F.count(F.lit(1)).alias("_gsize")
+        )
+        freq = (
+            sh.join(gsize, id_col)
+            .groupBy("shingle")
+            .agg(F.sum("_gsize").alias("df"))
+        )
         sh = sh.join(freq.where(F.col("df") <= max_doc_freq), "shingle").select(
             id_col, "shingle"
         )
@@ -168,7 +279,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    return (
+    rep_pairs = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -183,6 +294,11 @@ def ngram_jaccard_pairs(
         # round only for the output column.
         .where(F.col("_jaccard_raw") >= threshold)
         .select("doc_a", "doc_b", F.round("_jaccard_raw", 6).alias("jaccard"))
+    )
+    return expand_rep_pairs(
+        rep_pairs, members, "doc_a", "doc_b", ["jaccard"],
+        intra_reps=sizes.select(F.col(id_col).alias("doc_a")),
+        intra_scores={"jaccard": 1.0},
     )
 
 
@@ -242,7 +358,15 @@ def simhash_neardup_pairs(
     """
     if k >= bands:
         raise ValueError(f"exact recall needs k < bands (got k={k}, bands={bands})")
-    fp = simhash_fingerprints(docs, id_col, text_col)
+    # Collapse-first (see rep_members): identical texts share every band
+    # byte, so a duplication factor d inflates band buckets d× and the
+    # candidate join d² — fingerprint and band-join one rep per distinct
+    # text instead, then expand. Every doc has a fingerprint (empty/null
+    # text folds to 0), so every group qualifies for intra-group pairs
+    # (hamming 0 <= k always).
+    base = docs.select(F.col(id_col), F.col(text_col))
+    reps, members = rep_members(base, id_col, [fingerprint(text_col)])
+    fp = simhash_fingerprints(reps, id_col, text_col)
     band_width = 32 // bands
     mask = (1 << band_width) - 1
     stack_expr = ", ".join(
@@ -261,7 +385,7 @@ def simhash_neardup_pairs(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"),
         "band_idx", "band_byte",
     )
-    return (
+    rep_pairs = (
         a.join(b, ["band_idx", "band_byte"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
@@ -271,6 +395,11 @@ def simhash_neardup_pairs(
         )
         .where(F.col("hamming") <= k)
         .select("doc_a", "doc_b", "hamming")
+    )
+    return expand_rep_pairs(
+        rep_pairs, members, "doc_a", "doc_b", ["hamming"],
+        intra_reps=fp.select(F.col(id_col).alias("doc_a")),
+        intra_scores={"hamming": F.lit(0).cast("bigint")},
     )
 
 

@@ -89,27 +89,41 @@ WHERE list_dot_product(a.emb, b.emb) / NULLIF(a.nrm * b.nrm, 0) >= 0.3
 
 @register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE, tags=("vector", "dedup", "bench"), survey_ref="embedding near-dup (mandate)")
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact label-blocked pair scoring, collapse-first: the all-pairs
+    kernel runs over one representative per distinct (label, embedding) —
+    cosine is a pure function of the two vectors, so member pairs inherit
+    the rep pair's score and verbatim copies pair at exactly 1.0 (see
+    operators.dedup.rep_members for why this matters on duplication-heavy
+    corpora). Still quadratic in DISTINCT vectors per label — this is the
+    oracle baseline; embedding_neardup_lsh is the scale path."""
     from vectra_player_spark.functions.vectors import dot, norm
+    from vectra_player_spark.operators.dedup import expand_rep_pairs, rep_members
 
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("emb"),
     ).withColumn("nrm", norm("emb"))
-    a = emb.select(
+    reps, members = rep_members(emb, "vec_id", ["label", "emb"])
+    a = reps.select(
         F.col("vec_id").alias("vec_a"), "label",
         F.col("emb").alias("emb_a"), F.col("nrm").alias("n_a"),
     )
-    b = emb.select(
+    b = reps.select(
         F.col("vec_id").alias("vec_b"), "label",
         F.col("emb").alias("emb_b"), F.col("nrm").alias("n_b"),
     )
     sim = dot("emb_a", "emb_b") / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0))
-    return (
+    rep_pairs = (
         a.join(b, "label")
         .where(F.col("vec_a") < F.col("vec_b"))
         .where(sim >= 0.3)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
+    )
+    return expand_rep_pairs(
+        rep_pairs, members, "vec_a", "vec_b", ["cosine_sim"],
+        intra_reps=reps.where(F.col("nrm") > 0).select(F.col("vec_id").alias("vec_a")),
+        intra_scores={"cosine_sim": 1.0},
     )
 
 
@@ -189,9 +203,18 @@ def _lsh_neardup_pairs(base: DataFrame) -> DataFrame:
     explode (band, bucket) keys → equi-join candidates on (label, band,
     bucket) → distinct id pairs → re-join embeddings for the exact cosine
     kernel. Every join is equi-keyed so the plan survives 100 TB — no
-    OR-join, no per-label cartesian."""
-    from vectra_player_spark.functions.vectors import dot
+    OR-join, no per-label cartesian.
 
+    Collapse-first: identical vectors land in the same bucket of EVERY
+    band, so a duplication factor d inflates bucket population d× and the
+    candidate join d² (the 100× verbatim-duplicated corpus exhausted local
+    disk through this stage). Bucketing and the cosine kernel run over one
+    representative per distinct (label, embedding); member pairs expand at
+    the end (cosine is content-determined, so scores carry over exactly)."""
+    from vectra_player_spark.functions.vectors import dot
+    from vectra_player_spark.operators.dedup import expand_rep_pairs, rep_members
+
+    base, members = rep_members(base, "vec_id", ["label", "emb"])
     keyed = base.select(
         "vec_id",
         "label",
@@ -210,7 +233,7 @@ def _lsh_neardup_pairs(base: DataFrame) -> DataFrame:
         .distinct()
     )
     sim = dot("emb_a", "emb_b") / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0))
-    return (
+    rep_pairs = (
         cand.join(
             base.select(F.col("vec_id").alias("vec_a"),
                         F.col("emb").alias("emb_a"), F.col("nrm").alias("n_a")),
@@ -223,6 +246,11 @@ def _lsh_neardup_pairs(base: DataFrame) -> DataFrame:
         )
         .where(sim >= 0.3)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
+    )
+    return expand_rep_pairs(
+        rep_pairs, members, "vec_a", "vec_b", ["cosine_sim"],
+        intra_reps=base.where(F.col("nrm") > 0).select(F.col("vec_id").alias("vec_a")),
+        intra_scores={"cosine_sim": 1.0},
     )
 
 

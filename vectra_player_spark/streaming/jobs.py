@@ -154,6 +154,43 @@ def windowed_event_rates(stream: DataFrame, window: str = "1 second") -> DataFra
     )
 
 
+def annotate_trades_stream(
+    actions: DataFrame,
+    ticks: DataFrame,
+    tolerance_seconds: int = 5,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """T7 live form: stream-stream interval join — each trade action picks
+    up the tick-stream price observed within `tolerance_seconds` BEFORE it
+    (the reference annotates trades against the most recent sanitized tick,
+    rugs-sanitizer/src/trade_annotator.py:17-101; live it has both feeds in
+    flight at once, which in Spark is exactly a watermarked stream-stream
+    join).
+
+    Both inputs need an `event_time` timestamp column. The equi-key
+    (game_id) plus the bounded time-range condition lets Spark size the
+    join state from the watermarks and evict eagerly — state stays
+    O(rate × tolerance) per game regardless of stream length, which is
+    what makes this safe on an unbounded feed. A trade may match several
+    ticks inside the tolerance; keep the latest downstream with a
+    max_by/group pass if single-row output is needed (deterministic,
+    unlike relying on emission order).
+    """
+    t = ticks.select(
+        F.col("game_id").alias("t_game_id"),
+        F.col("event_time").alias("tick_time"),
+        "price",
+        "tick",
+    ).withWatermark("tick_time", watermark)
+    a = actions.withWatermark("event_time", watermark)
+    cond = (
+        (a.game_id == t.t_game_id)
+        & (t.tick_time <= a.event_time)
+        & (t.tick_time >= a.event_time - F.expr(f"INTERVAL {tolerance_seconds} SECONDS"))
+    )
+    return a.join(t, cond, "inner").drop("t_game_id")
+
+
 def annotate_trades(actions: DataFrame, phases: DataFrame) -> DataFrame:
     """T7: trade annotation — join player actions to the phase-stamped
     stream; sells during RUGGED are forced sells
