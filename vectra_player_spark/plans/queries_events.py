@@ -827,6 +827,118 @@ def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interval_concurrency_prefix",
+    oracle=_RANGE_JOIN_ORACLE,
+    tags=("events",),
+    survey_ref="range/interval join scale path #2: distributed prefix-sum",
+)
+def interval_concurrency_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as interval_range_join WITHOUT enumerating matched
+    pairs: n_concurrent = #events in [start,end] − #own events in
+    [start,end], each via an order-statistics prefix count — so the cost
+    is O(n) + sort shuffles instead of output-pair enumeration. At 100×
+    the bucketed equi-join spends 90 s enumerating ~10⁴× more matched
+    pairs; this form only ever touches each event twice (one global
+    two-level prefix, one per-user prefix).
+
+    Mechanics: every event is a point (kind 1); every session contributes
+    a start boundary (kind 0) and an end boundary (kind 2). Sorting by
+    (ts, kind) makes a running event-count read at a start boundary count
+    events STRICTLY before it and at an end boundary count events ≤ it —
+    exactly BETWEEN semantics. The global running count uses a two-level
+    prefix (per-time-bucket running sums + a cumulative over the tiny
+    bucket-count relation) so no window ever sees a single global
+    partition; the per-user count is an ordinary per-user window."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) >= 3600)
+    ).cast("int")
+    sess = ev.select(
+        "user_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_no"),
+        F.unix_micros("ts").alias("eus"),
+    )
+    iv = sess.groupBy("user_id", "session_no").agg(
+        F.min("eus").alias("start_us"), F.max("eus").alias("end_us")
+    )
+    points = (
+        ev.select(
+            F.unix_micros("ts").alias("ts_us"),
+            F.lit(1).alias("kind"),
+            "user_id",
+            F.lit(None).cast("bigint").alias("session_no"),
+        )
+        .unionByName(
+            iv.select(
+                F.col("start_us").alias("ts_us"), F.lit(0).alias("kind"),
+                "user_id", "session_no",
+            )
+        )
+        .unionByName(
+            iv.select(
+                F.col("end_us").alias("ts_us"), F.lit(2).alias("kind"),
+                "user_id", "session_no",
+            )
+        )
+    )
+    bkt = _RANGE_BUCKET_US
+    is_event = F.when(F.col("kind") == 1, 1).otherwise(0)
+    pts = points.withColumn("bucket", (F.col("ts_us") / bkt).cast("bigint"))
+    in_bucket = Window.partitionBy("bucket").orderBy("ts_us", "kind").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    per_user = Window.partitionBy("user_id").orderBy("ts_us", "kind").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    counted = pts.select(
+        "ts_us", "kind", "user_id", "session_no", "bucket",
+        F.sum(is_event).over(in_bucket).cast("bigint").alias("g_local"),
+        F.sum(is_event).over(per_user).cast("bigint").alias("u_count"),
+    )
+    # Cumulative events per bucket over the (tiny) bucket relation: the
+    # single-partition window runs over |buckets| rows, never over events.
+    bucket_tot = pts.groupBy("bucket").agg(
+        F.sum(is_event).cast("bigint").alias("n_ev")
+    )
+    prior = (
+        F.sum("n_ev")
+        .over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1))
+    )
+    bucket_prior = bucket_tot.select(
+        "bucket", F.coalesce(prior, F.lit(0)).cast("bigint").alias("g_prior")
+    )
+    bounds = (
+        counted.where(F.col("kind") != 1)
+        .join(bucket_prior, "bucket")
+        .select(
+            "user_id", "session_no", "kind",
+            (F.col("g_prior") + F.col("g_local")).alias("g_count"),
+            "u_count",
+        )
+    )
+    agg = bounds.groupBy("user_id", "session_no").agg(
+        F.max(F.when(F.col("kind") == 0, F.col("g_count"))).alias("g_start"),
+        F.max(F.when(F.col("kind") == 2, F.col("g_count"))).alias("g_end"),
+        F.max(F.when(F.col("kind") == 0, F.col("u_count"))).alias("u_start"),
+        F.max(F.when(F.col("kind") == 2, F.col("u_count"))).alias("u_end"),
+    )
+    n_conc = (
+        (F.col("g_end") - F.col("g_start")) - (F.col("u_end") - F.col("u_start"))
+    ).cast("bigint")
+    return (
+        agg.select("user_id", "session_no", n_conc.alias("n_concurrent"))
+        # the pair-join form is INNER: zero-concurrency sessions don't appear
+        .where(F.col("n_concurrent") > 0)
+    )
+
+
 # --------------------------------------------------------------------------
 # EWMA (RiskMetrics lambda=0.94) over a bounded 20-tap window. The
 # recursive EWMA is not window-expressible, but the N-tap truncation is an
