@@ -184,6 +184,7 @@ _BNLJ_ALLOWED = {
     "knn_ivf_cosine",
     "rag_retrieval_context",  # brute_force_topk's 5-query broadcast side
     "knn_ivf_kmeans_recall",
+    "knn_pq_adc_recall",
     "monte_carlo_summary",
     "optimal_entry_window",
     "strategy_best_config",

@@ -109,6 +109,149 @@ def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
     )
 
 
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the D-dim vector splits into m
+    subvectors of D/m dims; each subspace gets its own n_codes-centroid
+    k-means (Spark ML, distributed). Returns codebook[m][n_codes][D/m] —
+    model parameters, driver-small by construction (m × n_codes × D/m
+    floats; 8×16×8 = 1k doubles here). At 100 TB you train on a sample
+    (``sample_fraction``) — codebook quality converges long before the
+    full corpus is seen."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    base = (
+        vectors.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction
+        else vectors
+    )
+    books = []
+    for j in range(m):
+        sub = base.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), j * d + 1, d)
+            ).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + j, maxIter=max_iter).fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def _arr_lit(vals) -> str:
+    if isinstance(vals[0], (list, tuple)):
+        return "array(" + ",".join(_arr_lit(v) for v in vals) + ")"
+    return "array(" + ",".join(repr(float(v)) for v in vals) + ")"
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>, vhat_norm): per-subspace nearest-codeword
+    assignment, entirely map-side — the codebook inlines as literal arrays
+    into one whole-stage-codegen expression (argmin via an ``aggregate``
+    fold over code ids), so encoding shuffles NOTHING at any scale.
+    vhat_norm = ‖decoded vector‖ (subspace norms concatenate) is stored so
+    ADC scoring never reconstructs the vector."""
+    m = len(codebook)
+    n_codes = len(codebook[0])
+    d = len(codebook[0][0])
+    v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    code_cols = []
+    for j in range(m):
+        cb = _arr_lit(codebook[j])
+        sub = f"slice({v}, {j * d + 1}, {d})"
+        dist = (
+            f"aggregate(zip_with({sub}, element_at({cb}, c + 1), "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (a, t) -> a + t)"
+        )
+        argmin = (
+            f"aggregate(sequence(0, {n_codes - 1}), "
+            "named_struct('bd', CAST('Infinity' AS DOUBLE), 'bc', -1), "
+            f"(acc, c) -> CASE WHEN {dist} < acc.bd "
+            f"THEN named_struct('bd', {dist}, 'bc', c) ELSE acc END).bc"
+        )
+        code_cols.append(F.expr(argmin).alias(f"_c{j}"))
+    coded = vectors.select(F.col(id_col), *code_cols)
+    sq = [
+        [sum(x * x for x in c) for c in codebook[j]] for j in range(m)
+    ]  # ‖centroid‖² lookup per (subspace, code)
+    norm_expr = " + ".join(
+        f"element_at({_arr_lit(sq[j])}, _c{j} + 1)" for j in range(m)
+    )
+    return coded.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
+        F.expr(f"sqrt({norm_expr})").alias("vhat_norm"),
+    )
+
+
+def pq_topk_adc(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: candidates exist ONLY as
+    m-byte code arrays (the 100 TB win — a 64-dim float vector compresses
+    32×), queries stay exact. cos(q, v) ≈ Σⱼ q_subⱼ·codebook[j][codeⱼ] /
+    (‖q‖·‖v̂‖); the per-subspace dot against the code's centroid is a
+    literal-array lookup fused into codegen — the classic ADC lookup
+    table, expressed declaratively. One broadcast join (query side is
+    small), one window for per-query top-k; the codes scan is the only
+    data-sized stage."""
+    from vectra_player_spark.functions.vectors import norm
+
+    m = len(codebook)
+    d = len(codebook[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        norm(vec_col).alias("q_norm"),
+    )
+    dot_terms = " + ".join(
+        (
+            f"aggregate(zip_with(slice(q_vec, {j * d + 1}, {d}), "
+            f"element_at({_arr_lit(codebook[j])}, element_at(codes, {j + 1}) + 1), "
+            "(x, y) -> x * y), 0.0D, (a, t) -> a + t)"
+        )
+        for j in range(m)
+    )
+    sim = F.expr(f"({dot_terms})") / F.nullif(
+        F.col("q_norm") * F.col("vhat_norm"), F.lit(0.0)
+    )
+    scored = (
+        F.broadcast(q)
+        .join(codes.withColumnRenamed(id_col, "neighbor_id"), F.lit(True))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -312,6 +312,45 @@ def knn_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_pq_adc_recall",
+    oracle=None,
+    tags=("vector",),
+    survey_ref="V4 compression tier: product quantization + asymmetric distance",
+)
+def knn_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64-dim float vectors compress to 8 one-byte
+    codes (32× storage; 4-bit packing doubles it), queries score against
+    codes alone via asymmetric distance (operators/knn.pq_train/encode/
+    topk_adc — all map-side codegen, no shuffle before the final top-k).
+    One row: recall@10 of PQ-ADC vs exact brute force over 50 queries,
+    with the compression ratio. Rows-only (k-means codebooks are
+    seed-dependent); tests pin a recall floor. The same caveat as IVF
+    applies: near-uniform synthetic embeddings are quantization's worst
+    case, so the measured recall here is the lower bound of the
+    technique, not its typical value on clustered corpora."""
+    from vectra_player_spark.operators.knn import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+        recall_at_k,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    exact = brute_force_topk(queries, emb, k=10)
+    cb = pq_train(emb, m=8, n_codes=64, max_iter=8)
+    codes = pq_encode(emb, cb)
+    approx = pq_topk_adc(queries, codes, cb, k=10)
+    return recall_at_k(exact, approx).select(
+        "*",
+        F.lit(10).alias("k"),
+        F.lit(8).alias("m_subspaces"),
+        F.lit(64).alias("n_codes"),
+        F.lit(32.0).alias("compression_x"),
+    )
+
+
 @register("knn_ivf_cosine", oracle=None, tags=("vector",), survey_ref="V4 scale path")
 def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate IVF top-k (coarse cells = per-label centroids); rows-only
