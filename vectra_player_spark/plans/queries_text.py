@@ -1022,6 +1022,17 @@ WHERE levenshtein(a.prefix, b.prefix) <= {_FUZZY_MAX_DIST}
     survey_ref="F8 string-function breadth (edit distance); D-family char-level near-dup",
 )
 def doc_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse-first (operators.dedup.rep_members): the operator's score
+    depends only on (lang, source, len_bkt, prefix), so rows identical on
+    that tuple collapse to one representative before the quadratic
+    within-block Levenshtein kernel — on the 100× verbatim-duplicated
+    corpus this was the last d²-in-duplication pair stage (200 s → the
+    DP kernel now runs once per distinct prefix pair). Rows with a NULL
+    block key or prefix produce no pairs in the direct form (`=` and
+    `levenshtein` are null-rejecting), so they are filtered before the
+    collapse rather than grouped."""
+    from vectra_player_spark.operators.dedup import expand_rep_pairs, rep_members
+
     docs = t(spark, sf_dir, "documents")
     p = docs.select(
         "doc_id",
@@ -1029,11 +1040,17 @@ def doc_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("n_chars") / 64).cast("bigint").alias("len_bkt"),
         F.substring("text", 1, _FUZZY_PREFIX_LEN).alias("prefix"),
+    ).where(
+        F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("len_bkt").isNotNull()
+        & F.col("prefix").isNotNull()
     )
-    a = p.alias("a")
-    b = p.alias("b")
+    reps, members = rep_members(p, "doc_id", ["lang", "source", "len_bkt", "prefix"])
+    a = reps.alias("a")
+    b = reps.alias("b")
     dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -1047,4 +1064,9 @@ def doc_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             dist.cast("bigint").alias("edit_dist"),
         )
+    )
+    return expand_rep_pairs(
+        rep_pairs, members, "doc_a", "doc_b", ["edit_dist"],
+        intra_reps=reps.select(F.col("doc_id").alias("doc_a")),
+        intra_scores={"edit_dist": F.lit(0).cast("bigint")},
     )
