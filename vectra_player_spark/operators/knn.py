@@ -162,31 +162,36 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int>, vhat_norm): per-subspace nearest-codeword
-    assignment, entirely map-side — the codebook inlines as literal arrays
-    into one whole-stage-codegen expression (argmin via an ``aggregate``
-    fold over code ids), so encoding shuffles NOTHING at any scale.
+    assignment, entirely map-side and lambda-free — every per-code score
+    UNROLLS into literal-coefficient scalar arithmetic (codebooks are
+    small fixed constants, so the full argmin is plain whole-stage-codegen
+    multiply-adds; higher-order-function lambdas cost a closure call per
+    element, ~10× slower at corpus scale). argmin over codes uses the
+    expanded form ‖s−c‖² = ‖s‖² − 2s·c + ‖c‖²: the ‖s‖² term is constant
+    across codes and drops out. Ties resolve to the lowest code id
+    (array_position finds the first minimum; equality compares the
+    identical computed double, so it's exact). Encoding shuffles NOTHING.
     vhat_norm = ‖decoded vector‖ (subspace norms concatenate) is stored so
     ADC scoring never reconstructs the vector."""
     m = len(codebook)
-    n_codes = len(codebook[0])
     d = len(codebook[0][0])
     v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     code_cols = []
     for j in range(m):
-        cb = _arr_lit(codebook[j])
-        sub = f"slice({v}, {j * d + 1}, {d})"
-        dist = (
-            f"aggregate(zip_with({sub}, element_at({cb}, c + 1), "
-            "(x, y) -> (x - y) * (x - y)), 0.0D, (a, t) -> a + t)"
-        )
-        argmin = (
-            f"aggregate(sequence(0, {n_codes - 1}), "
-            "named_struct('bd', CAST('Infinity' AS DOUBLE), 'bc', -1), "
-            f"(acc, c) -> CASE WHEN {dist} < acc.bd "
-            f"THEN named_struct('bd', {dist}, 'bc', c) ELSE acc END).bc"
-        )
-        code_cols.append(F.expr(argmin).alias(f"_c{j}"))
-    coded = vectors.select(F.col(id_col), *code_cols)
+        per_code = []
+        for c in codebook[j]:
+            dot = " + ".join(
+                f"element_at({v}, {j * d + 1 + kk}) * {float(c[kk])!r}D"
+                for kk in range(d)
+            )
+            c2 = sum(x * x for x in c)
+            per_code.append(f"(-2.0D * ({dot}) + {float(c2)!r}D)")
+        dists = "array(" + ",".join(per_code) + ")"
+        argmin = f"CAST(array_position(_d{j}, array_min(_d{j})) AS INT) - 1"
+        code_cols.append((F.expr(dists).alias(f"_d{j}"), F.expr(argmin).alias(f"_c{j}")))
+    coded = vectors.select(
+        F.col(id_col), *[dc[0] for dc in code_cols]
+    ).select(F.col(id_col), *[dc[1] for dc in code_cols])
     sq = [
         [sum(x * x for x in c) for c in codebook[j]] for j in range(m)
     ]  # ‖centroid‖² lookup per (subspace, code)
@@ -211,29 +216,40 @@ def pq_topk_adc(
     """Approximate top-k by asymmetric distance: candidates exist ONLY as
     m-byte code arrays (the 100 TB win — a 64-dim float vector compresses
     32×), queries stay exact. cos(q, v) ≈ Σⱼ q_subⱼ·codebook[j][codeⱼ] /
-    (‖q‖·‖v̂‖); the per-subspace dot against the code's centroid is a
-    literal-array lookup fused into codegen — the classic ADC lookup
-    table, expressed declaratively. One broadcast join (query side is
-    small), one window for per-query top-k; the codes scan is the only
-    data-sized stage."""
+    (‖q‖·‖v̂‖).
+
+    This is the classic ADC split mapped onto the plan: each query row
+    precomputes its m lookup tables (q_subⱼ · every codeword — unrolled
+    literal-coefficient arithmetic, n_codes·D mults per QUERY) BEFORE the
+    broadcast join, so the per-pair cost after the join is m array
+    lookups + one divide — the data-sized stage touches only the code
+    column. One broadcast join, one window for per-query top-k."""
     from vectra_player_spark.functions.vectors import norm
 
     m = len(codebook)
     d = len(codebook[0][0])
+    qv = "CAST(q_vec AS ARRAY<DOUBLE>)"
+    tbl_cols = []
+    for j in range(m):
+        per_code = []
+        for c in codebook[j]:
+            dot = " + ".join(
+                f"element_at({qv}, {j * d + 1 + kk}) * {float(c[kk])!r}D"
+                for kk in range(d)
+            )
+            per_code.append(f"({dot})")
+        tbl_cols.append(
+            F.expr("array(" + ",".join(per_code) + ")").alias(f"_t{j}")
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
         norm(vec_col).alias("q_norm"),
+    ).select("query_id", "q_norm", *tbl_cols)
+    lookup = " + ".join(
+        f"element_at(_t{j}, element_at(codes, {j + 1}) + 1)" for j in range(m)
     )
-    dot_terms = " + ".join(
-        (
-            f"aggregate(zip_with(slice(q_vec, {j * d + 1}, {d}), "
-            f"element_at({_arr_lit(codebook[j])}, element_at(codes, {j + 1}) + 1), "
-            "(x, y) -> x * y), 0.0D, (a, t) -> a + t)"
-        )
-        for j in range(m)
-    )
-    sim = F.expr(f"({dot_terms})") / F.nullif(
+    sim = F.expr(f"({lookup})") / F.nullif(
         F.col("q_norm") * F.col("vhat_norm"), F.lit(0.0)
     )
     scored = (

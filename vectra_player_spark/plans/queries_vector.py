@@ -339,7 +339,15 @@ def knn_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
     exact = brute_force_topk(queries, emb, k=10)
-    cb = pq_train(emb, m=8, n_codes=64, max_iter=8)
+    # Codebooks converge on a sample — cap the k-means training set at
+    # ~20k vectors so train cost stays flat as the corpus grows (encode
+    # and ADC remain full-corpus; only the model fit is sampled).
+    n = emb.count()
+    frac = min(1.0, 20_000 / max(n, 1))
+    cb = pq_train(
+        emb, m=8, n_codes=64, max_iter=8,
+        sample_fraction=None if frac >= 1.0 else frac,
+    )
     codes = pq_encode(emb, cb)
     approx = pq_topk_adc(queries, codes, cb, k=10)
     return recall_at_k(exact, approx).select(
