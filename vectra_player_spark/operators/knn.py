@@ -162,31 +162,37 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int>, vhat_norm): per-subspace nearest-codeword
-    assignment, entirely map-side and lambda-free — every per-code score
-    UNROLLS into literal-coefficient scalar arithmetic (codebooks are
-    small fixed constants, so the full argmin is plain whole-stage-codegen
-    multiply-adds; higher-order-function lambdas cost a closure call per
-    element, ~10× slower at corpus scale). argmin over codes uses the
-    expanded form ‖s−c‖² = ‖s‖² − 2s·c + ‖c‖²: the ‖s‖² term is constant
-    across codes and drops out. Ties resolve to the lowest code id
-    (array_position finds the first minimum; equality compares the
-    identical computed double, so it's exact). Encoding shuffles NOTHING.
-    vhat_norm = ‖decoded vector‖ (subspace norms concatenate) is stored so
-    ADC scoring never reconstructs the vector."""
+    assignment, entirely map-side — the codebook inlines as literal arrays
+    into one whole-stage-codegen projection: per-subspace distance array
+    via ``transform`` over the expanded form ‖s−c‖² = ‖s‖² − 2s·c + ‖c‖²
+    (the ‖s‖² term is code-invariant and drops out), then argmin as
+    array_min + first array_position (ties resolve to the lowest code id;
+    the equality compares the identical computed double, so it's exact).
+    Encoding shuffles NOTHING at any scale.
+
+    Deliberately HOF-based, not unrolled: fully unrolling the m·n_codes·d
+    multiply-adds into literal scalar expressions measured ~4× faster on
+    executors but the resulting plan + generated code exhausted a
+    default-memory (1 g) driver — the driver harness's session must
+    survive, so the small-tree form wins. vhat_norm = ‖decoded vector‖
+    (subspace norms concatenate) is stored so ADC never reconstructs."""
     m = len(codebook)
     d = len(codebook[0][0])
     v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     code_cols = []
     for j in range(m):
-        per_code = []
-        for c in codebook[j]:
-            dot = " + ".join(
-                f"element_at({v}, {j * d + 1 + kk}) * {float(c[kk])!r}D"
-                for kk in range(d)
-            )
-            c2 = sum(x * x for x in c)
-            per_code.append(f"(-2.0D * ({dot}) + {float(c2)!r}D)")
-        dists = "array(" + ",".join(per_code) + ")"
+        # Per code c: -2·(s·c) + ‖c‖², with ‖c‖² precomputed driver-side
+        # and zipped alongside the centroid (struct of vec + sq).
+        cb_structs = "array(" + ",".join(
+            f"named_struct('v', {_arr_lit(c)}, 'sq', {float(sum(x * x for x in c))!r}D)"
+            for c in codebook[j]
+        ) + ")"
+        sub = f"slice({v}, {j * d + 1}, {d})"
+        dists = (
+            f"transform({cb_structs}, cc -> "
+            f"-2.0D * aggregate(zip_with({sub}, cc.v, (x, y) -> x * y), "
+            "0.0D, (a, t) -> a + t) + cc.sq)"
+        )
         argmin = f"CAST(array_position(_d{j}, array_min(_d{j})) AS INT) - 1"
         code_cols.append((F.expr(dists).alias(f"_d{j}"), F.expr(argmin).alias(f"_c{j}")))
     coded = vectors.select(
@@ -229,18 +235,17 @@ def pq_topk_adc(
     m = len(codebook)
     d = len(codebook[0][0])
     qv = "CAST(q_vec AS ARRAY<DOUBLE>)"
-    tbl_cols = []
-    for j in range(m):
-        per_code = []
-        for c in codebook[j]:
-            dot = " + ".join(
-                f"element_at({qv}, {j * d + 1 + kk}) * {float(c[kk])!r}D"
-                for kk in range(d)
-            )
-            per_code.append(f"({dot})")
-        tbl_cols.append(
-            F.expr("array(" + ",".join(per_code) + ")").alias(f"_t{j}")
-        )
+    # Lookup tables build per QUERY row (n_codes·D multiply-adds each, on
+    # the tiny broadcast side) — HOF trees keep the plan driver-safe; the
+    # per-element lambda cost is irrelevant at query-set cardinality.
+    tbl_cols = [
+        F.expr(
+            f"transform({_arr_lit(codebook[j])}, cc -> "
+            f"aggregate(zip_with(slice({qv}, {j * d + 1}, {d}), cc, "
+            "(x, y) -> x * y), 0.0D, (a, t) -> a + t))"
+        ).alias(f"_t{j}")
+        for j in range(m)
+    ]
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
