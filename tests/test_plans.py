@@ -185,7 +185,6 @@ _BNLJ_ALLOWED = {
     "rag_retrieval_context",  # brute_force_topk's 5-query broadcast side
     "knn_ivf_kmeans_recall",
     "knn_pq_adc_recall",
-    "monte_carlo_summary",
     "optimal_entry_window",
     "strategy_best_config",
     "strategy_grid_sweep",

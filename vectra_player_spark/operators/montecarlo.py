@@ -92,7 +92,17 @@ def simulate_iterations(
 
 def summarize_simulation(per_iteration: DataFrame, starting_bankroll: float = 100.0) -> DataFrame:
     """Aggregate metrics block: mean/median/std, P(profit), P(ruin), VaR/CVaR
-    (analyzers/monte_carlo.py aggregate section)."""
+    (analyzers/monte_carlo.py aggregate section).
+
+    Single pass over the simulation: CVaR95 needs the VaR95 threshold, and a
+    naive second aggregate would re-run the whole mapInPandas sim (it did, and
+    it doubled the query's wall clock). Instead the one agg also collects the
+    final bankrolls into an array on the single stats row, and CVaR is a HOF
+    fold over that array. Memory bound: n_iterations doubles on one row —
+    identical to what exact ``percentile()`` already buffers per group, so
+    this adds no new scale ceiling (at 1e6+ iterations switch both to
+    ``percentile_approx`` and a re-aggregation pass).
+    """
     fb = F.col("final_bankroll")
     profit = fb - starting_bankroll
     base = per_iteration.agg(
@@ -105,16 +115,23 @@ def summarize_simulation(per_iteration: DataFrame, starting_bankroll: float = 10
         F.expr("percentile(final_bankroll, 0.05)").alias("_var95"),
         F.round(F.avg("max_drawdown"), 6).alias("mean_max_drawdown"),
         F.round(F.avg("n_wins"), 6).alias("mean_wins"),
+        F.collect_list(fb).alias("_fbs"),
     )
-    # CVaR95 = mean of the tail at or below VaR95 — second pass against the
-    # (one-row) stats, broadcast so the per-iteration side never reshuffles.
-    tail = (
-        per_iteration.crossJoin(F.broadcast(base.select("_var95")))
-        .where(fb <= F.col("_var95"))
-        .agg(F.round(F.avg(fb), 6).alias("cvar95"))
+    tail_mean = F.expr(
+        "aggregate(filter(_fbs, x -> x <= _var95), "
+        "named_struct('s', 0D, 'n', 0L), "
+        "(a, x) -> named_struct('s', a.s + x, 'n', a.n + 1), "
+        "a -> CASE WHEN a.n > 0 THEN a.s / a.n END)"
     )
-    return (
-        base.crossJoin(tail)
-        .withColumn("var95", F.round(F.col("_var95"), 6))
-        .drop("_var95")
+    return base.select(
+        "n_iterations",
+        "mean_final",
+        "median_final",
+        "std_final",
+        "p_profit",
+        "p_ruin",
+        "mean_max_drawdown",
+        "mean_wins",
+        F.round(tail_mean, 6).alias("cvar95"),
+        F.round(F.col("_var95"), 6).alias("var95"),
     )
