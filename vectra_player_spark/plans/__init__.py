@@ -23,6 +23,7 @@ from vectra_player_spark.plans import (  # noqa: E402,F401
     queries_multimodal,
     queries_pipeline,
     queries_timeseries,
+    queries_subqueries,
 )
 
 __all__ = ["QUERIES", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -1,0 +1,162 @@
+"""Correlated-subquery surface (SURVEY §2.4 J-family extensions).
+
+The reference's SQL layer accepts arbitrary DuckDB SQL, including
+EXISTS / NOT EXISTS predicates and correlated scalar subqueries
+(src/services/event_store/duckdb.py exposes raw `query(sql)`); the engine
+must therefore run the same shapes. PySpark's DataFrame API has no
+subquery-expression surface, so these plans are declared in Spark SQL over
+temp views — the Spark-first answer, because Catalyst *decorrelates* them
+(RewritePredicateSubquery → left-semi/anti joins with mixed equi + range
+conditions; RewriteCorrelatedScalarSubquery → aggregate-then-join), which
+is exactly the distributed plan you'd hand-write. test_plans pins the
+decorrelated shapes (no CartesianProduct / BNLJ).
+
+Float discipline: every threshold comparison is spelled in exact DECIMAL
+arithmetic (`x * n > sum`, never `x > sum/n`) so the Spark and DuckDB
+sides cannot disagree on a boundary row by one double ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vectra_player_spark.plans.registry import register
+from vectra_player_spark.tables import t
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    # Session-scoped temp views over the cached table plans: re-registering
+    # per call keeps the query correct when one session sweeps several
+    # sf_dirs (tests at sf0.001, the driver harness at sf0.01).
+    for name in names:
+        t(spark, sf_dir, name).createOrReplaceTempView(f"sq_{name}")
+
+
+# --------------------------------------------------------------------------
+# EXISTS semi (TPC-H Q4 shape): orders in a window having at least one
+# late-shipping lineitem. Correlation is an equi key (l_orderkey) PLUS a
+# non-equi condition on the outer column (shipdate > orderdate + 60d) —
+# Catalyst rewrites to a left-semi hash join with the range residual.
+# --------------------------------------------------------------------------
+
+_EXISTS_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "exists_late_shipments",
+    oracle=_EXISTS_ORACLE,
+    tags=("relational", "subquery"),
+    survey_ref="J2,P4 (EXISTS decorrelation)",
+)
+def exists_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM sq_orders
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM sq_lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL '60' DAY
+          )
+        GROUP BY o_orderpriority
+    """)
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subqueries (TPC-H Q17 shape): lineitems below half the
+# per-part average quantity. The avg comparison is rewritten into exact
+# integers/decimals (2*qty*cnt < sum) — equivalent for cnt > 0 — so both
+# engines decide each boundary row identically. Catalyst turns each scalar
+# subquery into a per-part aggregate joined back on l_partkey.
+# --------------------------------------------------------------------------
+
+_SCALAR_ORACLE = """
+SELECT l1.l_returnflag, COUNT(*) AS n_small,
+  CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS small_qty_revenue
+FROM lineitem l1
+WHERE CAST(l1.l_quantity AS DECIMAL(18,6)) * 2
+        * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+       FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY l1.l_returnflag
+"""
+
+
+@register(
+    "scalar_subquery_small_qty",
+    oracle=_SCALAR_ORACLE,
+    tags=("relational", "subquery"),
+    survey_ref="J1,A3 (correlated scalar decorrelation)",
+)
+def scalar_subquery_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT l1.l_returnflag, COUNT(*) AS n_small,
+          CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS small_qty_revenue
+        FROM sq_lineitem l1
+        WHERE CAST(l1.l_quantity AS DECIMAL(18,6)) * 2
+                * (SELECT COUNT(*) FROM sq_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+            < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+               FROM sq_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l1.l_returnflag
+    """)
+
+
+# --------------------------------------------------------------------------
+# NOT EXISTS anti + uncorrelated scalar threshold (TPC-H Q22 shape):
+# above-average-balance customers with no orders in the lake's final months.
+# The scalar aggregates run once as a broadcast subquery result; NOT EXISTS
+# becomes a left-anti join with the date residual pushed into the scan.
+# --------------------------------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+FROM customer c
+WHERE CAST(c.c_acctbal AS DECIMAL(18,6))
+        * (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+    > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  )
+GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "not_exists_lapsed_customers",
+    oracle=_ANTI_ORACLE,
+    tags=("relational", "subquery"),
+    survey_ref="J6,A3 (NOT EXISTS decorrelation)",
+)
+def not_exists_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+          CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+        FROM sq_customer c
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,6))
+                * (SELECT COUNT(*) FROM sq_customer c2 WHERE c2.c_acctbal > 0)
+            > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) FROM sq_customer c2 WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM sq_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP_NTZ '2001-01-01 00:00:00'
+          )
+        GROUP BY c.c_mktsegment
+    """)

@@ -109,6 +109,12 @@ PRIORITY: tuple[str, ...] = (
     # Tick→bar OHLC resample (min_by/max_by bar edges + exact-decimal
     # volume) — the time-series downsample family's hard-signal row.
     "ohlc_bars",
+    # Correlated scalar subquery (Q17 shape) — the one subquery form no
+    # other in-cap query's plan contains (Catalyst aggregate-then-join
+    # decorrelation). EXISTS/NOT EXISTS siblings ride mid-block: their
+    # decorrelated semi/anti shapes are in-cap via episode_batch_fetch and
+    # novel_event_detection.
+    "scalar_subquery_small_qty",
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
@@ -120,6 +126,10 @@ PRIORITY: tuple[str, ...] = (
 # still registered and still checked, just last among the oracle-backed
 # set so a truncated harness run spends its budget on unique coverage.
 DEFERRED: tuple[str, ...] = (
+    # O5 top-k family stays in-cap via q3_top_revenue_orders
+    # (TakeOrderedAndProject); the sweep argmax is the same shape over the
+    # in-cap 2100-config relation — demoted for scalar_subquery_small_qty.
+    "strategy_best_config",
     # Same oracle + semantics as in-cap interval_range_join — registered
     # as the enumeration-free scale path (prefix-sum), hash-verified by
     # the local sweep; keeping it out-of-cap preserves the curated 50.
