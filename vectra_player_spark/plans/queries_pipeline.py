@@ -495,3 +495,123 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.md5(scrubbed).alias("scrub_sig"),
     )
+
+
+# --------------------------------------------------------------------------
+# data_quality_report — constraint-validation sweep: referential integrity
+# (FK anti-joins), primary-key uniqueness, null rates, and domain/range
+# checks, one row per named check. The pre-ingest gate a lake pipeline runs
+# before promoting a batch (reference analog: the recorder's validation
+# counters and skip-malformed paths in its JSONL ingest). Scale shape: each
+# check is a single-pass conditional aggregate over one scan — the two FK
+# checks are key-only anti-joins (null-count per key, no row payload moves);
+# everything reduces to one 8-row union of scalar aggregates.
+# --------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT 'customer_acctbal_nonneg' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM customer
+UNION ALL
+SELECT 'customer_pk_unique', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'documents_min_length', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'documents_text_nonempty', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'events_pk_unique', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events_value_nonnull', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'lineitem_discount_range', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 1
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_orderkey_fk', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem_qty_positive', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_custkey_fk', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
+"""
+
+
+@register(
+    "data_quality_report",
+    oracle=_DQ_ORACLE,
+    tags=("pipeline", "quality"),
+    survey_ref="P7 extension: constraint validation report (FK/PK/null/range)",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    docs = t(spark, sf_dir, "documents")
+    ev = t(spark, sf_dir, "events")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+
+    def check(name: str, df: DataFrame, violation) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(violation, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+        ).select("check_name", "n_rows", "n_violations")
+
+    def unique_check(name: str, df: DataFrame, key: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col(key))).cast("bigint").alias("n_violations"),
+        ).select("check_name", "n_rows", "n_violations")
+
+    # FK checks as key-only left joins: only the join keys shuffle, and the
+    # "violation" is a null probe-side key — identical to an anti-join count
+    # but done in one conditional aggregate.
+    li_fk = li.select("l_orderkey").join(
+        orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left"
+    )
+    ord_fk = orders.select("o_custkey").join(
+        cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left"
+    )
+    checks = [
+        check("customer_acctbal_nonneg", cust, F.col("c_acctbal") < 0),
+        unique_check("customer_pk_unique", cust, "c_custkey"),
+        check("documents_min_length", docs, F.col("n_chars") < 100),
+        check(
+            "documents_text_nonempty",
+            docs,
+            F.col("text").isNull() | (F.length("text") == 0),
+        ),
+        unique_check("events_pk_unique", ev, "event_id"),
+        check("events_value_nonnull", ev, F.col("value").isNull()),
+        check(
+            "lineitem_discount_range",
+            li,
+            F.col("l_discount").isNull()
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1),
+        ),
+        check("lineitem_orderkey_fk", li_fk, F.col("o_orderkey").isNull()),
+        check("lineitem_qty_positive", li, F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)),
+        check("orders_custkey_fk", ord_fk, F.col("c_custkey").isNull()),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

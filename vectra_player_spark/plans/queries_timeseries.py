@@ -220,3 +220,81 @@ def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# scd2_user_type_history — slowly-changing-dimension type-2 derivation from
+# an append-only event feed: collapse each user's consecutive run of the
+# same event_type into a version row with [valid_from, valid_to) validity
+# and an is_current flag. This is the CDC→dimension-history op every
+# lakehouse pipeline runs (MERGE-style SCD2); the reference's SQLite
+# storage keeps only current rows (services/rugs-feed/src/storage.py
+# upsert), so the history derivation is the lake-side generalization.
+#
+# Plan shape: the change-flag LAG and the running-sum version id share ONE
+# (user_id → ts, event_id) sort — a single shuffle, two window frames over
+# the same Exchange. The version-level LEAD runs over the already-collapsed
+# relation (|versions| ≪ |events|). At 100 TB: one shuffle of the event
+# feed keyed by user — the minimum any order-dependent derivation needs —
+# then strictly reduced data.
+# --------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version_id
+  FROM flagged
+), versions AS (
+  SELECT user_id, CAST(version_id AS BIGINT) AS version_id, event_type,
+         MIN(epoch_us(ts)) AS valid_from_us, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, version_id, event_type
+)
+SELECT user_id, version_id, event_type, valid_from_us,
+       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version_id) AS valid_to_us,
+       CASE WHEN LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version_id) IS NULL
+            THEN TRUE ELSE FALSE END AS is_current,
+       n_events
+FROM versions
+"""
+
+
+@register(
+    "scd2_user_type_history",
+    oracle=_SCD2_ORACLE,
+    tags=("events", "timeseries", "cdc"),
+    survey_ref="W5,A12 extension: SCD2 temporal versioning (gaps-and-islands)",
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("version_id"),
+    )
+    versions = runs.groupBy("user_id", "version_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version_id")
+    valid_to = F.lead("valid_from_us").over(wv)
+    return versions.select(
+        "user_id",
+        "version_id",
+        "event_type",
+        "valid_from_us",
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )

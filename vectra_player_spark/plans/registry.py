@@ -115,6 +115,14 @@ PRIORITY: tuple[str, ...] = (
     # decorrelated semi/anti shapes are in-cap via episode_batch_fetch and
     # novel_event_detection.
     "scalar_subquery_small_qty",
+    # SCD2 temporal versioning (gaps-and-islands CDC derivation) — a new
+    # family; takes conditional_end_prob's slot (M7's math is computed
+    # inside in-cap kelly_entry_table, which calls the same operator).
+    "scd2_user_type_history",
+    # Constraint-validation report (FK/PK/null/range) — new family; takes
+    # momentum_features' slot (its LAG/rolling shapes are in-cap via
+    # tick_features + feature_matrix).
+    "data_quality_report",
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
@@ -130,6 +138,14 @@ DEFERRED: tuple[str, ...] = (
     # (TakeOrderedAndProject); the sweep argmax is the same shape over the
     # in-cap 2100-config relation — demoted for scalar_subquery_small_qty.
     "strategy_best_config",
+    # M7's conditional-probability operator runs inside in-cap
+    # kelly_entry_table (same conditional_end_probability call) — demoted
+    # for scd2_user_type_history.
+    "conditional_end_prob",
+    # W7/W9/W10 momentum shapes are in-cap via tick_features (shared
+    # window spec) and feature_matrix (same momentum columns) — demoted
+    # for data_quality_report. Still bench-tagged and locally swept.
+    "momentum_features",
     # Same oracle + semantics as in-cap interval_range_join — registered
     # as the enumeration-free scale path (prefix-sum), hash-verified by
     # the local sweep; keeping it out-of-cap preserves the curated 50.
