@@ -117,3 +117,56 @@ class TestIncrementalRollup:
             }
 
         assert fold([0, 1, 2]) == fold([2, 0, 1])
+
+
+class TestScd2History:
+    """scd2_history vs a pandas reference on arbitrary feeds: versions
+    reproduce the (ts, id)-ordered run-length encoding exactly — dense ids,
+    abutting validity, one open version per key, conserved event counts."""
+
+    EVENTS = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),            # user
+            st.integers(min_value=0, max_value=5),            # ts second offset (dups likely)
+            st.sampled_from(["click", "view", "error"]),      # attr
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @given(rows=EVENTS)
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_matches_pandas_rle(self, spark, rows):
+        import pandas as pd
+
+        from vectra_player_spark.operators.windows import scd2_history
+
+        data = [
+            (i, u, pd.Timestamp("2024-01-01").value // 1000 + s * 1_000_000, a)
+            for i, (u, s, a) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            [(i, u, us, a) for i, u, us, a in data],
+            "event_id long, user_id long, us long, event_type string",
+        ).select("event_id", "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "event_type")
+        got = sorted(
+            (r.user_id, r.version_id, r.event_type, r.valid_from_us, r.valid_to_us,
+             r.is_current, r.n_events)
+            for r in scd2_history(df).collect()
+        )
+
+        # pandas reference: sort by (ts, id) per user, run-length encode
+        pdf = pd.DataFrame(data, columns=["event_id", "user_id", "us", "event_type"])
+        want = []
+        for uid, g in pdf.groupby("user_id"):
+            g = g.sort_values(["us", "event_id"])
+            runs = []
+            for _, row in g.iterrows():
+                if not runs or runs[-1]["attr"] != row.event_type:
+                    runs.append({"attr": row.event_type, "from": int(row.us), "n": 0})
+                runs[-1]["n"] += 1
+                runs[-1]["from"] = min(runs[-1]["from"], int(row.us))
+            for i, r in enumerate(runs):
+                nxt = runs[i + 1]["from"] if i + 1 < len(runs) else None
+                want.append((uid, i + 1, r["attr"], r["from"], nxt, nxt is None, r["n"]))
+        assert got == sorted(want)

@@ -112,3 +112,50 @@ def max_drop_per_episode(
             F.round(F.col("drop"), 6).alias("max_drop"),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """SCD2 temporal versioning from an append-only feed (gaps-and-islands):
+    collapse each key's consecutive run of the same attribute value into a
+    version row with [valid_from_us, valid_to_us) validity, is_current on
+    the open version, and the run's event count.
+
+    Plan shape: the change-flag LAG and the running-sum version id share ONE
+    (key → ts, id) sort — a single shuffle, two frames over the same
+    Exchange; the version-level LEAD runs over the collapsed relation
+    (|versions| ≪ |rows|). The total order within a key is (ts, id) so ties
+    on ts are deterministic across engines and retries.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev = F.lag(attr_col).over(w)
+    chg = F.when(prev.isNull() | (prev != F.col(attr_col)), 1).otherwise(0)
+    runs = df.select(
+        key_col,
+        attr_col,
+        ts_col,
+        id_col,
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("version_id"),
+    )
+    versions = runs.groupBy(key_col, "version_id", attr_col).agg(
+        F.min(F.unix_micros(ts_col)).alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy(key_col).orderBy("version_id")
+    valid_to = F.lead("valid_from_us").over(wv)
+    return versions.select(
+        key_col,
+        "version_id",
+        attr_col,
+        "valid_from_us",
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )

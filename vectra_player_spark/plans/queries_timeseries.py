@@ -270,31 +270,82 @@ FROM versions
     survey_ref="W5,A12 extension: SCD2 temporal versioning (gaps-and-islands)",
 )
 def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.operators.windows import scd2_history
+
+    return scd2_history(
+        t(spark, sf_dir, "events"),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        id_col="event_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# gapfill_daily_locf — dense-grid resample with forward fill: per user,
+# generate every day between their first and last 'error' observation and
+# carry the last observed daily value forward across the gaps (LOCF), with
+# an is_gapfilled marker. The missing-bucket interpolation every monitoring
+# and feature pipeline needs before window math (the as-of grid family's
+# F9 sibling, here as pure sequence+explode+window — no join-to-grid UDF).
+#
+# Scale shape: the grid is |user| × span_days rows generated by explode
+# (map-side, no shuffle); ONE user-keyed shuffle serves the left join and
+# the LOCF window. Span is bounded per key, so grid size is output-bound —
+# at 100 TB the same plan gap-fills per (key, month) partition.
+# --------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH obs AS (
+  SELECT user_id, date_trunc('day', ts) AS day, ROUND(MAX(value), 6) + 0.0 AS day_value
+  FROM events WHERE event_type = 'error'
+  GROUP BY user_id, date_trunc('day', ts)
+), bounds AS (
+  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds
+)
+SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+       last_value(o.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       (o.day_value IS NULL) AS is_gapfilled
+FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day
+"""
+
+
+@register(
+    "gapfill_daily_locf",
+    oracle=_GAPFILL_ORACLE,
+    tags=("events", "timeseries"),
+    survey_ref="F9 sibling: dense-grid resample + LOCF forward fill",
+)
+def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("event_type").over(w)
-    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
-    runs = ev.select(
-        "user_id",
-        "event_type",
-        "ts",
-        "event_id",
-        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint")
-        .alias("version_id"),
+    obs = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg((F.round(F.max("value"), 6) + 0.0).alias("day_value"))
     )
-    versions = runs.groupBy("user_id", "version_id", "event_type").agg(
-        F.min(F.unix_micros("ts")).alias("valid_from_us"),
-        F.count(F.lit(1)).alias("n_events"),
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day"),
+        )
     )
-    wv = Window.partitionBy("user_id").orderBy("version_id")
-    valid_to = F.lead("valid_from_us").over(wv)
-    return versions.select(
-        "user_id",
-        "version_id",
-        "event_type",
-        "valid_from_us",
-        valid_to.alias("valid_to_us"),
-        valid_to.isNull().alias("is_current"),
-        "n_events",
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("day_value", ignorenulls=True).over(w).alias("value"),
+            F.col("day_value").isNull().alias("is_gapfilled"),
+        )
     )
