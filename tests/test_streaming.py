@@ -343,3 +343,40 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert rows[6].phase == "RUGGED" and rows[6].rug_count == 1
     assert rows[7].phase == "COOLDOWN" and rows[7].games_seen == 2
     assert rows[8].phase == "ACTIVE"
+
+
+def test_enrich_stream_with_refreshing_dim(spark, tmp_path):
+    """Dimension updated BETWEEN micro-batches must be visible to the next
+    batch: foreachBatch re-reads the dim per batch (a plan-time static join
+    would pin the original snapshot — the documented trap)."""
+    from vectra_player_spark.streaming.jobs import enrich_stream_with_dim
+
+    src = tmp_path / "src"
+    src.mkdir()
+    dim_path = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [("feed-1", "segment_v1")], "session_id string, segment string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    _write_jsonl(src / "a.jsonl", SCENARIO_A)
+    q = enrich_stream_with_dim(
+        read_tick_stream(spark, str(src)), dim_path, "session_id", out, ckpt
+    )
+    try:
+        q.processAllAvailable()
+        # dim changes between batches
+        spark.createDataFrame(
+            [("feed-1", "segment_v2")], "session_id string, segment string"
+        ).write.mode("overwrite").parquet(dim_path)
+        _write_jsonl(src / "b.jsonl", SCENARIO_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    seg = {r.seq: r.segment for r in spark.read.parquet(out).collect()}
+    assert len(seg) == 8
+    assert all(seg[s] == "segment_v1" for s in (1, 2, 3, 4, 5))
+    assert all(seg[s] == "segment_v2" for s in (6, 7, 8))

@@ -201,3 +201,34 @@ def annotate_trades(actions: DataFrame, phases: DataFrame) -> DataFrame:
         "is_forced_sell",
         (F.col("action_type") == "sell") & (F.col("phase") == "RUGGED"),
     )
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim_path: str,
+    key: str,
+    out_path: str,
+    checkpoint: str,
+):
+    """Stream-static enrichment against a SLOWLY-CHANGING dimension.
+
+    A naive ``stream.join(spark.read.parquet(dim_path), ...)`` pins the
+    static side's file listing at PLAN time — dimension updates written
+    after the stream starts are silently ignored (or crash the batch if
+    the old files were rewritten). The production pattern is foreachBatch
+    with a FRESH read per micro-batch: each batch joins against the
+    dimension's current snapshot (SCD1 semantics; point the path at an
+    SCD2 current-version view for full history), and the small dim side
+    broadcasts so the stream batch never shuffles.
+    """
+
+    def _enrich(batch: DataFrame, _batch_id: int) -> None:
+        dim = batch.sparkSession.read.parquet(dim_path)
+        batch.join(F.broadcast(dim), key, "left").write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
