@@ -34,6 +34,9 @@ def get_spark(app_name: str = "vectra_player_spark", cpus: int | None = None) ->
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark_warehouse"))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource connectors (sources/pyds.py) evaluate supported
+        # filters inside the source's read loop.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
