@@ -1242,3 +1242,45 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(wp).cast("double"), 6
         ).alias("p_transition"),
     )
+
+
+# --------------------------------------------------------------------------
+# props_variant_stats — the F1/F2 JSON family on Spark 4's VARIANT type:
+# parse_json once into the binary variant encoding, then typed
+# variant_get extractions. Against a 100 TB lake the variant column is the
+# semi-structured scale path (parse once at ingest, store shredded binary,
+# typed gets without re-tokenizing JSON text per expression); semantics
+# are pinned equal to the text-path json_props_stats via the same DuckDB
+# oracle family.
+# --------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+  CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS n_distinct_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "props_variant_stats",
+    oracle=_VARIANT_ORACLE,
+    tags=("events",),
+    survey_ref="F1,F2 on the VARIANT binary encoding (Spark 4 semi-structured scale path)",
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count_distinct(F.col("k")).alias("n_distinct_k"),
+    )

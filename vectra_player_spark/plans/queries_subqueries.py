@@ -160,3 +160,59 @@ def not_exists_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
           )
         GROUP BY c.c_mktsegment
     """)
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4.1 WITH RECURSIVE): ancestor-chain rollup over a
+# synthetic-but-deterministic reporting hierarchy (parent(k) = floor(k/2),
+# a binary forest over the contiguous customer keys — the fixture's stand-in
+# for the org/category hierarchies a warehouse walks with recursion). The
+# chain from a leaf to its root is UNIQUE, so UNION ALL recursion is exact
+# (Spark does not yet support UNION-distinct recursion, which cyclic
+# closures would need — connected_components in operators/dedup.py remains
+# the cycle-safe path). Depth is log2(|customers|) ≈ 11 iterations at
+# sf0.01; each iteration is one equi-join of the frontier against the
+# (broadcastable) dimension — the textbook distributed hierarchy walk.
+# Balance accumulates in DECIMAL(28,6) with explicit casts so the
+# recursive schema is iteration-stable and engine-identical.
+# --------------------------------------------------------------------------
+
+_RECURSIVE_ORACLE = """
+WITH RECURSIVE chain(leaf, node, depth, bal_sum) AS (
+  SELECT c_custkey, c_custkey, 0, CAST(c_acctbal AS DECIMAL(28,6))
+  FROM customer
+  UNION ALL
+  SELECT chain.leaf, p.c_custkey, chain.depth + 1,
+         CAST(chain.bal_sum + CAST(p.c_acctbal AS DECIMAL(28,6)) AS DECIMAL(28,6))
+  FROM chain JOIN customer p ON p.c_custkey = CAST(FLOOR(chain.node / 2.0) AS BIGINT)
+  WHERE chain.node > 1
+)
+SELECT leaf AS c_custkey, CAST(depth AS BIGINT) AS chain_len,
+       CAST(bal_sum AS DOUBLE) AS chain_balance
+FROM chain WHERE node <= 1
+"""
+
+
+@register(
+    "recursive_hierarchy_rollup",
+    oracle=_RECURSIVE_ORACLE,
+    tags=("relational", "subquery"),
+    survey_ref="J-family extension: WITH RECURSIVE hierarchy walk (Spark 4.1)",
+)
+def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer")
+    return spark.sql("""
+        WITH RECURSIVE chain(leaf, node, depth, bal_sum) AS (
+          SELECT c_custkey, c_custkey, 0, CAST(c_acctbal AS DECIMAL(28,6))
+          FROM sq_customer
+          UNION ALL
+          SELECT chain.leaf, p.c_custkey, chain.depth + 1,
+                 CAST(chain.bal_sum + CAST(p.c_acctbal AS DECIMAL(28,6)) AS DECIMAL(28,6))
+          FROM chain JOIN sq_customer p
+            ON p.c_custkey = CAST(FLOOR(chain.node / 2.0) AS BIGINT)
+          WHERE chain.node > 1
+        )
+        SELECT leaf AS c_custkey, CAST(depth AS BIGINT) AS chain_len,
+               CAST(bal_sum AS DOUBLE) AS chain_balance
+        FROM chain WHERE node <= 1
+    """)
