@@ -95,3 +95,57 @@ def test_stream_read_with_mid_stream_file(registered, frame_dir, tmp_path):
     assert n1 == 6
     assert len(rows) == 7  # c.log consumed exactly once
     assert {(r.file, r.line_no) for r in rows} >= {("c.log", 1)}
+
+
+def test_jsonl_atomic_writer_two_phase_commit(registered, tmp_path):
+    from vectra_player_spark.sources.pyds import JsonlAtomicDataSource
+
+    registered.dataSource.register(JsonlAtomicDataSource)
+    out = tmp_path / "out"
+    df = registered.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(20)], "id long, user string"
+    ).repartition(4)
+    df.write.format("jsonl_atomic").option("path", str(out)).mode("append").save()
+
+    files = sorted(p.name for p in out.iterdir())
+    assert "_SUCCESS" in files and "_staging" not in files
+    parts = [p for p in files if p.startswith("part-")]
+    assert len(parts) == 4
+    import json as _json
+
+    rows = []
+    for p in parts:
+        with open(out / p) as fh:
+            rows += [_json.loads(line) for line in fh]
+    assert sorted(r["id"] for r in rows) == list(range(20))
+    manifest = (out / "_SUCCESS").read_text().strip().splitlines()
+    assert sum(int(line.split("\t")[1]) for line in manifest) == 20
+
+
+def test_jsonl_atomic_writer_abort_leaves_nothing_published(registered, tmp_path):
+    """A task failure mid-job must not publish ANY partial output: staged
+    files stay in _staging and abort() removes them; no part files, no
+    _SUCCESS manifest."""
+    import pytest as _pytest
+
+    from vectra_player_spark.sources.pyds import JsonlAtomicDataSource
+
+    registered.dataSource.register(JsonlAtomicDataSource)
+    out = tmp_path / "out_abort"
+
+    def boom(i):
+        if i >= 10:
+            raise RuntimeError("simulated task failure")
+        return i
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    bad = registered.createDataFrame(
+        [(i,) for i in range(20)], "id long"
+    ).repartition(4).select(F.udf(boom, LongType())("id").alias("id"))
+    with _pytest.raises(Exception, match="simulated task failure"):
+        bad.write.format("jsonl_atomic").option("path", str(out)).mode("append").save()
+    published = [p.name for p in out.iterdir()] if out.exists() else []
+    assert not any(p.startswith("part-") for p in published)
+    assert "_SUCCESS" not in published

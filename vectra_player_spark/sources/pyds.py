@@ -40,15 +40,18 @@ from __future__ import annotations
 
 import os
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
     IsNotNull,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from vectra_player_spark.sources.socketio import parse_socketio_frame
@@ -163,3 +166,80 @@ class SocketIOFrameDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> FrameStreamReader:
         return FrameStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Transactional JSONL sink (S7's packaged-connector form): the write side of
+# the Python DataSource API, demonstrating the two-phase commit protocol —
+# tasks stage to a private temp dir and return a WriterCommitMessage; only
+# the DRIVER's commit() publishes staged files (rename + _SUCCESS manifest),
+# and abort() discards them. A failed/retried task therefore never leaves
+# partial output visible, the same job-commit discipline Spark's built-in
+# FileOutputCommitter provides (on object stores, swap the rename publish
+# for a manifest-only commit — the protocol hooks are the same).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged_path: str
+    n_rows: int
+
+
+class JsonlAtomicWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_atomic requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _StagedFile:
+        # Executor-side: stage under a task-unique name; never touch the
+        # final directory. TaskContext gives (partition, attempt) so retries
+        # stage to distinct files and the winner is chosen at commit time.
+        import json as _json
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        staged_dir = os.path.join(self.path, "_staging")
+        os.makedirs(staged_dir, exist_ok=True)
+        staged = os.path.join(staged_dir, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _StagedFile(staged_path=staged, n_rows=n)
+
+    def commit(self, messages) -> None:
+        # Driver-side, runs once after EVERY task succeeded: publish staged
+        # files with a rename each, then the _SUCCESS manifest naming them.
+        import shutil
+
+        published = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.staged_path, final)
+            published.append((os.path.basename(final), m.n_rows))
+        staging = os.path.join(self.path, "_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as fh:
+            for name, n in published:
+                fh.write(f"{name}\t{n}\n")
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class JsonlAtomicDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_atomic"
+
+    def writer(self, schema, overwrite: bool) -> JsonlAtomicWriter:
+        return JsonlAtomicWriter(self.options, overwrite)
