@@ -136,3 +136,31 @@ class TestSketchAccuracy:
             assert r["rel_err_ndv"] <= 0.15, r
             # percentile_approx at accuracy 10000 on this value range.
             assert r["abs_err_p50"] <= 0.5, r
+
+
+def test_asof_join_tolerance_matches_pandas(spark):
+    """tolerance nulls out matches farther than the bound — pinned against
+    pandas merge_asof(tolerance=...) on both directions."""
+    import pandas as pd
+
+    lpdf = pd.DataFrame({"k": [1.0, 5.0, 9.0, 14.0, 20.0]})
+    rpdf = pd.DataFrame({"k": [0.0, 4.0, 10.0, 15.0], "v": [10, 40, 100, 150]})
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    for direction in ("backward", "forward"):
+        got = {
+            r.k: r.v
+            for r in asof_join(
+                left, right, on="k", right_cols=["v"],
+                direction=direction, tolerance=2.0,
+            ).collect()
+        }
+        exp_df = pd.merge_asof(
+            lpdf.sort_values("k"), rpdf.sort_values("k"),
+            on="k", direction=direction, tolerance=2.0,
+        )
+        exp = {
+            row.k: (None if pd.isna(row.v) else int(row.v))
+            for row in exp_df.itertuples()
+        }
+        assert got == exp, (direction, got, exp)

@@ -31,17 +31,29 @@ def asof_join(
     by: str | None = None,
     right_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest `on` value
     <= left's (direction='backward'; 'forward' = smallest >=).
 
     right_cols: payload columns carried from the right side (default: all
     non-key columns). Left columns are all preserved.
+
+    tolerance: maximum |left.on - right.on| for a match (pandas
+    merge_asof semantics) — matches farther away yield NULL payload
+    instead of a stale carry-forward. Requires a numeric `on` column
+    (convert timestamps to epoch first, as the grid queries do); the gap
+    check rides the same window pass, no extra shuffle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c != by]
+    if tolerance is not None:
+        # carry the matched right row's `on` through the same fill pass so
+        # the gap is computable per left row
+        right = right.withColumn("_r_on_val", F.col(on))
+        right_cols = [*right_cols, "_r_on_val"]
 
     lcols = left.columns
     marker = F.lit(1) if direction == "backward" else F.lit(0)
@@ -94,6 +106,22 @@ def asof_join(
             ],
         )
     keep = F.col("_side") == (1 if direction == "backward" else 0)
-    return filled.where(keep).select(
+    out = filled.where(keep)
+    if tolerance is not None:
+        right_cols = [c for c in right_cols if c != "_r_on_val"]
+        gap = (
+            (F.col(on) - F.col("_r__r_on_val"))
+            if direction == "backward"
+            else (F.col("_r__r_on_val") - F.col(on))
+        )
+        in_tol = F.col("_r__r_on_val").isNotNull() & (gap <= F.lit(tolerance))
+        return out.select(
+            *lcols,
+            *[
+                F.when(in_tol, F.col(f"_r_{c}")).alias(c)
+                for c in right_cols
+            ],
+        )
+    return out.select(
         *lcols, *[F.col(f"_r_{c}").alias(c) for c in right_cols]
     )
