@@ -164,3 +164,31 @@ def test_asof_join_tolerance_matches_pandas(spark):
             for row in exp_df.itertuples()
         }
         assert got == exp, (direction, got, exp)
+
+
+class TestOracleHarnessSelfCheck:
+    """The comparison harness must actually FAIL on defects — a harness that
+    never rejects would silently green every query. Perturb each defect
+    class and assert compare() reports it."""
+
+    def test_detects_value_row_column_defects(self, spark):
+        import pandas as pd
+
+        from tests.oracle_harness import compare
+
+        good = pd.DataFrame({"k": [1, 2, 3], "v": [1.5, 2.5, 3.5]})
+        df = spark.createDataFrame(good)
+        assert compare(df, good.copy()) == []
+        # value defect beyond the round-6 convention every query obeys
+        bad_val = good.copy(); bad_val.loc[1, "v"] = 2.50001
+        assert any("mismatch" in p for p in compare(df, bad_val))
+        # sub-grid float noise must NOT flag (canonicalize rounds to 6)
+        noisy = good.copy(); noisy["v"] = noisy["v"] + 1e-9
+        assert compare(df, noisy) == []
+        # row-count defect
+        assert any("row count" in p for p in compare(df, good.iloc[:2].copy()))
+        # column-name defect
+        renamed = good.rename(columns={"v": "value"})
+        assert any("columns differ" in p for p in compare(df, renamed))
+        # row-ORDER must not matter (driver canonicalizes by sorting)
+        assert compare(df, good.iloc[::-1].reset_index(drop=True)) == []
