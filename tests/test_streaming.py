@@ -380,3 +380,36 @@ def test_enrich_stream_with_refreshing_dim(spark, tmp_path):
     assert len(seg) == 8
     assert all(seg[s] == "segment_v1" for s in (1, 2, 3, 4, 5))
     assert all(seg[s] == "segment_v2" for s in (6, 7, 8))
+
+
+def test_phase_machine_on_rocksdb_state_store(spark, tmp_path):
+    """The production-scale state backend: the same applyInPandasWithState
+    machine runs unchanged on RocksDBStateStoreProvider (bounded-memory
+    keyed state with changelog checkpointing at real feed cardinalities),
+    so the HDFS-default in other tests is a test convenience, not a
+    design constraint."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    d = tmp_path / "rocks_src"
+    d.mkdir()
+    _write_jsonl(d / "a.jsonl", SCENARIO_A)
+    try:
+        q = _run_query(phase_machine(read_tick_stream(spark, str(d))), "rocks_phases")
+        try:
+            _write_jsonl(d / "b.jsonl", SCENARIO_B)
+            q.processAllAvailable()
+            rows = {r.seq: r for r in spark.table("rocks_phases").collect()}
+            assert len(rows) == 8
+            assert rows[6].phase == "RUGGED" and rows[6].rug_count == 1
+            assert rows[7].phase == "COOLDOWN" and rows[7].games_seen == 2
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
