@@ -133,8 +133,8 @@ SELECT user_id, event_id,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_trailing,
        ROUND(MAX(value) OVER w, 6) + 0.0 AS max_trailing
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -146,10 +146,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
 )
 def trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
+    # µs-exact integer frame on BOTH engines: DuckDB's epoch() is a
+    # fractional DOUBLE while Spark's unix_timestamp truncates to seconds —
+    # mixing them makes frame membership data-dependent at the boundary.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3599, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_599_999_999, Window.currentRow)
     )
     return ev.select(
         "user_id",
@@ -348,4 +351,45 @@ def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_value", ignorenulls=True).over(w).alias("value"),
             F.col("day_value").isNull().alias("is_gapfilled"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# trailing_hour_uniques — sliding DISTINCT cardinality: per event, how many
+# distinct users acted in the same type's trailing hour. Spark disallows
+# DISTINCT aggregates in windows; the engine expresses it as
+# size(collect_set(...)) over the same RANGE frame — semantically identical
+# (set state bounded by per-window cardinality), checked against DuckDB's
+# native COUNT(DISTINCT ...) OVER. Scale note: any sliding-cardinality op
+# is ordered state per partition key; event_type keys the parallelism here,
+# and at lake scale the same frame runs per (key, day-chunk) with a 1-frame
+# overlap — the exact structure streaming dropDuplicates+window uses.
+# --------------------------------------------------------------------------
+
+_TRAILING_UNIQ_ORACLE = """
+SELECT event_type, event_id,
+  CAST(COUNT(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS BIGINT) AS uniq_users
+FROM events
+"""
+
+
+@register(
+    "trailing_hour_uniques",
+    oracle=_TRAILING_UNIQ_ORACLE,
+    tags=("events", "timeseries"),
+    survey_ref="W-family extension: sliding distinct cardinality (RANGE frame)",
+)
+def trailing_hour_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    # µs-exact frame (see trailing_hour_stats note on epoch vs truncation)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_599_999_999, Window.currentRow)
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.size(F.collect_set("user_id").over(w)).cast("bigint").alias("uniq_users"),
     )
