@@ -411,3 +411,40 @@ def lake_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_event_types"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS + GROUPING_ID: the general grouping-set form
+# (cube/rollup are its specializations, registered above). The grouping-id
+# bitmask disambiguates "NULL because aggregated away" from data NULLs —
+# required for downstream consumers of multi-granularity rollup tables.
+# One Expand + one aggregate exchange, same cost class as the rollup.
+# --------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register(
+    "grouping_sets_lineitem",
+    oracle=_GSETS_ORACLE,
+    tags=("relational",),
+    survey_ref="A3 (+grouping sets, grouping_id)",
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
