@@ -397,3 +397,47 @@ def order_status_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("first_order"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("last_order"),
     )
+
+
+# --------------------------------------------------------------------------
+# LATERAL top-n per group (Spark 4 / DuckDB both speak SQL-standard LATERAL).
+# The naive reading is "re-run the subquery per outer row"; Catalyst
+# DECORRELATES it into one Window rank over the joined relation (pinned in
+# test_plans: no CartesianProduct/BNLJ) — i.e. the same physical plan as
+# the hand-written row_number() top-n, which is the 100 TB shape: a single
+# shuffle on the group key, no per-group re-scan.
+# --------------------------------------------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT r.r_name, top.c_name, top.c_acctbal
+FROM region r,
+LATERAL (
+  SELECT c.c_name, c.c_acctbal
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  ORDER BY c.c_acctbal DESC, c.c_custkey
+  LIMIT 3
+) top
+"""
+
+
+@register(
+    "lateral_topn_per_region",
+    oracle=_LATERAL_ORACLE,
+    tags=("relational",),
+    survey_ref="J1/O3 (correlated LATERAL → decorrelated window top-n)",
+)
+def lateral_topn_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("region", "nation", "customer"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"lat_{name}")
+    return spark.sql("""
+        SELECT r.r_name, top.c_name, top.c_acctbal
+        FROM lat_region r,
+        LATERAL (
+          SELECT c.c_name, c.c_acctbal
+          FROM lat_customer c JOIN lat_nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY c.c_acctbal DESC, c.c_custkey
+          LIMIT 3
+        ) top
+    """)

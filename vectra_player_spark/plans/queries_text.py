@@ -1070,3 +1070,110 @@ def doc_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         intra_reps=reps.select(F.col("doc_id").alias("doc_a")),
         intra_scores={"edit_dist": F.lit(0).cast("bigint")},
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 top-k retrieval (Okapi BM25, k1=1.2, b=0.75). The lexical-retrieval
+# half of the reference's RAG surface (src/services/rag/retriever.py pairs
+# vector search with keyword scoring); also the standard sparse baseline in
+# any LLM training-data curation stack.
+#
+# Scale design: the token stream is pruned BEFORE the generator — the
+# query-term filter runs inside an array HOF, so a 100 TB corpus explodes
+# only matching tokens (|terms| per doc worst-case, not |tokens|). The two
+# global scalars (N, avgdl) come from one partial-aggregated pass and ride
+# a broadcast; per-term document frequencies are a ≤|terms|-row broadcast.
+# Everything downstream of the explode is a (doc_id, tok)-keyed partial
+# agg. Top-k is rank-over-rounded-score with a doc_id tie-break, so both
+# engines cut the same deterministic list.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("vector", "stream", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+_BM25_TERM_LIST = ", ".join(f"'{t_}'" for t_ in _BM25_TERMS)
+
+_BM25_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+dls AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls),
+hits AS (
+  SELECT doc_id, dl, unnest(list_filter(toks, x -> x IN ({_BM25_TERM_LIST}))) AS tok
+  FROM dls
+),
+tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM hits GROUP BY doc_id, dl, tok),
+dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT t.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({_BM25_K1} + 1))
+           / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * t.dl / s.avgdl))
+         ), 6) AS bm25
+  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, bm25, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM scored)
+WHERE rnk <= {_BM25_TOPK}
+"""
+
+
+@register(
+    "bm25_topk_retrieval",
+    oracle=_BM25_ORACLE,
+    tags=("text", "retrieval"),
+    survey_ref="V-family lexical retrieval; A3 two-level agg; F8 string ops",
+)
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 over the corpus for a fixed conjunctive term set.
+
+    The query-term filter is applied inside the token array (HOF) so the
+    explode generates only query-term occurrences; N/avgdl and the df table
+    are broadcast scalars. Summation order inside a doc is absorbed by the
+    round-6 on both engines; the top-k cut orders by the ROUNDED score with
+    a doc_id tie-break so the limit is a total order."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    dls = base.withColumn("dl", F.size("toks").cast("bigint"))
+    stats = dls.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    term_list = ", ".join(f"'{t_}'" for t_ in _BM25_TERMS)
+    hits = dls.select(
+        "doc_id",
+        "dl",
+        F.explode(F.expr(f"filter(toks, x -> x IN ({term_list}))")).alias("tok"),
+    )
+    tf = hits.groupBy("doc_id", "dl", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select("doc_id", "bm25", "rank")
+    )

@@ -530,3 +530,96 @@ def rag_retrieval_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "doc_md5",
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar int8 quantization of the embedding column (min/max per vector).
+# The storage/serving lever for a 100 TB vector corpus: 4× smaller than
+# float32, and ADC-style scoring reads codes only (knn_pq_adc_recall is the
+# product-quantized sibling). Everything is per-row array HOFs — zero
+# shuffle, linear scan — and the code math is integer-exact, so the oracle
+# hash-checks the full quantizer: per-vector range, every code (as a sum +
+# md5 of the code list), and the reconstruction MSE.
+#
+# Float discipline: both engines evaluate the IDENTICAL expression tree in
+# IEEE double left-to-right — cast-to-double first, then
+# floor((v - lo) * 255 / (hi - lo) + 0.5) — so codes match bit-for-bit;
+# the MSE is rounded to 6. Degenerate vectors (hi == lo) take an explicit
+# all-zero-code branch on both sides.
+# --------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+  FROM embeddings
+),
+rng AS (
+  SELECT vec_id, emb, list_min(emb) AS lo, list_max(emb) AS hi FROM e
+),
+codes AS (
+  SELECT vec_id, emb, lo, hi,
+         CASE WHEN hi = lo THEN list_transform(emb, v -> CAST(0 AS BIGINT))
+              ELSE list_transform(emb, v ->
+                CAST(floor((v - lo) * 255.0 / (hi - lo) + 0.5) AS BIGINT))
+         END AS q
+  FROM rng
+)
+SELECT vec_id,
+       ROUND(lo, 6) AS q_lo,
+       ROUND(hi, 6) AS q_hi,
+       CAST(list_sum(q) AS BIGINT) AS code_sum,
+       md5(array_to_string(q, ',')) AS code_md5,
+       ROUND(list_sum(list_transform(generate_series(1, len(emb)),
+               i -> CASE WHEN hi = lo THEN 0.0
+                         ELSE (lo + q[i] * (hi - lo) / 255.0 - emb[i])
+                              * (lo + q[i] * (hi - lo) / 255.0 - emb[i]) END))
+             / len(emb), 6) AS mse
+FROM codes
+"""
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle=_QUANT_ORACLE,
+    tags=("vector",),
+    survey_ref="V2/V4 storage path (scalar quantization; PQ sibling knn_pq_adc_recall)",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min/max int8 quantizer + reconstruction error, all
+    JVM-side HOFs (transform/aggregate) inside one codegen stage."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("emb")
+    )
+    rng = e.select(
+        "vec_id",
+        "emb",
+        F.array_min("emb").alias("lo"),
+        F.array_max("emb").alias("hi"),
+    )
+    codes = rng.withColumn(
+        "q",
+        F.expr(
+            "CASE WHEN hi = lo THEN transform(emb, v -> CAST(0 AS BIGINT)) "
+            "ELSE transform(emb, v -> CAST(floor((v - lo) * 255.0 / (hi - lo) + 0.5) AS BIGINT)) END"
+        ),
+    )
+    dequant_sq = (
+        "CASE WHEN hi = lo THEN CAST(0.0 AS DOUBLE) "
+        "ELSE (lo + q[i - 1] * (hi - lo) / 255.0 - emb[i - 1]) "
+        "   * (lo + q[i - 1] * (hi - lo) / 255.0 - emb[i - 1]) END"
+    )
+    return codes.select(
+        "vec_id",
+        F.round("lo", 6).alias("q_lo"),
+        F.round("hi", 6).alias("q_hi"),
+        F.expr("aggregate(q, 0L, (acc, x) -> acc + x)").alias("code_sum"),
+        F.md5(F.array_join("q", ",")).alias("code_md5"),
+        F.round(
+            F.expr(
+                f"aggregate(transform(sequence(1, size(emb)), i -> {dequant_sq}), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            / F.size("emb"),
+            6,
+        ).alias("mse"),
+    )
