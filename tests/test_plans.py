@@ -175,6 +175,8 @@ def test_sequence_packing_single_window(spark, sf_dir):
 # broadcast side is O(grid), never data-sized.
 _BNLJ_ALLOWED = {
     "asof_join_grid",
+    "bm25_topk_retrieval",  # 1-row (N, avgdl) scalar broadcast
+    "mmr_rerank_topk",  # 1-row query-vector broadcast
     "doc_tfidf_topterms",  # 1-row corpus-size scalar broadcast
     "conditional_end_prob",
     "gbt_threshold_analysis",
@@ -212,3 +214,50 @@ def test_no_plan_antipatterns_anywhere(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime-filter lever (SURVEY §4): with a selective dim-side filter on
+    a shuffle join, Spark can inject a bloom filter built from the creation
+    side into the fact-side scan (might_contain in the optimized plan) —
+    the row-group-skipping lever that turns a 100 TB fact scan into a
+    fraction of itself when the dim filter is selective. Pinned with the
+    thresholds opened up (creationSideThreshold is a MAX size; local test
+    relations are far below the default application-side minimum), and the
+    filtered count must equal the unfiltered join's."""
+    from pyspark.sql import functions as F
+
+    from vectra_player_spark.tables import t
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+        li = t(spark, sf_dir, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt
+        with_filter = {(r["o_orderpriority"], r["count"]) for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    li = t(spark, sf_dir, "lineitem")
+    plain = {
+        (r["o_orderpriority"], r["count"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    assert with_filter == plain

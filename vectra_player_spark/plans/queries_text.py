@@ -1177,3 +1177,78 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _BM25_TOPK)
         .select("doc_id", "bm25", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Character-distribution quality signals: Shannon entropy + max-char ratio.
+# The gibberish/degenerate-text detector every corpus-cleaning stack runs
+# (low entropy → repeated chars / boilerplate; near-uniform → random
+# noise). Deliberately computed as PER-ROW array HOFs — counts come from
+# size(filter(...)) over the distinct-char list (~|alphabet| × |chars| per
+# doc, alphabet ≈ 30 here) — so the whole pass is one codegen stage with
+# ZERO shuffle; the alternative explode→groupBy(doc_id, char) costs a
+# corpus-sized exchange at 100 TB for the same answer.
+#
+# Both engines sum the p·log2 p terms over their distinct-char lists;
+# first-occurrence order matches (array_distinct / list_distinct), and the
+# round-6 absorbs any sub-ulp accumulation difference.
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id, string_split(text, '') AS chars FROM documents
+),
+d AS (
+  SELECT doc_id, chars,
+         CAST(len(chars) AS DOUBLE) AS n,
+         list_distinct(chars) AS uniq
+  FROM c
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars_split,
+       CAST(len(uniq) AS BIGINT) AS n_distinct_chars,
+       ROUND(-list_sum(list_transform(uniq,
+           ch -> (len(list_filter(chars, x -> x = ch)) / n)
+                 * log2(len(list_filter(chars, x -> x = ch)) / n))), 6)
+         AS char_entropy,
+       ROUND(list_max(list_transform(uniq,
+           ch -> len(list_filter(chars, x -> x = ch)) / n)), 6)
+         AS max_char_ratio
+FROM d
+"""
+
+
+@register(
+    "doc_char_entropy",
+    oracle=_ENTROPY_ORACLE,
+    tags=("text", "quality"),
+    survey_ref="F7/F8 quality scoring (entropy gibberish detector, zero-shuffle HOF form)",
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.col("text"), "").alias("chars"),
+    ).select(
+        "doc_id",
+        "chars",
+        F.size("chars").cast("double").alias("n"),
+        F.array_distinct("chars").alias("uniq"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars_split"),
+        F.size("uniq").cast("bigint").alias("n_distinct_chars"),
+        F.round(
+            -F.expr(
+                "aggregate(transform(uniq, "
+                "ch -> (size(filter(chars, x -> x = ch)) / n) "
+                "    * log2(size(filter(chars, x -> x = ch)) / n)), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ),
+            6,
+        ).alias("char_entropy"),
+        F.round(
+            F.array_max(F.expr("transform(uniq, ch -> size(filter(chars, x -> x = ch)) / n)")),
+            6,
+        ).alias("max_char_ratio"),
+    )

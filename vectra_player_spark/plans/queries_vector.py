@@ -623,3 +623,108 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mse"),
     )
+
+
+# --------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified re-ranking: from the top-10
+# cosine candidates for one query, greedily pick 3 where each pick
+# maximizes lambda*rel - (1-lambda)*max_sim_to_already_selected. The
+# standard RAG/context-window diversifier (the reference's retriever
+# surfaces raw top-k; MMR is the curation step a production RAG adds).
+#
+# Greedy selection is inherently sequential, but k is tiny and fixed — so
+# the k steps UNROLL into k CTE stages (argmax via ORDER BY/LIMIT 1 on
+# rounded scores with a vec_id tie-break). The expensive part — scoring
+# the whole corpus against the query — happens ONCE in `rel`; every later
+# stage touches only the 10-row candidate set, so the 100 TB cost profile
+# equals one brute-force (or IVF-pruned) top-k pass. Both engines run the
+# same query text modulo the cosine kernel (list_dot_product vs
+# aggregate/zip_with HOFs), with every score rounded to 6 BEFORE any
+# comparison, so the greedy path is engine-identical.
+# --------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_QUERY_ID = 0
+_MMR_CANDIDATES = 10
+
+
+def _mmr_sql(cos: "Callable[[str, str], str]", table: str) -> str:
+    lam, one_m = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    return f"""
+WITH e AS (
+  SELECT vec_id, {_MMR_EMB_CAST} AS emb FROM {table}
+),
+q AS (SELECT emb AS q_vec FROM e WHERE vec_id = {_MMR_QUERY_ID}),
+rel AS (
+  SELECT c.vec_id, ROUND({cos("c.emb", "q.q_vec")}, 6) AS rel
+  FROM e c CROSS JOIN q
+  WHERE c.vec_id != {_MMR_QUERY_ID}
+),
+cand AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT {_MMR_CANDIDATES}),
+ce AS (SELECT c.vec_id, c.rel, e.emb FROM cand c JOIN e ON c.vec_id = e.vec_id),
+sim AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, ROUND({cos("a.emb", "b.emb")}, 6) AS s
+  FROM ce a JOIN ce b ON a.vec_id != b.vec_id
+),
+p1 AS (SELECT vec_id, rel, rel AS mmr FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+r2 AS (
+  SELECT c.vec_id, c.rel, {lam} * c.rel - {one_m} * s.s AS mmr
+  FROM cand c
+  JOIN sim s ON s.va = c.vec_id
+  JOIN p1 ON s.vb = p1.vec_id
+  WHERE c.vec_id != p1.vec_id
+),
+p2 AS (SELECT vec_id, rel, mmr FROM r2 ORDER BY mmr DESC, vec_id LIMIT 1),
+sel12 AS (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2),
+r3 AS (
+  SELECT c.vec_id, {lam} * c.rel - {one_m} * MAX(s.s) AS mmr
+  FROM cand c
+  JOIN sim s ON s.va = c.vec_id
+  JOIN sel12 ON s.vb = sel12.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel12)
+  GROUP BY c.vec_id, c.rel
+),
+p3 AS (SELECT vec_id, mmr FROM r3 ORDER BY mmr DESC, vec_id LIMIT 1)
+SELECT CAST(1 AS INT) AS rank, vec_id, ROUND(mmr, 6) AS mmr_score FROM p1
+UNION ALL SELECT CAST(2 AS INT), vec_id, ROUND(mmr, 6) FROM p2
+UNION ALL SELECT CAST(3 AS INT), vec_id, ROUND(mmr, 6) FROM p3
+"""
+
+
+_MMR_EMB_CAST = "__EMB_CAST__"  # placeholder substituted per dialect below
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / NULLIF(sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})), 0)"
+    )
+
+
+def _spark_cos(a: str, b: str) -> str:
+    def d(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y}, (p, r) -> p * r), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    return f"{d(a, b)} / NULLIF(sqrt({d(a, a)}) * sqrt({d(b, b)}), 0)"
+
+
+_MMR_ORACLE = _mmr_sql(_duck_cos, "embeddings").replace(
+    _MMR_EMB_CAST, "CAST(embedding AS DOUBLE[])"
+)
+
+
+@register(
+    "mmr_rerank_topk",
+    oracle=_MMR_ORACLE,
+    tags=("vector", "retrieval"),
+    survey_ref="V4 retrieval post-processing (greedy MMR diversification, unrolled)",
+)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("mmr_embeddings")
+    sql = _mmr_sql(_spark_cos, "mmr_embeddings").replace(
+        _MMR_EMB_CAST, "transform(embedding, v -> CAST(v AS DOUBLE))"
+    )
+    return spark.sql(sql)

@@ -128,6 +128,13 @@ PRIORITY: tuple[str, ...] = (
     # slot (M8's argmax-over-derived-relation shape is in-cap via the
     # kelly_entry_table relation + q3's TakeOrderedAndProject).
     "recursive_hierarchy_rollup",
+    # Dedup-mandate flagship — pinned EXPLICITLY after a session-6 mid-block
+    # addition silently pushed it from slot 50 to 51 (registration order is
+    # not a stable cap guarantee; PRIORITY membership is).
+    "doc_minhash_lsh_pairs",
+    # Okapi BM25 lexical retrieval — the sparse half of the RAG surface, a
+    # wholly new family (term-pruned explode + broadcast df/avgdl scalars).
+    "bm25_topk_retrieval",
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
@@ -235,6 +242,18 @@ DEFERRED: tuple[str, ...] = (
     # TakeOrderedAndProject sibling strategy_best_config; offset logic
     # verified locally every round.
     "paginate_orders",
+    # Session-6 breadth, locally oracle-verified; each family keeps an
+    # in-cap representative: LATERAL's decorrelated window-top-n plan is
+    # pinned by test_plans + the subquery decorrelation family rides
+    # scalar_subquery_small_qty; A6's component aggregates are in-cap via
+    # q1's aggregate block + event_value_percentiles' exact percentiles;
+    # MMR/int8/entropy ride knn_bruteforce_cosine (V4), knn_pq_adc_recall
+    # (quantized scoring), and doc_text_quality (quality family).
+    "lateral_topn_per_region",
+    "descriptive_stats",
+    "mmr_rerank_topk",
+    "embedding_int8_quantize",
+    "doc_char_entropy",
 )
 
 
