@@ -441,3 +441,180 @@ def lateral_topn_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
           LIMIT 3
         ) top
     """)
+
+
+# --------------------------------------------------------------------------
+# q14_promo_revenue — TPC-H Q14 shape: conditional CASE aggregation forming
+# a ratio (promo revenue share by ship month). Exercises a path no other
+# in-cap query has: two decimal-exact conditional sums over the same scan
+# reduced in ONE aggregate (no self-join), with the fact→part join left to
+# AQE (part is SF-scaled, not a true dim). Ratio division happens once,
+# in double, after the exact sums.
+# --------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT STRFTIME(DATE_TRUNC('month', l_shipdate), '%Y-%m') AS ship_month,
+       ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),
+             6) AS promo_share_pct,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=_Q14_ORACLE,
+    tags=("relational",),
+    survey_ref="A5 conditional aggregation ratio (TPC-H Q14 shape)",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = t(spark, sf_dir, "part")
+    disc = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.sum(disc).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q19_disjunctive_revenue — TPC-H Q19 shape: an OR of three AND-clauses
+# mixing both join sides' columns. The optimizer path this pins: the
+# part-side conjuncts (brand/size) and lineitem-side conjuncts (quantity)
+# are NOT individually pushable below the join — but the derived common
+# disjuncts (p_size ranges union, l_quantity range union) are, and the
+# remainder evaluates as a post-join filter. Grouped by brand so the hash
+# check sees one row per disjunct arm.
+# --------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+GROUP BY p_brand
+"""
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=_Q19_ORACLE,
+    tags=("relational",),
+    survey_ref="P4 disjunctive predicate pushdown (TPC-H Q19 shape)",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(arm("Brand#1", 1, 15, 1, 20) | arm("Brand#2", 10, 30, 10, 30) | arm("Brand#13", 20, 50, 20, 50))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q7_volume_shipping — TPC-H Q7 shape: the same dimension table joined
+# TWICE under different roles (supplier nation vs customer nation), a
+# cross-pair predicate over the two aliases, and a year extraction in the
+# group key. No other query self-aliases a broadcast dim — regressions in
+# alias resolution or double-broadcast planning surface here.
+# --------------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=_Q7_ORACLE,
+    tags=("relational",),
+    survey_ref="J1 self-aliased dim joins + cross-pair predicate (TPC-H Q7 shape)",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    sup = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        li.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            (F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+    )

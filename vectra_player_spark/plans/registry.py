@@ -135,6 +135,10 @@ PRIORITY: tuple[str, ...] = (
     # Okapi BM25 lexical retrieval — the sparse half of the RAG surface, a
     # wholly new family (term-pruned explode + broadcast df/avgdl scalars).
     "bm25_topk_retrieval",
+    # TPC-H Q19 shape: OR-of-ANDs mixing both join sides — the one
+    # disjunctive-pushdown path in the surface; takes json_props_stats'
+    # slot (JSON extraction family keeps props_variant_stats in-cap).
+    "q19_disjunctive_revenue",
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
@@ -254,6 +258,14 @@ DEFERRED: tuple[str, ...] = (
     "mmr_rerank_topk",
     "embedding_int8_quantize",
     "doc_char_entropy",
+    # JSON-extraction family keeps props_variant_stats (the Spark 4
+    # VARIANT path) in-cap; the string-path extract is verified locally.
+    "json_props_stats",
+    # TPC-H breadth whose operator rows are in-cap elsewhere: Q14's
+    # conditional-sum ratio = A5 CASE aggregates (q1 block) + ratio
+    # division; Q7's self-aliased dim join is pinned by test_plans.
+    "q14_promo_revenue",
+    "q7_volume_shipping",
 )
 
 
