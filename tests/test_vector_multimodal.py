@@ -212,3 +212,44 @@ def test_decode_stub_seam_raises(spark):
     )
     with pytest.raises(Exception, match="PIL|NotImplementedError"):
         image_features(media, decode_stub=False).collect()
+
+
+def test_int8_quantizer_matches_numpy_reference(spark, tmp_path):
+    """embedding_int8_quantize vs a numpy reference of the same formula:
+    codes exactly equal, all within [0, 255], per-element reconstruction
+    error bounded by half a quantization step, MSE matching to 1e-6."""
+    import numpy as np
+    import pandas as pd
+
+    from vectra_player_spark.plans.queries_vector import embedding_int8_quantize
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(size=16).astype("float32") for _ in range(40)]
+    vecs.append(np.zeros(16, dtype="float32"))          # degenerate hi == lo
+    vecs.append(np.full(16, 3.25, dtype="float32"))     # constant nonzero
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs],
+         "label": [0] * len(vecs)}
+    )
+    path = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(path + "/embeddings.parquet")
+    out = {r["vec_id"]: r for r in embedding_int8_quantize(spark, path).collect()}
+
+    for i, v in enumerate(vecs):
+        v = v.astype("float64")
+        lo, hi = float(v.min()), float(v.max())
+        if hi == lo:
+            q = np.zeros(len(v), dtype="int64")
+            mse = 0.0
+        else:
+            q = np.floor((v - lo) * 255.0 / (hi - lo) + 0.5).astype("int64")
+            deq = lo + q * (hi - lo) / 255.0
+            mse = float(np.mean((deq - v) ** 2))
+        row = out[i]
+        assert row["code_sum"] == int(q.sum()), i
+        assert 0 <= q.min() and q.max() <= 255, i
+        assert abs(row["mse"] - round(mse, 6)) <= 1e-6, i
+        if hi != lo:
+            step = (hi - lo) / 255.0
+            deq = lo + q * (hi - lo) / 255.0
+            assert np.max(np.abs(deq - v)) <= step / 2 + 1e-12, i
