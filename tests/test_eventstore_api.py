@@ -25,6 +25,25 @@ def test_raw_sql_query(store):
     assert {r.game_id: r.n for r in df.collect()} == {"g1": 10, "g2": 5, "g3": 3}
 
 
+def test_parametrized_sql_query(store):
+    # reference parity: $named params (duckdb.py:82-123) -> :named args
+    # bound as literals in the analyzed plan, never string-spliced
+    df = store.query(
+        "SELECT game_id, COUNT(*) AS n FROM events_lake "
+        "WHERE doc_type = :dt AND game_id = :gid GROUP BY game_id",
+        {"dt": "game_tick", "gid": "g2"},
+    )
+    assert [(r.game_id, r.n) for r in df.collect()] == [("g2", 5)]
+    # injection-shaped value stays a literal, matches nothing
+    assert (
+        store.query(
+            "SELECT COUNT(*) AS n FROM events_lake WHERE game_id = :gid",
+            {"gid": "x' OR '1'='1"},
+        ).first()["n"]
+        == 0
+    )
+
+
 def test_query_arrow(store):
     tbl = store.query_arrow("SELECT COUNT(*) AS n FROM events_lake")
     assert tbl.column("n")[0].as_py() == 24  # 18 ticks + 3 actions + 3 games

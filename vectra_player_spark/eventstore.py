@@ -34,16 +34,20 @@ class EventStore:
 
     # -- ad-hoc SQL (duckdb.py:82-123) --------------------------------------
 
-    def query(self, sql: str) -> DataFrame:
+    def query(self, sql: str, params: dict | None = None) -> DataFrame:
         """§3.1 ad-hoc SQL entry point: the envelope is exposed as the
         `events_lake` view; Catalyst replaces DuckDB's parse/bind/optimize.
-        Parameterization: use the DataFrame API or spark.sql named args."""
-        self.envelope.createOrReplaceTempView(self.VIEW_NAME)
-        return self.envelope.sparkSession.sql(sql)
 
-    def query_arrow(self, sql: str):
+        `params` mirrors the reference's `$named` parameter binding
+        (duckdb.py:82-123): `store.query("... WHERE doc_type = :dt",
+        {"dt": "game_tick"})` — values bind as literals in the analyzed
+        plan (never string-spliced), so pushdown still sees constants."""
+        self.envelope.createOrReplaceTempView(self.VIEW_NAME)
+        return self.envelope.sparkSession.sql(sql, args=params or {})
+
+    def query_arrow(self, sql: str, params: dict | None = None):
         """S13: zero-copy-ish Arrow exchange (duckdb.py:104-123)."""
-        return self.query(sql).toArrow()
+        return self.query(sql, params).toArrow()
 
     # -- episodes (duckdb.py:129-184) --------------------------------------
 

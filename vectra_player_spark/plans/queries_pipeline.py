@@ -615,3 +615,102 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --------------------------------------------------------------------------
+# corpus_curation_pipeline — the END-TO-END training-data curation DAG as
+# ONE Catalyst plan: quality filter (C4-style rules) → exact-dedup
+# keep-first (md5 fingerprint, min-doc_id keeper) → deterministic 80/10/10
+# hash split → per-(split, lang) corpus accounting. Each stage is already
+# oracle-checked in isolation (doc_quality_filter, doc_exact_dedup,
+# doc_train_split); this query proves the COMPOSITION — one scan, the
+# quality predicate evaluated map-side before the dedup shuffle, the split
+# a pure projection, one final rollup exchange. The summary row set
+# (n_docs, sum_doc_id, total_tokens) hash-pins every doc-level decision:
+# a single doc kept/dropped/re-split differently changes a row.
+# --------------------------------------------------------------------------
+
+_CURATION_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(trim(text), '\s+') AS tokens
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, text, len(tokens) AS n_tokens,
+         len(list_filter(tokens, x -> x IN ({{stop_list}}))) * 1.0
+           / NULLIF(len(tokens), 0) AS stop_ratio,
+         CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE)
+           / NULLIF(len(tokens), 0) AS mtl
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, lang, text, n_tokens FROM m
+  WHERE n_tokens >= 20 AND mtl >= 3.0 AND mtl <= 12.0 AND stop_ratio >= 0.02
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM kept
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+),
+unique_docs AS (
+  SELECT k.doc_id, k.lang, k.n_tokens FROM kept k JOIN keepers USING (doc_id)
+),
+split AS (
+  SELECT doc_id, lang, n_tokens,
+         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT *, {{duck_u01}} AS u FROM unique_docs)
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM split
+GROUP BY split, lang
+"""
+
+
+def _curation_oracle() -> str:
+    from vectra_player_spark.functions.text import STOPWORDS
+
+    return _CURATION_ORACLE.format(
+        stop_list=", ".join(f"'{s}'" for s in STOPWORDS),
+        duck_u01=_DUCK_U01.format(salt="split"),
+    )
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=_curation_oracle(),
+    tags=("pipeline", "text"),
+    survey_ref="mandate capstone: quality filter + D1 dedup + split composed in one plan",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.functions.text import (
+        fingerprint,
+        mean_token_length,
+        stopword_ratio,
+        tokens,
+    )
+
+    docs = t(spark, sf_dir, "documents").withColumn("tokens", tokens("text"))
+    n_tokens = F.size("tokens")
+    mtl = mean_token_length("tokens")
+    ratio = stopword_ratio("tokens")
+    kept = docs.where(
+        (n_tokens >= 20) & (mtl >= 3.0) & (mtl <= 12.0) & (ratio >= 0.02)
+    ).select(
+        "doc_id", "lang", n_tokens.cast("bigint").alias("n_tokens"), fingerprint("text").alias("fp")
+    )
+    keepers = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    unique_docs = kept.join(keepers, ["fp", "doc_id"]).drop("fp")
+    u = F.expr(_SPARK_U01.format(salt="split"))
+    split = unique_docs.withColumn(
+        "split",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"),
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -139,6 +139,11 @@ PRIORITY: tuple[str, ...] = (
     # disjunctive-pushdown path in the surface; takes json_props_stats'
     # slot (JSON extraction family keeps props_variant_stats in-cap).
     "q19_disjunctive_revenue",
+    # End-to-end curation DAG (quality filter → exact dedup → hash split →
+    # accounting) as ONE plan — takes doc_text_quality's slot: the
+    # pipeline evaluates the same C4-style rules over the same token
+    # stats, so the quality family's hard signal moves to the composition.
+    "corpus_curation_pipeline",
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
@@ -261,6 +266,10 @@ DEFERRED: tuple[str, ...] = (
     # JSON-extraction family keeps props_variant_stats (the Spark 4
     # VARIANT path) in-cap; the string-path extract is verified locally.
     "json_props_stats",
+    # Quality family's hard signal moved to corpus_curation_pipeline
+    # (same rules, same token stats, composed); per-doc emission form
+    # verified locally every round.
+    "doc_text_quality",
     # TPC-H breadth whose operator rows are in-cap elsewhere: Q14's
     # conditional-sum ratio = A5 CASE aggregates (q1 block) + ratio
     # division; Q7's self-aliased dim join is pinned by test_plans.
