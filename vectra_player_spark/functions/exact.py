@@ -45,3 +45,42 @@ def r6d(col: Column | str) -> Column:
     """round(x, 6) cast to double — canonical float output column."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c.cast("double"), 6)
+
+
+# -- integer fixed-point accumulation (the fast exact path) -----------------
+#
+# Decimal sums are exact but slow in the JVM: SUM(decimal(18,6)) widens to
+# precision 28, leaving the compact-long representation for boxed
+# BigDecimal — measured 6.4× slower than a double sum at 6 GB (SCALE.md).
+# When every operand sits on a known decimal grid (money: 2 digits), the
+# same exactness costs nothing as integer arithmetic: scale each operand
+# to an integer with round(x * 10^k) (the double product is identical in
+# every engine, and both Spark and DuckDB round half away from zero for
+# positives), multiply/sum as BIGINTs — exact and order-insensitive — and
+# divide by the combined scale ONCE at the end. long/double division is a
+# correctly-rounded conversion of the exact rational, the same value the
+# decimal path's final CAST(... AS DOUBLE) produces, so oracle hashes are
+# unchanged.
+#
+# Overflow budget: int64 holds ±9.2e18. A 3-factor charge term (2+2+2
+# digits) on 1e4-magnitude prices is ~2e10 per row — safe to ~4e8 rows per
+# final aggregate. Past that, partial-sum as BIGINT per group-shard and
+# re-aggregate CAST AS DECIMAL(38,0), or drop to dsum().
+
+
+def fixed(col: Column | str, digits: int = 2) -> Column:
+    """Operand scaled to an exact BIGINT on its 10^-digits grid.
+
+    floor(x*10^k + 0.5), NOT round(): Spark's round() on doubles goes
+    through BigDecimal per value (as slow as the decimal path it's meant
+    to replace); floor stays primitive. For non-negative operands the two
+    are identical (half-up); both engines' floor/cast agree bit-for-bit
+    on the same input double. Negative operands would round toward
+    +inf here — money grids in this schema are non-negative."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(10**digits) + F.lit(0.5)).cast("bigint")
+
+
+def fsum(term: Column, total_digits: int) -> Column:
+    """Exact BIGINT sum of a fixed-point term, rescaled to double."""
+    return (F.sum(term) / F.lit(float(10**total_digits))).alias("fsum")
