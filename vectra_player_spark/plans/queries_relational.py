@@ -627,3 +627,44 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q13_customer_distribution — TPC-H Q13 shape: LEFT OUTER join + count of a
+# NULLABLE column (zero-order groups must survive), then a second-level
+# GROUP BY over the counts. The only query whose aggregate input includes
+# rows synthesized by outer-join null-extension — COUNT(o_orderkey) vs
+# COUNT(*) semantics is exactly what it pins. Two exchanges total: custkey
+# (reusing the join's partitioning) and the tiny count-distribution key.
+# --------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@register(
+    "q13_customer_distribution",
+    oracle=_Q13_ORACLE,
+    tags=("relational",),
+    survey_ref="J-family left-outer + A9 count-of-counts (TPC-H Q13 shape)",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )

@@ -144,6 +144,11 @@ PRIORITY: tuple[str, ...] = (
     # pipeline evaluates the same C4-style rules over the same token
     # stats, so the quality family's hard signal moves to the composition.
     "corpus_curation_pipeline",
+    # M15/M16 flagship (the published-baseline head-to-head query) —
+    # pinned explicitly after q13's mid-block registration pushed it to 51;
+    # like doc_minhash_lsh_pairs, flagships live in PRIORITY, not in
+    # registration-order luck.
+    "strategy_grid_sweep_2100",
 )
 
 # Oracle-backed queries whose operator rows are redundantly covered by an
@@ -270,6 +275,11 @@ DEFERRED: tuple[str, ...] = (
     # (same rules, same token stats, composed); per-doc emission form
     # verified locally every round.
     "doc_text_quality",
+    # D2/W5 best-row: the ROW_NUMBER-per-partition keep-best plan is
+    # in-cap via knn_bruteforce_cosine (row_number over query_id, rank
+    # filter — the identical physical shape); dedup semantics verified
+    # locally every round.
+    "best_row_dedup",
     # TPC-H breadth whose operator rows are in-cap elsewhere: Q14's
     # conditional-sum ratio = A5 CASE aggregates (q1 block) + ratio
     # division; Q7's self-aliased dim join is pinned by test_plans.
