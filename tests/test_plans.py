@@ -177,6 +177,7 @@ _BNLJ_ALLOWED = {
     "asof_join_grid",
     "bm25_topk_retrieval",  # 1-row (N, avgdl) scalar broadcast
     "mmr_rerank_topk",  # 1-row query-vector broadcast
+    "hybrid_rrf_retrieval",  # both arms' 1-row scalar/query broadcasts
     "doc_tfidf_topterms",  # 1-row corpus-size scalar broadcast
     "conditional_end_prob",
     "gbt_threshold_analysis",

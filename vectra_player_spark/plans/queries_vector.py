@@ -728,3 +728,110 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MMR_EMB_CAST, "transform(embedding, v -> CAST(v AS DOUBLE))"
     )
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (RRF, k=60): the standard
+# production RAG ranker — a sparse BM25 list and a dense cosine list fused
+# by summing 1/(60 + rank) per document. Completes the retrieval triad
+# (bm25_topk_retrieval sparse, knn/rag dense, mmr_rerank diversification).
+#
+# documents.doc_id and embeddings.vec_id share the id space in the test
+# lake, standing in for the chunk-id join a real RAG store maintains.
+# Both engines run the same query text modulo dialect (tokenizer, list
+# HOFs, cosine kernel). Determinism: each list is ranked on ROUND(score,6)
+# with an id tie-break, ranks are integers, and the fused score — a sum of
+# at most two exact rationals 1/(60+r) — is rounded to 6 before the final
+# order, so the fused top-k is engine-identical. Scale shape: each arm is
+# the already-audited retrieval plan (term-pruned explode / one broadcast
+# dot-product pass); the fusion is a full-outer join of two k-row lists.
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPK = 10
+_RRF_TERMS = ("vector", "stream", "merge")
+_RRF_QUERY_VEC = 0
+
+
+def _rrf_sql(dialect: str, docs: str, embs: str) -> str:
+    terms = ", ".join(f"'{t_}'" for t_ in _RRF_TERMS)
+    if dialect == "duckdb":
+        toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+        tok_len = "len(toks)"
+        tok_filter = f"unnest(list_filter(toks, x -> x IN ({terms})))"
+        emb_cast = "CAST(embedding AS DOUBLE[])"
+        cos = (
+            "list_dot_product(c.emb, q.q_vec) / NULLIF(sqrt(list_dot_product(c.emb, c.emb))"
+            " * sqrt(list_dot_product(q.q_vec, q.q_vec)), 0)"
+        )
+    else:
+        toks = r"split(lower(trim(text)), '\\s+')"
+        tok_len = "size(toks)"
+        tok_filter = f"explode(filter(toks, x -> x IN ({terms})))"
+        emb_cast = "transform(embedding, v -> CAST(v AS DOUBLE))"
+        d = (
+            "aggregate(zip_with({a}, {b}, (p, r) -> p * r), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        cos = (
+            f"{d.format(a='c.emb', b='q.q_vec')} / NULLIF(sqrt({d.format(a='c.emb', b='c.emb')})"
+            f" * sqrt({d.format(a='q.q_vec', b='q.q_vec')}), 0)"
+        )
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM {docs}),
+dls AS (SELECT doc_id, CAST({tok_len} AS BIGINT) AS dl, toks FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls),
+hits AS (SELECT doc_id, dl, {tok_filter} AS tok FROM dls),
+tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM hits GROUP BY doc_id, dl, tok),
+dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+bm25 AS (
+  SELECT t.doc_id,
+         ROUND(SUM(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))), 6) AS score
+  FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+sparse AS (
+  SELECT doc_id, CAST(rnk AS BIGINT) AS rank_sparse
+  FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm25)
+  WHERE rnk <= {_RRF_TOPK}
+),
+e AS (SELECT vec_id, {emb_cast} AS emb FROM {embs}),
+q AS (SELECT emb AS q_vec FROM e WHERE vec_id = {_RRF_QUERY_VEC}),
+scored AS (
+  SELECT c.vec_id AS doc_id, ROUND({cos}, 6) AS score
+  FROM e c CROSS JOIN q WHERE c.vec_id != {_RRF_QUERY_VEC}
+),
+dense AS (
+  SELECT doc_id, CAST(rnk AS BIGINT) AS rank_dense
+  FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM scored)
+  WHERE rnk <= {_RRF_TOPK}
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         s.rank_sparse, d.rank_dense,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + s.rank_sparse), 0)
+             + COALESCE(1.0 / ({_RRF_K} + d.rank_dense), 0), 6) AS rrf
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, rank_sparse, rank_dense, rrf,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM fused
+ORDER BY rrf DESC, doc_id
+"""
+
+
+_RRF_ORACLE = _rrf_sql("duckdb", "documents", "embeddings")
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=_RRF_ORACLE,
+    tags=("vector", "retrieval"),
+    survey_ref="V4 + lexical fusion (reciprocal-rank hybrid ranker)",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "documents").createOrReplaceTempView("rrf_documents")
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("rrf_embeddings")
+    return spark.sql(_rrf_sql("spark", "rrf_documents", "rrf_embeddings"))

@@ -280,6 +280,10 @@ DEFERRED: tuple[str, ...] = (
     # filter — the identical physical shape); dedup semantics verified
     # locally every round.
     "best_row_dedup",
+    # Retrieval-family breadth: both fused arms are in-cap (bm25 sparse,
+    # knn_bruteforce dense); the fusion itself is a two-k-row-list outer
+    # join, verified locally every round.
+    "hybrid_rrf_retrieval",
     # TPC-H breadth whose operator rows are in-cap elsewhere: Q14's
     # conditional-sum ratio = A5 CASE aggregates (q1 block) + ratio
     # division; Q7's self-aliased dim join is pinned by test_plans.
