@@ -243,3 +243,19 @@ def test_eventstore_listings(spark, pipeline_lake):
     games = es.list_games(limit=5).collect()
     assert len(games) == 5
     assert all(g.n_events > 0 for g in games)
+
+
+def test_cli_list_names_every_registered_query(capsys):
+    from vectra_player_spark import plans
+    from vectra_player_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in plans.queries():
+        assert name in out
+
+
+def test_cli_run_rejects_unknown_query(spark, capsys):
+    from vectra_player_spark.__main__ import main
+
+    assert main(["run", "no_such_query"]) == 2

@@ -192,3 +192,49 @@ class TestOracleHarnessSelfCheck:
         assert any("columns differ" in p for p in compare(df, renamed))
         # row-ORDER must not matter (driver canonicalizes by sorting)
         assert compare(df, good.iloc[::-1].reset_index(drop=True)) == []
+
+
+class TestFixedPointExactness:
+    """functions.exact.fixed(): the integer fixed-point money path must be
+    value-identical to the DECIMAL(18,6) path it replaced (SCALE.md
+    'Integer fixed-point aggregation'). Hypothesis drives random 2-decimal
+    money grids through both; any divergence is a parity regression."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000_000),  # price cents
+                st.integers(min_value=0, max_value=10),          # discount %
+                st.integers(min_value=0, max_value=8),           # tax %
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_fixed_sum_equals_decimal_sum(self, spark, rows):
+        import pyspark.sql.functions as F
+
+        from vectra_player_spark.functions.exact import dec, fixed
+
+        pdf = [
+            {
+                "price": c / 100.0,
+                "disc": d / 100.0,
+                "tax": x / 100.0,
+            }
+            for c, d, x in rows
+        ]
+        df = spark.createDataFrame(pdf)
+        disc_f = fixed("price") * fixed(F.lit(1.0) - F.col("disc"))
+        charge_f = disc_f * fixed(F.lit(1.0) + F.col("tax"))
+        disc_d = dec("price") * (F.lit(1).cast("decimal(18,6)") - dec("disc"))
+        charge_d = disc_d * (F.lit(1).cast("decimal(18,6)") + dec("tax"))
+        row = df.agg(
+            (F.sum(disc_f) / F.lit(10000.0)).alias("f_disc"),
+            (F.sum(charge_f) / F.lit(1000000.0)).alias("f_charge"),
+            F.sum(disc_d).cast("double").alias("d_disc"),
+            F.sum(charge_d).cast("double").alias("d_charge"),
+        ).first()
+        assert row["f_disc"] == row["d_disc"]
+        assert row["f_charge"] == row["d_charge"]
