@@ -694,6 +694,36 @@ UNION ALL SELECT CAST(3 AS INT), vec_id, ROUND(mmr, 6) FROM p3
 _MMR_EMB_CAST = "__EMB_CAST__"  # placeholder substituted per dialect below
 
 
+def _mmr_greedy_sql(cand: str, sim: str) -> str:
+    """The unrolled greedy stages only (shared shape with the oracle's
+    tail), over pre-materialized candidate/similarity relations."""
+    lam, one_m = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    return f"""
+WITH p1 AS (SELECT vec_id, rel, rel AS mmr FROM {cand} ORDER BY rel DESC, vec_id LIMIT 1),
+r2 AS (
+  SELECT c.vec_id, c.rel, {lam} * c.rel - {one_m} * s.s AS mmr
+  FROM {cand} c
+  JOIN {sim} s ON s.va = c.vec_id
+  JOIN p1 ON s.vb = p1.vec_id
+  WHERE c.vec_id != p1.vec_id
+),
+p2 AS (SELECT vec_id, rel, mmr FROM r2 ORDER BY mmr DESC, vec_id LIMIT 1),
+sel12 AS (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2),
+r3 AS (
+  SELECT c.vec_id, {lam} * c.rel - {one_m} * MAX(s.s) AS mmr
+  FROM {cand} c
+  JOIN {sim} s ON s.va = c.vec_id
+  JOIN sel12 ON s.vb = sel12.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel12)
+  GROUP BY c.vec_id, c.rel
+),
+p3 AS (SELECT vec_id, mmr FROM r3 ORDER BY mmr DESC, vec_id LIMIT 1)
+SELECT CAST(1 AS INT) AS rank, vec_id, ROUND(mmr, 6) AS mmr_score FROM p1
+UNION ALL SELECT CAST(2 AS INT), vec_id, ROUND(mmr, 6) FROM p2
+UNION ALL SELECT CAST(3 AS INT), vec_id, ROUND(mmr, 6) FROM p3
+"""
+
+
 def _duck_cos(a: str, b: str) -> str:
     return (
         f"list_dot_product({a}, {b}) / NULLIF(sqrt(list_dot_product({a}, {a}))"
@@ -723,11 +753,43 @@ _MMR_ORACLE = _mmr_sql(_duck_cos, "embeddings").replace(
     survey_ref="V4 retrieval post-processing (greedy MMR diversification, unrolled)",
 )
 def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "embeddings").createOrReplaceTempView("mmr_embeddings")
-    sql = _mmr_sql(_spark_cos, "mmr_embeddings").replace(
-        _MMR_EMB_CAST, "transform(embedding, v -> CAST(v AS DOUBLE))"
+    """The oracle runs the whole thing as one SQL statement; the Spark
+    side is restructured so the corpus is scored EXACTLY once — the naive
+    shared-CTE form re-inlines the scoring scan into every one of ~10 CTE
+    references (22 joins in the physical plan, multiple corpus passes at
+    100×). Here `cand`/`sim` (10 rows / 90 rows) are materialized with an
+    eager localCheckpoint — lineage is cut, so the greedy stages read the
+    tiny checkpointed relations instead of replaying the scan."""
+    from vectra_player_spark.functions.vectors import cosine
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("emb")
     )
-    return spark.sql(sql)
+    q = emb.where(F.col("vec_id") == _MMR_QUERY_ID).select(
+        F.col("emb").alias("q_vec")
+    )
+    rel = (
+        emb.where(F.col("vec_id") != _MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "emb", F.round(cosine("emb", "q_vec"), 6).alias("rel"))
+    )
+    cand = (
+        rel.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_CANDIDATES)
+        .localCheckpoint(eager=True)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    sim = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("s"),
+        )
+    )
+    cand.select("vec_id", "rel").createOrReplaceTempView("mmr_cand")
+    sim.createOrReplaceTempView("mmr_sim")
+    return spark.sql(_mmr_greedy_sql("mmr_cand", "mmr_sim"))
 
 
 # --------------------------------------------------------------------------
