@@ -413,3 +413,77 @@ def test_phase_machine_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_streaming_neardup_suppression(spark, tmp_path):
+    """Cross-batch LSH novelty gate (streaming/neardup.py): a doc near-
+    identical to one accepted in an EARLIER batch is suppressed by the
+    persistent band store; an in-batch near-dup is suppressed keep-first;
+    genuinely novel text flows through."""
+    import json as _json
+
+    from vectra_player_spark.streaming.neardup import neardup_suppress_stream
+
+    base = " ".join(f"tok{i % 17} word{i % 11}" for i in range(60))
+    other = " ".join(f"alpha{i % 13} beta{i % 7} gamma{i}" for i in range(60))
+    near = base.replace("tok3", "tokX")  # ~1-token change: near-dup of base
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(fname, rows):
+        with open(src / fname, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_batch("a.jsonl", [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},    # in-batch near-dup of 1 → suppressed
+        {"doc_id": 3, "text": other},   # novel
+    ])
+    docs = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = neardup_suppress_stream(docs, store, ckpt)
+    try:
+        q.processAllAvailable()
+        # second batch: near-dup of batch-1 keeper + one novel doc
+        write_batch("b.jsonl", [
+            {"doc_id": 10, "text": base.replace("word4", "wordY")},
+            {"doc_id": 11, "text": " ".join(f"delta{i}" for i in range(80))},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    novel = {
+        r["doc_id"]
+        for r in spark.read.schema("doc_id long, text string")
+        .parquet(str(tmp_path / "store" / "novel"))
+        .collect()
+    }
+    assert novel == {1, 3, 11}
+
+
+def test_streaming_neardup_batch_replay_is_idempotent(spark, tmp_path):
+    """at-least-once foreachBatch: re-processing the same batch id must
+    leave the store byte-identical (overwrite of the batch's own subdir),
+    not double-append bands."""
+    from vectra_player_spark.streaming.neardup import process_batch
+
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [(1, " ".join(f"w{i % 9} t{i % 5}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    process_batch(batch, 0, store)
+    first = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(store + "/bands").collect()
+    )
+    process_batch(batch, 0, store)  # replay after simulated failure
+    second = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(store + "/bands").collect()
+    )
+    assert first == second and len(first) > 0

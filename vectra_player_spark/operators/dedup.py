@@ -519,3 +519,35 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def minhash_band_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Long-form LSH band table (id, band_idx, band_hash) — one row per
+    band per doc, map-side only. The building block the streaming
+    near-dup suppressor shares with minhash_lsh_pairs: a doc is a
+    near-dup candidate of anything sharing a (band_idx, band_hash)."""
+    sig = minhash_signatures(docs, id_col, text_col, w, k)
+    rows_per_band = k // bands
+    band_cols = [
+        F.concat_ws(
+            "|",
+            *[
+                F.col(f"h{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stack_expr = ", ".join(f"{b}, b{b}" for b in range(bands))
+    return banded.select(
+        F.col(id_col),
+        F.expr(f"stack({bands}, {stack_expr}) AS (band_idx, band_hash)"),
+    ).select(id_col, "band_idx", "band_hash")

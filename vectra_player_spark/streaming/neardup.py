@@ -1,0 +1,117 @@
+"""Streaming near-duplicate suppression: the MinHash-LSH dedup mandate
+extended to a live document feed.
+
+The batch family (operators/dedup.py) answers "which docs in this corpus
+are near-dups of each other"; a training-data INGESTION pipeline needs the
+online form: "is this incoming doc a near-dup of anything already
+accepted" (the reference's rag_ingester novelty gate,
+src/services/rag/ingester.py:140-145, does this with exact ids — LSH makes
+it robust to near-identical re-broadcasts, the 12.5× duplication the
+reference corpus documents).
+
+Design (foreachBatch over a persistent band store):
+
+1. Per batch, compute the map-side LSH band table (no shuffle, same code
+   path as the batch operator — minhash_band_table).
+2. A doc is SUPPRESSED if any of its bands exists in the accepted-band
+   store (left-semi probe), or if it shares a band with an
+   earlier-accepted doc of the same batch (min-id-per-bucket, applied
+   iteratively within the batch would be exact; one pass keeps any doc
+   that is the minimum id in EVERY bucket it occupies — docs suppressed
+   by a non-novel doc are a documented approximation the store probe
+   corrects on the next batch, since the novel keeper's bands are what
+   lands in the store).
+3. Novel docs' bands are appended to the store under a batch=N
+   subdirectory with mode=overwrite — re-processing a batch after a
+   restart rewrites the identical content, so the store append is
+   idempotent (exactly-once effect on at-least-once foreachBatch).
+
+At scale the store is a parquet table keyed by (band_idx, band_hash); the
+probe is a broadcast or shuffle semi-join on that key, and nothing ever
+funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from vectra_player_spark.operators.dedup import minhash_band_table
+
+
+def _bands_store_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "bands")
+
+
+def _read_store(spark, store_dir: str, batch_id: int) -> DataFrame | None:
+    """Accepted bands from every batch EXCEPT the current one. Excluding
+    the batch's own partition is what makes replay idempotent: on an
+    at-least-once re-run the store already contains this batch's bands,
+    and probing against them would suppress every doc the first attempt
+    accepted (then overwrite the partition with nothing — data loss).
+    The `batch` partition column comes from the batch=N subdirectories."""
+    path = _bands_store_path(store_dir)
+    try:
+        store = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — first batch: store does not exist yet
+        return None
+    return store.where(F.col("batch") != batch_id).select("band_idx", "band_hash")
+
+
+def process_batch(batch: DataFrame, batch_id: int, store_dir: str) -> None:
+    """One ingestion step: suppress near-dups, persist novel docs + bands."""
+    spark = batch.sparkSession
+    bands = minhash_band_table(batch)
+
+    store = _read_store(spark, store_dir, batch_id)
+    if store is not None:
+        seen = (
+            bands.join(store, ["band_idx", "band_hash"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        fresh = batch.join(seen, "doc_id", "left_anti")
+        fresh_bands = bands.join(seen, "doc_id", "left_anti")
+    else:
+        fresh, fresh_bands = batch, bands
+
+    # Intra-batch keep-first: a doc survives only if it is the minimum
+    # doc_id in every band bucket it occupies within the batch.
+    bucket_min = fresh_bands.groupBy("band_idx", "band_hash").agg(
+        F.min("doc_id").alias("min_id")
+    )
+    losers = (
+        fresh_bands.join(bucket_min, ["band_idx", "band_hash"])
+        .where(F.col("doc_id") != F.col("min_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    novel = fresh.join(losers, "doc_id", "left_anti")
+    novel_bands = fresh_bands.join(losers, "doc_id", "left_anti")
+
+    # Idempotent appends: overwrite this batch's own subdirectory.
+    novel.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "novel", f"batch={batch_id}")
+    )
+    novel_bands.write.mode("overwrite").parquet(
+        os.path.join(_bands_store_path(store_dir), f"batch={batch_id}")
+    )
+
+
+def neardup_suppress_stream(
+    docs: DataFrame, store_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Start the novelty-gated ingestion stream over a (doc_id, text)
+    streaming DataFrame. Novel docs land under {store_dir}/novel/,
+    accepted bands under {store_dir}/bands/."""
+    return (
+        docs.writeStream.foreachBatch(
+            lambda b, i: process_batch(b, i, store_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
