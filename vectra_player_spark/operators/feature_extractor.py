@@ -91,6 +91,11 @@ class HistoricalStats:
         for r in hist:
             total += int(r["c"])
             cum.append(total)
+        if row["mean"] is None:
+            # Empty corpus (fresh lake, empty partition): zeroed stats
+            # keep the extractor runnable — downstream features degrade
+            # to 0/percentile-0 rather than crashing the job.
+            return cls(0.0, 0.0, 0.0, 0.0, 0.0, (), (), 0)
         return cls(
             float(row["mean"]),
             float(row["std"] or 0.0),

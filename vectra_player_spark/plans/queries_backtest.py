@@ -76,6 +76,12 @@ def gbt_threshold_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectra_player_spark.plans.queries_ml import training_set_builder
 
     training = training_set_builder(spark, sf_dir)
+    if training.isEmpty():  # tree ensembles cannot fit on zero rows
+        return spark.createDataFrame(
+            [],
+            "threshold double, n bigint, n_bets bigint, n_wins bigint,"
+            " ev_per_row double, precision double",
+        )
     _, scored = train_gbt(
         training,
         ["tick", "value", "vol_5", "momentum_3"],

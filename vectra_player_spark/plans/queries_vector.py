@@ -300,6 +300,12 @@ def knn_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectra_player_spark.operators.knn import kmeans_centroids, recall_at_k
 
     emb = t(spark, sf_dir, "embeddings")
+    if emb.isEmpty():  # k-means cannot fit on zero vectors — empty report
+        return spark.createDataFrame(
+            [],
+            "n_queries long, mean_recall double, min_recall double,"
+            " k int, nprobe int, n_cells int",
+        )
     queries = emb.where(F.col("vec_id") < 50)
     exact = brute_force_topk(queries, emb, k=10)
     centroids = kmeans_centroids(emb, n_cells=16)
@@ -337,6 +343,12 @@ def knn_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
+    if emb.isEmpty():  # codebooks cannot train on zero vectors
+        return spark.createDataFrame(
+            [],
+            "n_queries long, mean_recall double, min_recall double,"
+            " k int, m_subspaces int, n_codes int, compression_x double",
+        )
     queries = emb.where(F.col("vec_id") < 50)
     exact = brute_force_topk(queries, emb, k=10)
     # Codebooks converge on a sample — cap the k-means training set at
