@@ -80,7 +80,8 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = vectors.select(
+    # NULL vectors cannot be assigned a cell; array_to_vector NPEs on them.
+    feat = vectors.where(F.col(vec_col).isNotNull()).select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
@@ -128,6 +129,8 @@ def pq_train(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # NULL vectors have no subvectors to quantize — train on real rows only.
+    vectors = vectors.where(F.col(vec_col).isNotNull())
     dim = len(vectors.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -991,8 +991,13 @@ def ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         td = F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
         num = tn if num is None else num + tn
         den = td if den is None else den + td
+    # NULLIF guard: a row whose 20-tap window is entirely NULL has den=0;
+    # ANSI mode (Spark 4 default) turns that 0/0 into a job-killing error
+    # instead of a NULL feature. Driver data is non-null (den >= 1), so
+    # oracle parity is unaffected.
     return ev.select(
-        "user_id", "event_id", F.round(num / den, 6).alias("ewma_20")
+        "user_id", "event_id",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("ewma_20"),
     )
 
 

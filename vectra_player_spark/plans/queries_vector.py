@@ -299,7 +299,8 @@ def knn_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_cells, nprobe) per recall target."""
     from vectra_player_spark.operators.knn import kmeans_centroids, recall_at_k
 
-    emb = t(spark, sf_dir, "embeddings")
+    # NULL embeddings can't participate in any ANN path (assign/encode NPE)
+    emb = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     if emb.isEmpty():  # k-means cannot fit on zero vectors — empty report
         return spark.createDataFrame(
             [],
@@ -342,7 +343,8 @@ def knn_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_at_k,
     )
 
-    emb = t(spark, sf_dir, "embeddings")
+    # NULL embeddings can't participate in any ANN path (assign/encode NPE)
+    emb = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     if emb.isEmpty():  # codebooks cannot train on zero vectors
         return spark.createDataFrame(
             [],
