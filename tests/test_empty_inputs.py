@@ -35,5 +35,7 @@ def empty_sf_dir(tmp_path_factory, sf_dir):
 
 @pytest.mark.parametrize("name", sorted(plans.QUERIES))
 def test_query_runs_on_empty_lake(spark, empty_sf_dir, name):
-    n = plans.QUERIES[name].spark_fn(spark, empty_sf_dir).count()
-    assert n >= 0
+    # collect(), not count(): count prunes the projection and would mask
+    # expression-level crashes (seen with ewma's ANSI divide-by-zero).
+    rows = plans.QUERIES[name].spark_fn(spark, empty_sf_dir).collect()
+    assert rows is not None
