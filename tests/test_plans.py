@@ -289,3 +289,23 @@ def test_q7_self_aliased_dims_filter_and_broadcast_separately(spark, sf_dir):
     n_name_filters = plan.count("(n_name")
     assert n_name_filters >= 2, plan[:3000]
     assert plan.count("BroadcastHashJoin") >= 4  # sup/ord/cust strategy is AQE's call
+
+
+def test_keyset_pagination_pushes_cursor_and_avoids_global_sort(spark, sf_dir):
+    plan = _physical(spark, sf_dir, "keyset_paginate_orders")
+    # The cursor tuple-comparison must reach the parquet scan as an OR
+    # filter, and the page must come from a per-partition top-k, not a
+    # global Sort + offset (the OFFSET form's cost = whole-table sort).
+    assert "PushedFilters: [Or(GreaterThan(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_trailing_hll_report_accuracy_floor(spark, sf_dir):
+    row = plans.QUERIES["trailing_hour_uniques_hll"].spark_fn(spark, sf_dir).collect()[0]
+    # rsd=0.05 sketch against exact sliding distinct: sf0.001 cardinalities
+    # are small enough that HLL++ linear counting is near-exact; at sf0.1
+    # the measured mean error is ~2.5% (SCALE.md). Pin a loose floor so a
+    # frame/rsd regression trips it.
+    assert row.n_rows > 0
+    assert row.mean_rel_err <= 0.05
+    assert row.frac_within_rsd >= 0.85

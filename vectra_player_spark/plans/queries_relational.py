@@ -244,6 +244,54 @@ def paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Keyset pagination (O3/O4 scale path). OFFSET pagination re-sorts the whole
+# relation every page (measured 19× time at 10× rows in SCALE.md — the sort
+# IS the query); a keyset cursor turns each page into a pushed-down range
+# scan + TakeOrderedAndProject: the filter reaches the parquet footers, so
+# page cost depends on page size, not table size or page number. Composite
+# (o_orderdate, o_orderkey) cursor shows the general tuple-comparison form.
+# --------------------------------------------------------------------------
+
+_KEYSET_CURSOR_DATE = "1998-03-01 00:00:00"
+
+_KEYSET_PAGINATE_ORACLE = f"""
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date,
+       o_totalprice
+FROM orders
+WHERE o_orderdate > TIMESTAMP '{_KEYSET_CURSOR_DATE}'
+   OR (o_orderdate = TIMESTAMP '{_KEYSET_CURSOR_DATE}' AND o_orderkey > 0)
+ORDER BY o_orderdate, o_orderkey
+LIMIT 50
+"""
+
+
+@register(
+    "keyset_paginate_orders",
+    oracle=_KEYSET_PAGINATE_ORACLE,
+    tags=("relational",),
+    survey_ref="O3,O4 scale path (keyset/cursor pagination)",
+)
+def keyset_paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cursor = F.to_timestamp(F.lit(_KEYSET_CURSOR_DATE))
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            (F.col("o_orderdate") > cursor)
+            | ((F.col("o_orderdate") == cursor) & (F.col("o_orderkey") > 0))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_date"),
+            "o_totalprice",
+        )
+        .orderBy("o_date", "o_orderkey")
+        .limit(50)
+    )
+
+
 _DISTINCT_ORACLE = """
 SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
 """

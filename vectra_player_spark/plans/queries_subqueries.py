@@ -201,6 +201,12 @@ FROM chain WHERE node <= 1
 )
 def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "customer")
+    # The walk materializes ~n·log2(n) frontier rows total (every leaf ×
+    # its unique root chain) — ~31M at the 100× lake, over the 1M-row
+    # safety default, which exists to catch RUNAWAY recursion, not large
+    # finite ones. Depth stays log2(n) (~21 at 100×), far under the
+    # level limit, so raise only the row cap.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
     return spark.sql("""
         WITH RECURSIVE chain(leaf, node, depth, bal_sum) AS (
           SELECT c_custkey, c_custkey, 0, CAST(c_acctbal AS DECIMAL(28,6))

@@ -393,3 +393,51 @@ def trailing_hour_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.size(F.collect_set("user_id").over(w)).cast("bigint").alias("uniq_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# trailing_hour_uniques_hll — the sketch path for sliding DISTINCT at lake
+# scale, self-validating. The exact form above carries a full user set per
+# frame (state ∝ window cardinality; SCALE.md measured its cost growing
+# with timeline density — 27× time for 10× rows on the 100× lake, the
+# floor for materialized exact sliding distinct). HLL++ replaces the set
+# with fixed ~kB registers, so per-frame state is O(1) regardless of how
+# dense the hour is — the 100 TB form. approx_count_distinct is
+# deterministic (hash-based, no RNG), but its values are engine-specific,
+# so the registered query emits the error REPORT against the exact window
+# (sketch_accuracy_report precedent): the claim under test is "the sketch
+# tracks the exact count within its rsd", not the raw sketch values.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "trailing_hour_uniques_hll",
+    oracle=None,
+    tags=("events", "timeseries", "sketch"),
+    survey_ref="W-family extension: sliding distinct via HLL sketch (scale path)",
+)
+def trailing_hour_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_599_999_999, Window.currentRow)
+    )
+    per_row = ev.select(
+        F.size(F.collect_set("user_id").over(w)).cast("double").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).over(w).cast("double").alias("approx"),
+    ).select(
+        "exact",
+        # nullif: a frame whose user_ids are all NULL has exact=0 (ANSI
+        # would escalate 0/0); such rows drop out of the error averages.
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            / F.nullif(F.col("exact"), F.lit(0.0))
+        ).alias("rel_err"),
+    )
+    return per_row.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("rel_err"), 6).alias("mean_rel_err"),
+        F.round(F.max("rel_err"), 6).alias("max_rel_err"),
+        F.round(F.avg((F.col("rel_err") <= 0.05).cast("double")), 6).alias("frac_within_rsd"),
+    )

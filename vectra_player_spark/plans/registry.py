@@ -236,6 +236,11 @@ DEFERRED: tuple[str, ...] = (
     # shape); window-ranking family via best_row_dedup + paginate.
     "dedup_keep_first",
     "ntile_user_quartiles",
+    # O3/O4 keyset cursor: its plan shapes (pushed range filter +
+    # TakeOrderedAndProject) are in-cap via q1's pushdown and q3's top-k;
+    # registered for the scale story (SCALE.md pagination section),
+    # locally oracle-verified, plan-pinned in test_plans.
+    "keyset_paginate_orders",
     # J-semi family covered in-cap by episode_batch_fetch (J3 semi-join);
     # frame sampling's explode shape by multimodal_image_features' sibling
     # pipeline (same media construction + mapInPandas stage).
