@@ -14,11 +14,15 @@ from vectra_player_spark.tables import TABLES
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
-        )
+        p = f"{sf_dir}/{name}.parquet"
+        # Spark-written lakes (e.g. the /tmp/scale100 parity checks) are
+        # directories of part files; driver testdata is flat files.
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
     return con.execute(sql).df()
 
 
