@@ -47,6 +47,26 @@ def r6d(col: Column | str) -> Column:
     return F.round(c.cast("double"), 6)
 
 
+def fround(col: Column | str, digits: int = 6) -> Column:
+    """Engine-stable round for doubles: floor(x * 10^d + 0.5) / 10^d.
+
+    ROUND(double, d) is NOT cross-engine deterministic at representation
+    midpoints: Spark's round() goes through the double's SHORTEST decimal
+    repr (BigDecimal.valueOf → "8.0046875" → HALF_UP → ...688) while
+    DuckDB rounds the exact binary expansion (8.00468749999999886… →
+    ...687). Measured at the 10× lake: 1 row in 1e5 flipped by exactly
+    1e-6 (SCALE.md §rounding boundary). This formula uses only IEEE
+    double multiply/add/floor — bit-identical in every engine by
+    construction — at the cost of a fixed convention (half toward +inf)
+    that differs from ROUND only on the ambiguous midpoint set. Use it
+    with the SAME formula in the DuckDB oracle:
+    FLOOR(x * 1e6 + 0.5) / 1e6.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scale = F.lit(float(10**digits))
+    return F.floor(c.cast("double") * scale + F.lit(0.5)) / scale
+
+
 # -- integer fixed-point accumulation (the fast exact path) -----------------
 #
 # Decimal sums are exact but slow in the JVM: SUM(decimal(18,6)) widens to

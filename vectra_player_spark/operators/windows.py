@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vectra_player_spark.functions.exact import fround
+
 
 def episode_window(episode_key: str, order_key: str) -> Window:
     return Window.partitionBy(episode_key).orderBy(order_key)
@@ -35,7 +37,11 @@ def tick_features(
     prev = F.lag(p).over(w)
 
     def rnd(c: Column) -> Column:
-        return F.round(c, round_to) if round_to is not None else c
+        # fround, not F.round: division-derived features land on decimal
+        # representation midpoints ~1e-5/row, where ROUND(double) differs
+        # between engines (see functions/exact.fround). The oracle uses
+        # the identical FLOOR formula.
+        return fround(c, round_to) if round_to is not None else c
 
     running_max = F.max(p).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return df.select(

@@ -31,23 +31,39 @@ from vectra_player_spark.tables import t
 # tick_features — the flagship query (duckdb.py:408-458 re-expressed).
 # --------------------------------------------------------------------------
 
+# FLOOR(x*1e6 + 0.5)/1e6, not ROUND: cross-engine-deterministic rounding
+# (see functions/exact.fround — ROUND(double) flips at representation
+# midpoints; measured 1-in-1e5 rows at the 10× lake).
 _TICK_ORACLE = """
+WITH t AS (
+  SELECT
+    user_id,
+    event_id,
+    CAST(value AS DOUBLE) AS price,
+    CAST(value - LAG(value) OVER w AS DOUBLE) AS price_change,
+    CAST((value - LAG(value) OVER w) / NULLIF(LAG(value) OVER w, 0) AS DOUBLE) AS pct_change,
+    CAST(STDDEV(value) OVER (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS volatility_5,
+    CAST(STDDEV(value) OVER (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE) AS volatility_10,
+    CAST(MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_max,
+    CAST(value / NULLIF(MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - 1 AS DOUBLE) AS drawdown
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
 SELECT
   user_id,
   event_id,
-  ROUND(value, 6) AS price,
-  ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 6) AS price_change,
-  ROUND((value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id))
-        / NULLIF(LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 0), 6) AS pct_change,
-  ROUND(STDDEV(value) OVER (PARTITION BY user_id ORDER BY event_id
-        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS volatility_5,
-  ROUND(STDDEV(value) OVER (PARTITION BY user_id ORDER BY event_id
-        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS volatility_10,
-  ROUND(MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_max,
-  ROUND(value / NULLIF(MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - 1, 6) AS drawdown
-FROM events
+  FLOOR(price * 1e6 + 0.5) / 1e6 AS price,
+  FLOOR(price_change * 1e6 + 0.5) / 1e6 AS price_change,
+  FLOOR(pct_change * 1e6 + 0.5) / 1e6 AS pct_change,
+  FLOOR(volatility_5 * 1e6 + 0.5) / 1e6 AS volatility_5,
+  FLOOR(volatility_10 * 1e6 + 0.5) / 1e6 AS volatility_10,
+  FLOOR(running_max * 1e6 + 0.5) / 1e6 AS running_max,
+  FLOOR(drawdown * 1e6 + 0.5) / 1e6 AS drawdown
+FROM t
 """
 
 
