@@ -178,6 +178,8 @@ _BNLJ_ALLOWED = {
     "bm25_topk_retrieval",  # 1-row (N, avgdl) scalar broadcast
     "mmr_rerank_topk",  # 1-row query-vector broadcast
     "hybrid_rrf_retrieval",  # both arms' 1-row scalar/query broadcasts
+    "ntile_user_quartiles",  # exact_ntile's 1-row cut-array/n_total broadcasts
+    "q22_sales_opportunity",  # 1-row (total, n) avg-balance scalar broadcast
     "doc_tfidf_topterms",  # 1-row corpus-size scalar broadcast
     "conditional_end_prob",
     "gbt_threshold_analysis",
@@ -288,7 +290,13 @@ def test_q7_self_aliased_dims_filter_and_broadcast_separately(spark, sf_dir):
     plan = _physical(spark, sf_dir, "q7_volume_shipping")
     n_name_filters = plan.count("(n_name")
     assert n_name_filters >= 2, plan[:3000]
-    assert plan.count("BroadcastHashJoin") >= 4  # sup/ord/cust strategy is AQE's call
+    # Pin only the two aliased nation broadcasts (build side carries
+    # n_name); the sup/ord/cust join strategy is AQE's call and must not
+    # be pinned — a threshold or lake-size change flipping those to
+    # sort-merge is a legitimate plan, not a regression.
+    bhj_heads = [seg[:200] for seg in plan.split("BroadcastHashJoin")[1:]]
+    assert any("n1_key" in h for h in bhj_heads), plan[:3000]
+    assert any("n2_key" in h for h in bhj_heads), plan[:3000]
 
 
 def test_keyset_pagination_pushes_cursor_and_avoids_global_sort(spark, sf_dir):

@@ -4,14 +4,18 @@ The reference's entire execution engine IS DuckDB (+ pandas driver code),
 so "matches-or-beats the reference's single-node throughput" is directly
 measurable: for every bench-tagged query with an oracle, time
 
-- DuckDB running the oracle SQL (fresh in-memory connection per call —
-  the reference's own connection pattern, duckdb.py:26-35; DuckDB uses
-  all cores by default), best-of-3, full materialization via .df()
-- Spark running the registered plan on local[N], best-of-3, noop sink
+- DuckDB running the oracle SQL (DuckDB uses all cores by default),
+  best-of-3, full materialization via .df()
+- Spark running the registered plan on local[N], best-of-3, plan built
+  INSIDE the timed region, collect() materialization
 
-Both sides read the same parquet files cold from the page cache and
-produce the same verified rows (tools/sweep.py checks equality; this tool
-only times). Rows-only bench queries (no oracle) are skipped.
+Timing symmetry: each side's timer covers plan/SQL construction through
+full row materialization in driver memory; per-run setup that is not
+query work (DuckDB connect + view registration, the Spark session) stays
+OUTSIDE the timed region on both sides. Both sides read the same parquet
+files from the page cache and produce the same verified rows
+(tools/sweep.py checks equality; this tool only times). Rows-only bench
+queries (no oracle) are skipped.
 
 Usage: python tools/duck_vs_spark.py [sf_dir]
 Prints one JSON line {"metric": "duck_vs_spark", "queries": {...}}.
@@ -33,19 +37,17 @@ def _time_duck(sql: str, sf_dir: str) -> float:
     from vectra_player_spark.tables import TABLES
 
     runs = []
+    con = duckdb.connect()
+    for name in TABLES:
+        p = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(p):  # Spark-written table = directory of parts
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     for _ in range(3):
         t0 = time.perf_counter()
-        con = duckdb.connect()
-        for name in TABLES:
-            p = f"{sf_dir}/{name}.parquet"
-            if os.path.isdir(p):  # Spark-written table = directory of parts
-                p = f"{p}/*.parquet"
-            con.execute(
-                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
-            )
         con.execute(sql).df()
-        con.close()
         runs.append(time.perf_counter() - t0)
+    con.close()
     return min(runs)
 
 
@@ -81,9 +83,8 @@ def main() -> int:
             continue
         s_runs = []
         for _ in range(3):
-            df = spec.spark_fn(spark, sf_dir)
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            spec.spark_fn(spark, sf_dir).collect()
             s_runs.append(time.perf_counter() - t0)
         spark_sec = min(s_runs)
         duck_sec = _time_duck(spec.oracle, sf_dir)

@@ -1,0 +1,167 @@
+"""Scale-safe global ranking primitives.
+
+A partition-less ``Window.orderBy(...)`` funnels the whole relation through
+ONE task (WindowExec's "No Partition Defined" warning) — the shape the
+reference gets for free on a single node (numpy argsort over an in-memory
+frame: the top-k cut in scripts/vectra_index.py:51-73, the quartile
+stratification in the optimization service) but the one thing a distributed
+plan must never do over an unbounded input. Two scale-safe replacements:
+
+- :func:`ranked_topk` — when only the best k rows are needed, ``ORDER BY
+  ... LIMIT k`` compiles to TakeOrderedAndProject (per-partition bounded
+  heaps, no shuffle of the losers); the rank column is then recovered by
+  sorting the <= k survivors inside ONE array aggregate and position-
+  exploding, so NO Window appears anywhere in the plan.
+
+- :func:`global_rank` / :func:`exact_ntile` — when every row needs its
+  global position (NTILE stratification), a two-pass range-bucketed rank:
+  cut points from one aggregate over a deterministic hash-sample, bucket
+  assignment as a zero-shuffle array HOF (all ties of a value land in one
+  bucket, so bucket order is consistent with the global order), a
+  *partitioned* per-bucket row_number, and bucket offsets from a tiny
+  (n_cuts x n_cuts) self-join. global rank = offset + local row_number;
+  NTILE's ceil/floor bucket arithmetic is then pure column math on
+  (rank, n_total). Exactly ``NTILE(k) OVER (ORDER BY score DESC, id)``
+  semantics, never a single-partition sort. Cut-point quality affects
+  bucket *balance* only, never correctness — every stage that depends on
+  the cuts is a deterministic function of the input, so recomputation
+  under task retry or multi-consumer lineage yields identical buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranked_topk(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    k: int,
+    out_cols: list[str] | None = None,
+    rank_col: str = "rank",
+    rank_type: str = "int",
+) -> DataFrame:
+    """Top-k rows by (score DESC, id ASC) with a 1-based rank column.
+
+    Equivalent to ``ROW_NUMBER() OVER (ORDER BY score DESC, id) <= k`` but
+    compiles to TakeOrderedAndProject + a <=k-row array aggregate instead
+    of a single-partition global Window. ``score_col`` must be numeric and
+    non-null (negation provides the descending struct sort key).
+    """
+    cols = out_cols or df.columns
+    topk = df.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
+    packed = topk.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col(score_col)).alias("__neg_score"),
+                    F.col(id_col).alias("__id"),
+                    F.struct(*[F.col(c) for c in cols]).alias("__row"),
+                )
+            )
+        ).alias("__arr")
+    )
+    return packed.select(
+        F.posexplode("__arr").alias("__pos", "__r")
+    ).select(
+        *[F.col(f"__r.__row.{c}").alias(c) for c in cols],
+        (F.col("__pos") + 1).cast(rank_type).alias(rank_col),
+    )
+
+
+def _ceil_div(a: Column, b: Column) -> Column:
+    # exact integer ceil(a / b) for positive bigints, no float round-trip
+    return F.floor((a + b - F.lit(1)) / b).cast("bigint")
+
+
+def global_rank(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    n_cuts: int = 32,
+    sample_mod: int = 100,
+) -> DataFrame:
+    """Exact 1-based global rank by (score DESC, id ASC), distributed.
+
+    Adds ``rank_col`` and ``__n_total`` columns. Plan shape: one aggregate
+    over a deterministic crc32(id)%%``sample_mod`` sample for the cut
+    points (exact percentile over ~n/sample_mod rows — bounded final
+    buffer; the cuts only steer balance), one bucket-partitioned Window,
+    one broadcast join against the <= n_cuts+1-row offset table. The input
+    must already be reduced (one row per id) and score non-null.
+    """
+    qs = ", ".join(f"{(i + 1) / (n_cuts + 1):.6f}" for i in range(n_cuts))
+    cuts_row = (
+        df.where(F.crc32(F.col(id_col).cast("string")) % sample_mod == 0)
+        .agg(F.expr(f"percentile({score_col}, array({qs}))").alias("__cuts"))
+    )
+    n_row = df.agg(F.count(F.lit(1)).alias("__n_total"))
+    # bucket id = #cuts strictly above my score → ascending bucket order is
+    # descending score order, and score-ties share a bucket (order-consistent)
+    bucketed = (
+        df.crossJoin(F.broadcast(cuts_row))
+        .crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "__bucket",
+            # empty sample → NULL cuts → everything in bucket 0 (one
+            # partition: still correct, only unbalanced — tiny inputs only)
+            F.coalesce(
+                F.size(F.expr(f"filter(__cuts, c -> c > {score_col})")), F.lit(0)
+            ).cast("int"),
+        )
+        .drop("__cuts")
+    )
+    w = Window.partitionBy("__bucket").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    local = bucketed.withColumn("__rn", F.row_number().over(w).cast("bigint"))
+    counts = local.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    lower = counts.select(
+        F.col("__bucket").alias("__lb"), F.col("__cnt").alias("__lcnt")
+    )
+    offsets = (
+        counts.join(lower, F.col("__lb") < F.col("__bucket"), "left")
+        .groupBy("__bucket")
+        .agg(F.coalesce(F.sum("__lcnt"), F.lit(0)).cast("bigint").alias("__offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(rank_col, (F.col("__offset") + F.col("__rn")).cast("bigint"))
+        .drop("__bucket", "__rn", "__offset")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_buckets: int,
+    out_col: str = "ntile",
+    n_cuts: int = 32,
+    sample_mod: int = 100,
+) -> DataFrame:
+    """``NTILE(n_buckets) OVER (ORDER BY score DESC, id ASC)``, distributed.
+
+    NTILE semantics: with n rows, the first ``n % k`` buckets hold
+    ``n div k + 1`` rows, the rest ``n div k`` — pure column arithmetic
+    once :func:`global_rank` has supplied each row's exact position.
+    """
+    ranked = global_rank(
+        df, score_col, id_col, rank_col="__grank",
+        n_cuts=n_cuts, sample_mod=sample_mod,
+    )
+    n = F.col("__n_total")
+    k = F.lit(n_buckets).cast("bigint")
+    base = F.floor(n / k).cast("bigint")
+    rem = (n % k).cast("bigint")
+    thr = rem * (base + 1)
+    r = F.col("__grank")
+    tile = F.when(r <= thr, _ceil_div(r, base + 1)).otherwise(
+        rem + _ceil_div(r - thr, base)
+    )
+    return ranked.withColumn(out_col, tile.cast("bigint")).drop(
+        "__grank", "__n_total"
+    )

@@ -24,6 +24,7 @@ from vectra_player_spark.plans import (  # noqa: E402,F401
     queries_pipeline,
     queries_timeseries,
     queries_subqueries,
+    queries_tpch_extra,
 )
 
 __all__ = ["QUERIES", "QuerySpec", "register", "queries", "oracle_sql"]

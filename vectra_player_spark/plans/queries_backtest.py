@@ -75,7 +75,11 @@ def gbt_threshold_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectra_player_spark.operators.ml_models import threshold_analysis, train_gbt
     from vectra_player_spark.plans.queries_ml import training_set_builder
 
-    training = training_set_builder(spark, sf_dir)
+    # Materialize the training set ONCE (localCheckpoint cuts lineage):
+    # the emptiness guard and every GBT boosting iteration then read the
+    # checkpointed blocks instead of re-running the full builder plan —
+    # previously the guard alone doubled the most expensive upstream stage.
+    training = training_set_builder(spark, sf_dir).localCheckpoint(eager=True)
     if training.isEmpty():  # tree ensembles cannot fit on zero rows
         return spark.createDataFrame(
             [],

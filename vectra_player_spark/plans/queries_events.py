@@ -1092,11 +1092,12 @@ def user_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # NTILE bucketing over pre-aggregated user totals: quartile assignment for
-# stratification. The global window runs over the REDUCED table (one row
-# per user), so the single-partition sort is |users|-sized, not
-# event-sized; at extreme user counts the same semantics come from a
-# range-partitioned sort. Deterministic via the (total DESC, user_id)
-# tiebreak.
+# stratification. The oracle states it as NTILE(4) OVER a global ORDER BY;
+# the Spark side computes the identical assignment with operators.rank.
+# exact_ntile — range-bucketed two-pass rank (partitioned windows only)
+# plus NTILE's ceil/floor arithmetic — because |users| grows with the lake
+# and a partition-less Window would funnel the reduced relation through
+# one task. Deterministic via the (total DESC, user_id) tiebreak.
 # --------------------------------------------------------------------------
 
 _NTILE_ORACLE = """
@@ -1120,17 +1121,25 @@ FROM totals
     survey_ref="W-family: ntile bucketing over reduced totals",
 )
 def ntile_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile stratification without a single-partition sort: the exact
+    NTILE assignment comes from a distributed two-pass rank (see
+    operators/rank.py); totals accumulate in exact decimal so the ORDER BY
+    key is engine-identical before the (total DESC, user_id) tiebreak."""
+    from vectra_player_spark.operators.rank import exact_ntile
+
     ev = t(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
-    return totals.select(
+    tiled = exact_ntile(
+        totals, "total_value", "user_id", 4, out_col="value_quartile"
+    )
+    return tiled.select(
         "user_id",
         F.round("total_value", 6).alias("total_value"),
         "n_events",
-        F.ntile(4).over(w).cast("bigint").alias("value_quartile"),
+        F.col("value_quartile").cast("bigint").alias("value_quartile"),
     )
 
 

@@ -200,14 +200,23 @@ FROM chain WHERE node <= 1
     survey_ref="J-family extension: WITH RECURSIVE hierarchy walk (Spark 4.1)",
 )
 def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "customer")
     # The walk materializes ~n·log2(n) frontier rows total (every leaf ×
     # its unique root chain) — ~31M at the 100× lake, over the 1M-row
     # safety default, which exists to catch RUNAWAY recursion, not large
     # finite ones. Depth stays log2(n) (~21 at 100×), far under the
-    # level limit, so raise only the row cap.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
-    return spark.sql("""
+    # level limit, so raise only the row cap — in an ISOLATED session
+    # (same SparkContext, separate SQLConf/temp views): the limit is read
+    # at EXECUTION time (measured), so a try/finally restore around plan
+    # construction would re-expose the 1M default when the caller finally
+    # collects, while setting it on the shared session would disable the
+    # runaway-recursion guard for every later query in the session.
+    from vectra_player_spark.session import prep_session
+
+    iso = spark.newSession()
+    prep_session(iso)
+    iso.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
+    _views(iso, sf_dir, "customer")
+    return iso.sql("""
         WITH RECURSIVE chain(leaf, node, depth, bal_sum) AS (
           SELECT c_custkey, c_custkey, 0, CAST(c_acctbal AS DECIMAL(28,6))
           FROM sq_customer

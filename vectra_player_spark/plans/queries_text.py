@@ -1137,8 +1137,11 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode generates only query-term occurrences; N/avgdl and the df table
     are broadcast scalars. Summation order inside a doc is absorbed by the
     round-6 on both engines; the top-k cut orders by the ROUNDED score with
-    a doc_id tie-break so the limit is a total order."""
-    from pyspark.sql.window import Window
+    a doc_id tie-break so the limit is a total order. The rank column comes
+    from operators.rank.ranked_topk (TakeOrderedAndProject + a <=k-row
+    posexplode), NOT a partition-less Window — at 100 TB the old global
+    row_number sorted every doc matching any query term in one task."""
+    from vectra_player_spark.operators.rank import ranked_topk
 
     docs = t(spark, sf_dir, "documents")
     base = docs.select(
@@ -1171,11 +1174,8 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))
     )
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= _BM25_TOPK)
-        .select("doc_id", "bm25", "rank")
+    return ranked_topk(
+        scored, "bm25", "doc_id", _BM25_TOPK, out_cols=["doc_id", "bm25"]
     )
 
 

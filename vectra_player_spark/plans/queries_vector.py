@@ -301,6 +301,8 @@ def knn_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL embeddings can't participate in any ANN path (assign/encode NPE)
     emb = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    # isEmpty() is a head(1) short-circuit over the plain scan+filter —
+    # unlike a heavy derived frame, probing it does not re-run real work
     if emb.isEmpty():  # k-means cannot fit on zero vectors — empty report
         return spark.createDataFrame(
             [],
@@ -345,6 +347,7 @@ def knn_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL embeddings can't participate in any ANN path (assign/encode NPE)
     emb = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    # isEmpty() is a head(1) short-circuit over the plain scan+filter
     if emb.isEmpty():  # codebooks cannot train on zero vectors
         return spark.createDataFrame(
             [],
@@ -840,7 +843,7 @@ def _rrf_sql(dialect: str, docs: str, embs: str) -> str:
             "list_dot_product(c.emb, q.q_vec) / NULLIF(sqrt(list_dot_product(c.emb, c.emb))"
             " * sqrt(list_dot_product(q.q_vec, q.q_vec)), 0)"
         )
-    else:
+    else:  # spark
         toks = r"split(lower(trim(text)), '\\s+')"
         tok_len = "size(toks)"
         tok_filter = f"explode(filter(toks, x -> x IN ({terms})))"
@@ -853,6 +856,58 @@ def _rrf_sql(dialect: str, docs: str, embs: str) -> str:
             f"{d.format(a='c.emb', b='q.q_vec')} / NULLIF(sqrt({d.format(a='c.emb', b='c.emb')})"
             f" * sqrt({d.format(a='q.q_vec', b='q.q_vec')}), 0)"
         )
+    # Per-arm top-k rank: DuckDB (oracle, single node) keeps the plain
+    # ROW_NUMBER window; the Spark arm must NOT plan a partition-less
+    # Window over every scored doc — ORDER BY .. LIMIT k compiles to
+    # TakeOrderedAndProject and the rank is recovered by array-sorting the
+    # <= k survivors in one aggregate (posexplode position + 1). The final
+    # fused rank runs over <= 2k rows but uses the same shape so no global
+    # Window appears anywhere in the plan.
+    if dialect == "duckdb":
+        sparse_cte = f"""sparse AS (
+  SELECT doc_id, CAST(rnk AS BIGINT) AS rank_sparse
+  FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm25)
+  WHERE rnk <= {_RRF_TOPK}
+)"""
+        dense_cte = f"""dense AS (
+  SELECT doc_id, CAST(rnk AS BIGINT) AS rank_dense
+  FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM scored)
+  WHERE rnk <= {_RRF_TOPK}
+)"""
+        final_select = """SELECT doc_id, rank_sparse, rank_dense, rrf,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM fused
+ORDER BY rrf DESC, doc_id"""
+    else:
+        sparse_cte = f"""sparse AS (
+  SELECT r.doc_id AS doc_id, CAST(pos + 1 AS BIGINT) AS rank_sparse
+  FROM (
+    SELECT posexplode(array_sort(arr)) AS (pos, r) FROM (
+      SELECT collect_list(struct(-score AS ns, doc_id)) AS arr FROM (
+        SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT {_RRF_TOPK}
+      ) st0
+    ) st1
+  ) st2
+)"""
+        dense_cte = f"""dense AS (
+  SELECT r.doc_id AS doc_id, CAST(pos + 1 AS BIGINT) AS rank_dense
+  FROM (
+    SELECT posexplode(array_sort(arr)) AS (pos, r) FROM (
+      SELECT collect_list(struct(-score AS ns, doc_id)) AS arr FROM (
+        SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {_RRF_TOPK}
+      ) dt0
+    ) dt1
+  ) dt2
+)"""
+        final_select = """SELECT r.doc_id AS doc_id, r.rank_sparse AS rank_sparse,
+       r.rank_dense AS rank_dense, r.rrf AS rrf, CAST(pos + 1 AS INT) AS rank
+FROM (
+  SELECT posexplode(array_sort(arr)) AS (pos, r) FROM (
+    SELECT collect_list(struct(-rrf AS nr, doc_id, rank_sparse, rank_dense, rrf)) AS arr
+    FROM fused
+  ) ft0
+) ft1
+ORDER BY rank"""
     return f"""
 WITH base AS (SELECT doc_id, {toks} AS toks FROM {docs}),
 dls AS (SELECT doc_id, CAST({tok_len} AS BIGINT) AS dl, toks FROM base),
@@ -868,22 +923,14 @@ bm25 AS (
   FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN stats s
   GROUP BY t.doc_id
 ),
-sparse AS (
-  SELECT doc_id, CAST(rnk AS BIGINT) AS rank_sparse
-  FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm25)
-  WHERE rnk <= {_RRF_TOPK}
-),
+{sparse_cte},
 e AS (SELECT vec_id, {emb_cast} AS emb FROM {embs}),
 q AS (SELECT emb AS q_vec FROM e WHERE vec_id = {_RRF_QUERY_VEC}),
 scored AS (
   SELECT c.vec_id AS doc_id, ROUND({cos}, 6) AS score
   FROM e c CROSS JOIN q WHERE c.vec_id != {_RRF_QUERY_VEC}
 ),
-dense AS (
-  SELECT doc_id, CAST(rnk AS BIGINT) AS rank_dense
-  FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM scored)
-  WHERE rnk <= {_RRF_TOPK}
-),
+{dense_cte},
 fused AS (
   SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
          s.rank_sparse, d.rank_dense,
@@ -891,10 +938,7 @@ fused AS (
              + COALESCE(1.0 / ({_RRF_K} + d.rank_dense), 0), 6) AS rrf
   FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
 )
-SELECT doc_id, rank_sparse, rank_dense, rrf,
-       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
-FROM fused
-ORDER BY rrf DESC, doc_id
+{final_select}
 """
 
 

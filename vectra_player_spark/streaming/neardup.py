@@ -54,10 +54,13 @@ def _read_store(spark, store_dir: str, batch_id: int) -> DataFrame | None:
     accepted (then overwrite the partition with nothing — data loss).
     The `batch` partition column comes from the batch=N subdirectories."""
     path = _bands_store_path(store_dir)
-    try:
-        store = spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — first batch: store does not exist yet
+    # Missing path (first batch) is checked EXPLICITLY; any other read
+    # failure (permissions, corrupt footer, transient FS error) must
+    # propagate — swallowing it would silently disable cross-batch
+    # suppression and admit near-dups into novel/.
+    if not os.path.isdir(path):
         return None
+    store = spark.read.parquet(path)
     return store.where(F.col("batch") != batch_id).select("band_idx", "band_hash")
 
 

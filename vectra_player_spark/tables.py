@@ -27,17 +27,23 @@ TABLES = (
 )
 
 
-# (applicationId, sf_dir, name) → DataFrame. A DataFrame is an immutable
+# (session id, sf_dir, name) → DataFrame. A DataFrame is an immutable
 # logical plan, so reuse across queries in the same session is free and
 # skips the per-read parquet footer/schema inference (~0.1-0.3 s per call
 # — material when the correctness harness runs the full registry).
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# The key must identify the SESSION, not the application: newSession()
+# clones (recursive_hierarchy_rollup's conf isolation) share an
+# applicationId, and a DataFrame is bound to the session that read it —
+# createOrReplaceTempView on a cross-session cache hit would register the
+# view in the wrong catalog. id(spark) is stable while the entry lives
+# because the cached DataFrame holds a reference to its session.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (id(spark), sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
