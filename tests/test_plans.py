@@ -180,6 +180,8 @@ _BNLJ_ALLOWED = {
     "hybrid_rrf_retrieval",  # both arms' 1-row scalar/query broadcasts
     "ntile_user_quartiles",  # exact_ntile's 1-row cut-array/n_total broadcasts
     "q22_sales_opportunity",  # 1-row (total, n) avg-balance scalar broadcast
+    "q11_important_parts",  # 1-row national-total scalar broadcast
+    "q15_top_supplier",  # 1-row MAX(revenue) scalar broadcast
     "doc_tfidf_topterms",  # 1-row corpus-size scalar broadcast
     "conditional_end_prob",
     "gbt_threshold_analysis",

@@ -100,3 +100,52 @@ def test_aqe_skew_join_split_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_event_lake_episode_access(spark, sf_dir):
+    """VERDICT r2 #8: the EVENT LAKE bucketed by its episode key. Every
+    per-episode access pattern — episode-fetch join, per-user window
+    (tick_features' shape), per-user agg — must plan with ZERO Exchange,
+    and the window's SortExec must vanish too (one file per bucket makes
+    the scan report outputOrdering user_id, ts)."""
+    from pyspark.sql import Window
+
+    from vectra_player_spark.operators.skew import materialize_bucketed_events
+    from vectra_player_spark.tables import t
+
+    ev = materialize_bucketed_events(spark, sf_dir, "events_by_user_t", buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Spark >=3.0 gates the bucketed scan's sort-order CLAIM behind this
+    # conf (claiming it needs a one-file-per-bucket listing check); the
+    # materializer guarantees one file per bucket, so opting in is what
+    # turns the per-user window's SortExec into a no-op at read time.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        # per-user window: tick_features' exact shape
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        feats = ev.select(
+            "user_id", "ts", (F.col("value") - F.lag("value").over(w)).alias("d")
+        )
+        plan = feats._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "Sort" not in plan, plan[:2000]  # bucket-sorted scan feeds it
+
+        # episode fetch: join against a per-user dim on the bucket key
+        dims = ev.groupBy("user_id").agg(F.max("value").alias("peak"))
+        fetched = ev.join(dims, "user_id")
+        jplan = fetched._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in jplan, jplan[:2000]
+
+        # per-episode agg
+        agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan[:2000]
+
+        # and the layout is answer-preserving vs the flat lake
+        flat_n = t(spark, sf_dir, "events").count()
+        assert ev.count() == flat_n
+        assert agg.count() == t(spark, sf_dir, "events").select("user_id").distinct().count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("DROP TABLE IF EXISTS events_by_user_t")

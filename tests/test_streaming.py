@@ -303,6 +303,53 @@ def test_raw_frames_via_tcp_socket_reader(spark):
         server.close()
 
 
+def test_raw_frames_via_kafka_bridge(spark, tmp_path):
+    """Broker-free Kafka contract (VERDICT r2 #6): recorded records with
+    Kafka's EXACT reader output schema (key/value binary, topic, partition,
+    offset, timestamp, timestampType) drive kafka_frames_bridge + the
+    shared parse chain as a real stream — so the only line of the kafka
+    path this container can't execute is spark.readStream.format("kafka")
+    itself. Also pins the kafka-only metadata: offset→seq passthrough and
+    log-append-time→ts_ms."""
+    import datetime
+
+    from vectra_player_spark.streaming.jobs import kafka_frames_bridge, parse_tick_frames
+
+    kafka_schema = (
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int"
+    )
+    t0 = datetime.datetime(2026, 1, 10, 0, 0, 0)
+    records = [
+        (
+            None,
+            frame.encode(),
+            "rugs-feed",
+            0,
+            100 + i,
+            t0 + datetime.timedelta(milliseconds=250 * i),
+            1,  # LogAppendTime
+        )
+        for i, frame in enumerate(RAW_FRAMES)
+    ]
+    src = tmp_path / "kafka_records"
+    spark.createDataFrame(records, kafka_schema).write.parquet(str(src))
+    stream = spark.readStream.schema(kafka_schema).parquet(str(src))
+    bridged = kafka_frames_bridge(stream)
+    q = _run_query(parse_tick_frames(bridged), "kafka_ticks")
+    try:
+        rows = spark.table("kafka_ticks").collect()
+        _check_tick_rows(rows)  # identical TICK rows as file/socket readers
+        # kafka metadata contract: seq carries the offset, ts_ms the
+        # broker timestamp — record i=0 is tick 7, i=1 is tick 8
+        by_tick = {r.tick: r for r in rows}
+        assert by_tick[7].seq == 100 and by_tick[8].seq == 101
+        # wall-clock epoch depends on session timezone; pin the DELTA
+        assert by_tick[8].ts_ms - by_tick[7].ts_ms == 250
+    finally:
+        q.stop()
+
+
 def test_checkpoint_restart_exactly_once(spark, tmp_path):
     """Kill the stream after batch A, append batch B, restart from the SAME
     checkpoint: (1) the file sink's _spark_metadata manifest yields batch-A
@@ -487,3 +534,94 @@ def test_streaming_neardup_batch_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(store + "/bands").collect()
     )
     assert first == second and len(first) > 0
+
+
+def test_phase_chain_neardup_gate_survives_restart(spark, tmp_path):
+    """VERDICT r2 #9 — recovery depth across the CHAIN: ticks → phase
+    machine (stage 1, parquet sink) → novelty gate (stage 2, foreachBatch
+    over the phase output stream). Both stages are stopped after batch A;
+    stage 2's latest checkpoint COMMIT marker is then deleted — the real
+    crash-between-write-and-commit window — so on restart Spark re-runs
+    that micro-batch through foreachBatch (at-least-once). Exactly-once of
+    the gate's EFFECTS must come from the store's idempotent batch
+    partitions, and cross-batch suppression must come from the band store
+    surviving the restart: a batch-B doc near-identical to a batch-A
+    keeper is suppressed by state written BEFORE the crash."""
+    import os
+
+    from vectra_player_spark.streaming.neardup import neardup_suppress_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    phases_out = str(tmp_path / "phases")
+    ckpt1 = str(tmp_path / "ckpt1")
+    store = str(tmp_path / "store")
+    ckpt2 = str(tmp_path / "ckpt2")
+
+    def start_stage1():
+        return (
+            phase_machine(read_tick_stream(spark, str(src)))
+            .writeStream.format("parquet")
+            .option("path", phases_out)
+            .option("checkpointLocation", ckpt1)
+            .outputMode("append")
+            .start()
+        )
+
+    def start_stage2():
+        phases = (
+            spark.readStream.schema(spark.read.parquet(phases_out).schema)
+            .parquet(phases_out)
+        )
+        # doc text depends on PHASE ONLY: every ACTIVE doc is an exact
+        # near-dup of every other, whatever the game/batch — the lever
+        # that makes cross-batch suppression observable
+        docs = phases.select(
+            F.col("seq").alias("doc_id"),
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 60),"
+                " i -> concat(phase, '_tok', pmod(i * 7, 23))))"
+            ).alias("text"),
+        )
+        return neardup_suppress_stream(docs, store, ckpt2)
+
+    _write_jsonl(src / "batch_a.jsonl", SCENARIO_A)
+    q1 = start_stage1()
+    q1.processAllAvailable()
+    q1.stop()
+    q2 = start_stage2()
+    q2.processAllAvailable()
+    q2.stop()
+
+    novel_dir = str(tmp_path / "store" / "novel")
+    assert {
+        r.doc_id for r in spark.read.parquet(novel_dir).collect()
+    } == {1, 2}  # PRESALE keeper + first ACTIVE; seq 3-5 in-batch dups
+
+    # crash window: commit marker of stage 2's last batch vanishes →
+    # restart re-runs that batch through foreachBatch
+    commit_dir = os.path.join(ckpt2, "commits")
+    latest = sorted(f for f in os.listdir(commit_dir) if not f.startswith("."))[-1]
+    os.remove(os.path.join(commit_dir, latest))
+    crc = os.path.join(commit_dir, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    _write_jsonl(src / "batch_b.jsonl", SCENARIO_B)
+    q1 = start_stage1()
+    q1.processAllAvailable()
+    q1.stop()
+    q2 = start_stage2()
+    q2.processAllAvailable()
+    q2.stop()
+
+    novel = [r.doc_id for r in spark.read.parquet(novel_dir).collect()]
+    # no dup from the replayed batch, nothing lost, and seq 8 (ACTIVE,
+    # batch B) suppressed by the band store persisted BEFORE the crash
+    assert sorted(novel) == [1, 2, 6, 7]
+    # band store internally consistent: one row per (doc, band)
+    bands = spark.read.parquet(str(tmp_path / "store" / "bands"))
+    assert bands.count() == bands.select("doc_id", "band_idx").distinct().count()
+    # upstream stage also exactly-once across its own restart
+    phase_rows = spark.read.parquet(phases_out)
+    assert sorted(r.seq for r in phase_rows.collect()) == [1, 2, 3, 4, 5, 6, 7, 8]

@@ -40,9 +40,15 @@ def train_gbt(
     max_depth: int = 4,
     seed: int = 42,
     balance_classes: bool = False,
+    split_col: str | None = None,
 ):
     """Fit GBTClassifier; returns (model, scored_validation). Split is
-    deterministic on a hash of the row (no randomSplit order-dependence).
+    deterministic on a hash of the row (no randomSplit order-dependence) —
+    by default over the feature tuple; pass `split_col` to key the split
+    on an id column instead (required when distinct rows share a feature
+    tuple, e.g. stratified fixtures — otherwise whole strata land in one
+    fold; also the group-aware-split hook: hash a game/session id to keep
+    an episode's rows out of both folds at once).
 
     balance_classes=True reproduces the reference classifier's balanced
     sample weighting (src/ml/model.py:63-294: rug-in-window positives are
@@ -55,11 +61,11 @@ def train_gbt(
     clean = training.na.drop(subset=feature_cols + [label_col]).withColumn(
         "label", F.col(label_col).cast("double")
     )
-    # deterministic 80/20 split via md5 bucket of the feature tuple
-    keyed = clean.withColumn(
-        "_bucket",
-        F.abs(F.hash(*[F.col(c) for c in feature_cols])) % 5,
+    # deterministic 80/20 split via hash bucket (feature tuple or split_col)
+    split_key = (
+        [F.col(split_col)] if split_col else [F.col(c) for c in feature_cols]
     )
+    keyed = clean.withColumn("_bucket", F.abs(F.hash(*split_key)) % 5)
     train_df = keyed.where(F.col("_bucket") != 0)
     valid_df = keyed.where(F.col("_bucket") == 0)
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")

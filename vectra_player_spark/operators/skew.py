@@ -84,3 +84,44 @@ def write_bucketed(
 
 def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def materialize_bucketed_events(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "events_by_user",
+    buckets: int = 32,
+) -> DataFrame:
+    """Bucket the event lake by its episode key (user_id) so EVERY
+    per-episode access pattern — episode fetch joins, per-user windows
+    (tick_features' shape), per-user aggregates — reads pre-shuffled,
+    pre-sorted data with no Exchange in the plan.
+
+    This is the lake-side analog of the reference keeping one DuckDB
+    file/ORDER BY per game (duckdb.py:147-238): there the co-location is
+    free because everything is one file on one node; at 100 TB the same
+    property has to be baked into the table layout once at write time and
+    amortized over every downstream episode query. sortBy(user_id, ts,
+    event_id) additionally hands windows their within-bucket order — the
+    canonical episode order with its deterministic tiebreak. With one file
+    per bucket AND spark.sql.legacy.bucketedTableScan.outputOrdering=true
+    on the READING session (Spark gates the scan's sort claim behind that
+    conf because it needs a listing check) the window's SortExec disappears
+    too (pinned in tests/test_skew_bucketing.py).
+
+    Returns the bucketed table's DataFrame.
+    """
+    from vectra_player_spark.tables import t
+
+    ev = t(spark, sf_dir, "events")
+    # one file per bucket => FileSourceScanExec reports both partitioning
+    # AND ordering (multi-file buckets lose the ordering claim)
+    writer = (
+        ev.repartition(buckets, F.col("user_id"))
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "user_id")
+        .sortBy("user_id", "ts", "event_id")
+    )
+    writer.format("parquet").saveAsTable(table_name)
+    return spark.table(table_name)

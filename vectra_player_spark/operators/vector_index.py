@@ -67,27 +67,75 @@ def chunk_events(envelope: DataFrame) -> DataFrame:
     )
 
 
-def embed_chunks(chunks: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
-    """Deterministic stub embedding: tokens → md5 → bucket counts, L2
-    normalized. Arrow-batched pandas UDF — identical call shape to a real
-    sentence-transformer batch encode."""
+def embed_chunks(
+    chunks: DataFrame,
+    dim: int = EMBED_DIM,
+    encoder: str = "hash",
+    model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+) -> DataFrame:
+    """Arrow-batched embedding column. Two encoders behind one config knob
+    (swap-in is CONFIG, not code — reference indexer.py:104 hardcodes the
+    model):
+
+    - ``"hash"`` (default): deterministic stub — tokens → md5 → bucket
+      counts, L2-normalized. Identical call shape to a model encode; the
+      only encoder that runs in this container.
+    - ``"sentence-transformers"``: the reference's all-MiniLM-L6-v2 path.
+      Import-guarded at PLAN time (driver-side ImportError beats a buried
+      executor stack); the model itself loads lazily ONCE PER EXECUTOR
+      inside the UDF (a module-global cache — the standard Spark model-
+      serving pattern, since a SentenceTransformer is not picklable and
+      must not ship through the closure).
+    """
     from pyspark.sql.pandas.functions import pandas_udf
 
-    @pandas_udf(f"array<float>")
-    def _embed_batch(texts: pd.Series) -> pd.Series:
-        import hashlib
+    if encoder == "hash":
 
-        import numpy as np
+        @pandas_udf("array<float>")
+        def _embed_batch(texts: pd.Series) -> pd.Series:
+            import hashlib
 
-        out = []
-        for t in texts:
-            v = np.zeros(dim, dtype=np.float32)
-            for tok in (t or "").split():
-                h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
-                v[h % dim] += 1.0
-            n = np.linalg.norm(v)
-            out.append((v / n if n > 0 else v).tolist())
-        return pd.Series(out)
+            import numpy as np
+
+            out = []
+            for t in texts:
+                v = np.zeros(dim, dtype=np.float32)
+                for tok in (t or "").split():
+                    h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                    v[h % dim] += 1.0
+                n = np.linalg.norm(v)
+                out.append((v / n if n > 0 else v).tolist())
+            return pd.Series(out)
+
+    elif encoder == "sentence-transformers":
+        import importlib
+
+        if importlib.util.find_spec("sentence_transformers") is None:
+            raise ImportError(
+                "encoder='sentence-transformers' needs the sentence-transformers "
+                "package on driver AND executors (not in this container); "
+                "use encoder='hash' for the deterministic stub"
+            )
+        name = model_name  # close over the string, never the model object
+
+        @pandas_udf("array<float>")
+        def _embed_batch(texts: pd.Series) -> pd.Series:
+            global _ST_MODEL_CACHE
+            try:
+                cache = _ST_MODEL_CACHE
+            except NameError:
+                cache = _ST_MODEL_CACHE = {}
+            if name not in cache:
+                from sentence_transformers import SentenceTransformer
+
+                cache[name] = SentenceTransformer(name)
+            vecs = cache[name].encode(
+                [t or "" for t in texts], normalize_embeddings=True
+            )
+            return pd.Series([v.tolist() for v in vecs])
+
+    else:
+        raise ValueError(f"unknown encoder {encoder!r}")
 
     return chunks.withColumn("embedding", _embed_batch(F.col("text")))
 
@@ -127,6 +175,48 @@ class ParquetVectorStore(VectorStore):
 
         if os.path.exists(self.vec_dir):
             shutil.rmtree(self.vec_dir)
+
+
+class LanceDBVectorStore(VectorStore):
+    """The north-star backend (reference indexer.py:68-118 uses ChromaDB;
+    the v2 roadmap names LanceDB), import-guarded: constructing it where
+    the ``lancedb`` package exists gives the real store, elsewhere a clear
+    driver-side ImportError — so the parquet→LanceDB swap is constructor
+    CONFIG (``VectorIndexer(store=LanceDBVectorStore(uri))``), not code.
+
+    Exchange is Arrow end-to-end: ``DataFrame.toArrow()`` → ``table.add``
+    (zero row-by-row marshalling). The driver hop is sized by the
+    INCREMENTAL delta, not the corpus; a 100 TB initial build goes through
+    :class:`ParquetVectorStore` first and converts with lance's
+    distributed parquet importer — parquet stays canonical truth either
+    way (SURVEY §2.10: Spark owns batch ETL/index build, not serving).
+    """
+
+    def __init__(self, uri: str, table_name: str = "chunks"):
+        try:
+            import lancedb
+        except ImportError as e:  # pragma: no cover - exercised via fake module
+            raise ImportError(
+                "LanceDBVectorStore needs the lancedb package (not in this "
+                "container); use ParquetVectorStore for the canonical store"
+            ) from e
+        self._db = lancedb.connect(uri)
+        self.table_name = table_name
+
+    def add(self, embedded: DataFrame) -> None:
+        arrow = embedded.toArrow()
+        if self.table_name in set(self._db.table_names()):
+            self._db.open_table(self.table_name).add(arrow)
+        else:
+            self._db.create_table(self.table_name, arrow)
+
+    def scan(self, spark: SparkSession) -> DataFrame:
+        arrow = self._db.open_table(self.table_name).to_arrow()
+        return spark.createDataFrame(arrow.to_pandas())
+
+    def clear(self) -> None:
+        if self.table_name in set(self._db.table_names()):
+            self._db.drop_table(self.table_name)
 
 
 class VectorIndexer:

@@ -45,18 +45,29 @@ def read_raw_frames(
             .select(F.col("value").alias("frame"))
         )
     if source == "kafka":
-        return (
+        return kafka_frames_bridge(
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", kafka_servers)
             .option("subscribe", topic)
             .load()
-            .select(
-                F.col("value").cast("string").alias("frame"),
-                F.col("offset").alias("seq"),
-                F.unix_millis("timestamp").alias("ts_ms"),
-            )
         )
     raise ValueError(f"unknown source {source!r} (files|socket|kafka)")
+
+
+def kafka_frames_bridge(records: DataFrame) -> DataFrame:
+    """Kafka-record → frame projection, factored out of read_raw_frames so
+    the whole post-`load()` path is testable without a broker: the tests
+    drive it with a recorded-records DataFrame carrying Kafka's exact
+    output schema (key/value binary, topic, partition, offset, timestamp,
+    timestampType — the contract is Kafka's, stable across brokers), so
+    only the `spark.readStream.format("kafka")` call itself is unproven
+    in this container. Offset→seq and log-append-time→ts_ms supply the
+    ordering metadata the parse chain uses for backfill alignment."""
+    return records.select(
+        F.col("value").cast("string").alias("frame"),
+        F.col("offset").alias("seq"),
+        F.unix_millis("timestamp").alias("ts_ms"),
+    )
 
 
 def parse_tick_frames(raw: DataFrame, session_id: str = "live") -> DataFrame:
