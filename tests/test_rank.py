@@ -101,3 +101,25 @@ def test_exact_ntile_plan_windows_are_partitioned(spark):
         if m:
             # first argument of a partitioned spec is the partition column
             assert "__bucket" in m.group(1), line
+
+
+@pytest.mark.parametrize("const,k", [(0.0, 4), (-7.5, 3)])
+def test_exact_ntile_degenerate_and_negative_scores(spark, const, k):
+    """All-ties (every row in ONE bucket — the documented empty-sample /
+    single-bucket degenerate path) and negative scores (the struct-sort
+    negation in ranked_topk and the cut comparison must not assume
+    non-negativity)."""
+    df = spark.range(37).select(
+        F.col("id").alias("row_id"), F.lit(const).cast("double").alias("score")
+    )
+    got = {
+        r.row_id: r.q for r in exact_ntile(df, "score", "row_id", k, out_col="q").collect()
+    }
+    w = Window.orderBy(F.col("score").desc(), F.col("row_id").asc())
+    want = {
+        r.row_id: r.q
+        for r in df.withColumn("q", F.ntile(k).over(w).cast("bigint")).collect()
+    }
+    assert got == want
+    top = ranked_topk(df, "score", "row_id", 5).orderBy("rank").collect()
+    assert [r.row_id for r in top] == [0, 1, 2, 3, 4]  # id tiebreak order

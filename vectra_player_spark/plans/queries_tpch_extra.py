@@ -385,8 +385,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part").where(F.col("p_size").isin(10, 20, 30))
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(fixed("l_extendedprice")).alias("offer_cents")
+    # Prune lineitem to qualifying parts BEFORE the (part, supp) aggregate:
+    # per-part minima never compare across parts, so the broadcast semi-join
+    # is answer-preserving and cuts the offers shuffle to the filtered part
+    # fraction (solo at the 6 GB lake: 20.9 s unpruned -> 7.5 s; the oracle
+    # keeps the unpruned form as the naive statement of the same relation).
+    offers = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(fixed("l_extendedprice")).alias("offer_cents"))
     )
     best = offers.groupBy("l_partkey").agg(
         F.min("offer_cents").alias("best_cents")
