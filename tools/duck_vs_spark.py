@@ -7,7 +7,7 @@ measurable: for every bench-tagged query with an oracle, time
 - DuckDB running the oracle SQL (DuckDB uses all cores by default),
   best-of-3, full materialization via .df()
 - Spark running the registered plan on local[N], best-of-3, plan built
-  INSIDE the timed region, collect() materialization
+  INSIDE the timed region, Arrow toPandas() materialization
 
 Timing symmetry: each side's timer covers plan/SQL construction through
 full row materialization in driver memory; per-run setup that is not
@@ -84,7 +84,11 @@ def main() -> int:
         s_runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            spec.spark_fn(spark, sf_dir).collect()
+            # toPandas() (Arrow) is the COMPARABLE materialization to
+            # DuckDB's .df(): both land a columnar pandas frame. collect()
+            # would build per-row Python objects — a heavier sink than the
+            # DuckDB side gets charged for, skewing large-output queries.
+            spec.spark_fn(spark, sf_dir).toPandas()
             s_runs.append(time.perf_counter() - t0)
         spark_sec = min(s_runs)
         duck_sec = _time_duck(spec.oracle, sf_dir)

@@ -93,6 +93,16 @@ def global_rank(
     one broadcast join against the <= n_cuts+1-row offset table. The input
     must already be reduced (one row per id) and score non-null.
     """
+    # The machinery below reads `df` from FIVE branches (cuts sample, total
+    # count, bucketing, per-bucket counts, final join). Without pinning,
+    # per-branch column pruning canonicalizes each subtree differently and
+    # ReuseExchange never fires — measured: 9 recomputed scans of the
+    # upstream aggregate. One shared InMemoryRelation caps that at a single
+    # materialization of the (already reduced) input. Locally the page
+    # cache hides the rescans (warm A/B: ~equal at 10×, persist mildly
+    # ahead at 100×); at lake scale the 9 rescans are real I/O and the
+    # single |ids|-sized cache is the only sane plan.
+    df = df.persist()
     qs = ", ".join(f"{(i + 1) / (n_cuts + 1):.6f}" for i in range(n_cuts))
     cuts_row = (
         df.where(F.crc32(F.col(id_col).cast("string")) % sample_mod == 0)

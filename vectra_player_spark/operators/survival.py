@@ -37,6 +37,10 @@ def duration_histogram(durations: DataFrame, duration_col: str = "duration") -> 
 def km_survival(durations: DataFrame, duration_col: str = "duration") -> DataFrame:
     """M5: Kaplan-Meier curve: t, events, at_risk, survival (survival.py:26-71)."""
     hist = duration_histogram(durations, duration_col)
+    # Partition-less windows BY DESIGN: they run over the duration
+    # HISTOGRAM (|distinct t| rows, ~2k for real feeds — bounded by the
+    # value domain, not the lake), never over raw episodes. The single
+    # task sorts a broadcast-sized relation.
     w_rev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
     w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     cond = 1.0 - F.col("events") / F.col("at_risk")
@@ -62,6 +66,7 @@ def hazard_rate(
 ) -> DataFrame:
     """M6: raw hazard events/at_risk + convolve-'same' smoothing (survival.py:74-125)."""
     hist = duration_histogram(durations, duration_col)
+    # Partition-less by design: histogram-sized relation (see km_survival).
     w_rev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
     # np.convolve(mode='same') with an even kernel w: out[i] averages
     # a[i-w/2 .. i+w/2-1] with truncated edges keeping the /w divisor —
