@@ -126,6 +126,14 @@ PRIORITY: tuple[str, ...] = (
     "q22_sales_opportunity",
 )
 
+# ROUND-4 ROTATION CANDIDATES (never driver-witnessed once r3's run lands;
+# all green in the local harness at sf0.01 + 10×, the TPC-H nine also at
+# 100×): q2_min_cost_supplier, q4_order_priority, q8_market_share,
+# q9_product_profit, q11_important_parts, q15_top_supplier,
+# q17_small_quantity_revenue, q20_part_promotion, q21_waiting_suppliers —
+# plus whatever round 4 registers. Keep ~5 sentinels, backfill remaining
+# slots from _WITNESSED_R1_R2 order.
+
 # The round-1/2 priority block, demoted to positions 51+ now that every
 # name in it has a green row in CORRECTNESS_r01/r02 (kept here: these run
 # FIRST among the remaining oracle-backed set if the driver's cap ever
