@@ -104,7 +104,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").cast("array<double>").alias("emb"),
     ).withColumn("nrm", norm("emb"))
+    # Three consumers (both join sides + intra set) of the rep-collapse
+    # aggregate; pruning defeats ReuseExchange (the minhash_lsh_pairs
+    # finding) — pin one materialization of the rep vectors.
     reps, members = rep_members(emb, "vec_id", ["label", "emb"])
+    reps = reps.persist()
     a = reps.select(
         F.col("vec_id").alias("vec_a"), "label",
         F.col("emb").alias("emb_a"), F.col("nrm").alias("n_a"),
@@ -215,6 +219,9 @@ def _lsh_neardup_pairs(base: DataFrame) -> DataFrame:
     from vectra_player_spark.operators.dedup import expand_rep_pairs, rep_members
 
     base, members = rep_members(base, "vec_id", ["label", "emb"])
+    # FOUR consumers (two bucket-join sides + two embedding re-joins) of
+    # the rep-collapse aggregate — pin it (see minhash_lsh_pairs).
+    base = base.persist()
     keyed = base.select(
         "vec_id",
         "label",
