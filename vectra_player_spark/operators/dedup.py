@@ -273,6 +273,9 @@ def ngram_jaccard_pairs(
         sh = sh.join(freq.where(F.col("df") <= max_doc_freq), "shingle").select(
             id_col, "shingle"
         )
+    # THREE consumers of the (possibly df-capped) shingle explosion —
+    # sizes + both inverted-index sides; pin it (see minhash_lsh_pairs).
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
