@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectra_player_spark.functions.text import fingerprint, tokens, word_shingles_text
+from vectra_player_spark.session import pin
 
 MINHASH_K = 8  # permutations (universal hashes over one md5 base hash)
 MINHASH_BANDS = 4  # 4 bands x 2 rows
@@ -201,7 +202,7 @@ def minhash_lsh_pairs(
     # ReuseExchange — unpinned, the shingle→md5→min chain (the query's
     # dominant CPU) runs twice. One rep-space materialization (|distinct
     # texts| rows) halves it: measured 2.2 s → 1.45 s at sf0.1.
-    sig = minhash_signatures(reps, id_col, text_col, w, k).persist()
+    sig = pin(minhash_signatures(reps, id_col, text_col, w, k))
     rows_per_band = k // bands
     band_cols = [
         F.concat_ws(
@@ -275,7 +276,7 @@ def ngram_jaccard_pairs(
         )
     # THREE consumers of the (possibly df-capped) shingle explosion —
     # sizes + both inverted-index sides; pin it (see minhash_lsh_pairs).
-    sh = sh.persist()
+    sh = pin(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -378,7 +379,7 @@ def simhash_neardup_pairs(
     # won't fire across the differently-pruned branches (same finding as
     # minhash_lsh_pairs) — pin the rep-space fingerprints so the
     # token→md5→bit-vote chain runs once.
-    fp = simhash_fingerprints(reps, id_col, text_col).persist()
+    fp = pin(simhash_fingerprints(reps, id_col, text_col))
     band_width = 32 // bands
     mask = (1 << band_width) - 1
     stack_expr = ", ".join(

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vectra_player_spark.session import pin
+
 
 def ranked_topk(
     df: DataFrame,
@@ -47,10 +49,16 @@ def ranked_topk(
 
     Equivalent to ``ROW_NUMBER() OVER (ORDER BY score DESC, id) <= k`` but
     compiles to TakeOrderedAndProject + a <=k-row array aggregate instead
-    of a single-partition global Window. ``score_col`` must be numeric and
-    non-null (negation provides the descending struct sort key).
+    of a single-partition global Window. ``score_col`` must be numeric,
+    non-null AND non-NaN: the rank-recovery sort negates the score, and
+    Spark's sort order treats NaN as LARGEST, so -NaN would sort a NaN row
+    LAST in the array while orderBy(desc) admitted it FIRST — silently
+    wrong ranks. Floating-typed scores are therefore filtered to non-NaN
+    here (a NaN "score" carries no ordering information to rank by).
     """
     cols = out_cols or df.columns
+    if dict(df.dtypes).get(score_col) in ("float", "double"):
+        df = df.where(~F.isnan(F.col(score_col)))
     topk = df.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
     packed = topk.agg(
         F.array_sort(
@@ -102,7 +110,7 @@ def global_rank(
     # cache hides the rescans (warm A/B: ~equal at 10×, persist mildly
     # ahead at 100×); at lake scale the 9 rescans are real I/O and the
     # single |ids|-sized cache is the only sane plan.
-    df = df.persist()
+    df = pin(df)
     qs = ", ".join(f"{(i + 1) / (n_cuts + 1):.6f}" for i in range(n_cuts))
     cuts_row = (
         df.where(F.crc32(F.col(id_col).cast("string")) % sample_mod == 0)

@@ -108,7 +108,10 @@ def embed_chunks(
             return pd.Series(out)
 
     elif encoder == "sentence-transformers":
-        import importlib
+        # importlib/__init__ does not import its util submodule — the
+        # explicit form guarantees the attribute exists instead of relying
+        # on some other module having loaded importlib.util first.
+        import importlib.util
 
         if importlib.util.find_spec("sentence_transformers") is None:
             raise ImportError(

@@ -24,6 +24,25 @@ from vectra_player_spark.plans.registry import register
 from vectra_player_spark.tables import t
 
 
+# One conf-isolated clone per parent session (recursive_hierarchy_rollup's
+# raised cteRecursionRowLimit must not touch the shared session, but a fresh
+# newSession() per call leaks sessions + their plan-cache entries — the
+# memo bounds that at one clone per parent, reused across invocations).
+_ISO_SESSIONS: dict[int, SparkSession] = {}
+
+
+def _iso_session(spark: SparkSession) -> SparkSession:
+    iso = _ISO_SESSIONS.get(id(spark))
+    if iso is None:
+        from vectra_player_spark.session import prep_session
+
+        iso = spark.newSession()
+        prep_session(iso)
+        iso.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
+        _ISO_SESSIONS[id(spark)] = iso
+    return iso
+
+
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     # Session-scoped temp views over the cached table plans: re-registering
     # per call keeps the query correct when one session sweeps several
@@ -210,11 +229,12 @@ def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction would re-expose the 1M default when the caller finally
     # collects, while setting it on the shared session would disable the
     # runaway-recursion guard for every later query in the session.
-    from vectra_player_spark.session import prep_session
-
-    iso = spark.newSession()
-    prep_session(iso)
-    iso.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
+    # The isolated session is memoized PER PARENT SESSION: newSession()
+    # per call would leak — tables._PLAN_CACHE keys by id(session) and
+    # each cached DataFrame pins its session, so repeated invocations
+    # (bench best-of-3, full-registry harness sweeps) would retain every
+    # clone, its temp views, and its cache entries forever.
+    iso = _iso_session(spark)
     _views(iso, sf_dir, "customer")
     return iso.sql("""
         WITH RECURSIVE chain(leaf, node, depth, bal_sum) AS (

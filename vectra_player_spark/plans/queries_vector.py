@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from vectra_player_spark.operators.knn import brute_force_topk, ivf_topk
 from vectra_player_spark.plans.registry import register
+from vectra_player_spark.session import pin
 from vectra_player_spark.tables import t
 
 _KNN_ORACLE = """
@@ -108,7 +109,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate; pruning defeats ReuseExchange (the minhash_lsh_pairs
     # finding) — pin one materialization of the rep vectors.
     reps, members = rep_members(emb, "vec_id", ["label", "emb"])
-    reps = reps.persist()
+    reps = pin(reps)
     a = reps.select(
         F.col("vec_id").alias("vec_a"), "label",
         F.col("emb").alias("emb_a"), F.col("nrm").alias("n_a"),
@@ -221,7 +222,7 @@ def _lsh_neardup_pairs(base: DataFrame) -> DataFrame:
     base, members = rep_members(base, "vec_id", ["label", "emb"])
     # FOUR consumers (two bucket-join sides + two embedding re-joins) of
     # the rep-collapse aggregate — pin it (see minhash_lsh_pairs).
-    base = base.persist()
+    base = pin(base)
     keyed = base.select(
         "vec_id",
         "label",
@@ -870,6 +871,11 @@ def _rrf_sql(dialect: str, docs: str, embs: str) -> str:
     # <= k survivors in one aggregate (posexplode position + 1). The final
     # fused rank runs over <= 2k rows but uses the same shape so no global
     # Window appears anywhere in the plan.
+    # NaN contract (shared with operators.rank.ranked_topk): the negated
+    # sort key would rank a NaN score LAST while ORDER BY DESC admits it
+    # FIRST. Safe here by construction — bm25 scores are log/ratio terms
+    # over positive counts, cosine NULLs (not NaNs) on zero norms via
+    # NULLIF, and rrf is a sum of 1/(k+rank) — no NaN can reach the sort.
     if dialect == "duckdb":
         sparse_cte = f"""sparse AS (
   SELECT doc_id, CAST(rnk AS BIGINT) AS rank_sparse

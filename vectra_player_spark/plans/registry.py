@@ -46,8 +46,13 @@ def register(
             raise ValueError(f"duplicate query name {name!r}")
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            from vectra_player_spark.session import prep_session
+            from vectra_player_spark.session import prep_session, release_pins
 
+            # Release the PREVIOUS query's tracked persists: a sequential
+            # harness has already materialized its result, and without this
+            # every invocation re-persists and cached relations (including
+            # the large shingle explosions) pile up on LRU eviction alone.
+            release_pins()
             prep_session(spark)
             return fn(spark, sf_dir)
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(app_name: str = "vectra_player_spark", cpus: int | None = None) -> SparkSession:
@@ -51,3 +51,32 @@ def prep_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+# Persisted-DataFrame lifecycle. Multi-consumer pins (the dedup/rank/vector
+# rep-space materializations) are required for plan efficiency, but a bare
+# .persist() has no owner: over a full-registry harness run each query
+# invocation re-persists and cached relations accumulate until LRU block
+# eviction — including the large shingle explosion. pin() registers every
+# such persist here; the query registry releases the PREVIOUS query's pins
+# when the next query starts (by then its result has been materialized by
+# the harness), so at most one query's pins are live at a time.
+_TRACKED_PINS: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """``df.persist()`` with centralized lifecycle tracking."""
+    df = df.persist()
+    _TRACKED_PINS.append(df)
+    return df
+
+
+def release_pins() -> None:
+    """Unpersist every tracked pin (called between harness queries)."""
+    while _TRACKED_PINS:
+        df = _TRACKED_PINS.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped: the
+            # JVM-side cache died with it; nothing to release.
+            pass

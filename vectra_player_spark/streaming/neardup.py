@@ -57,8 +57,14 @@ def _read_store(spark, store_dir: str, batch_id: int) -> DataFrame | None:
     # Missing path (first batch) is checked EXPLICITLY; any other read
     # failure (permissions, corrupt footer, transient FS error) must
     # propagate — swallowing it would silently disable cross-batch
-    # suppression and admit near-dups into novel/.
-    if not os.path.isdir(path):
+    # suppression and admit near-dups into novel/. The check goes through
+    # the Hadoop FileSystem API so remote lake stores (s3a://, hdfs://)
+    # resolve correctly — os.path.isdir is local-only and would report
+    # every remote store as absent, disabling suppression on a cluster.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return None
     store = spark.read.parquet(path)
     return store.where(F.col("batch") != batch_id).select("band_idx", "band_hash")
