@@ -65,79 +65,80 @@ def register(
 
 
 # Names the driver's correctness harness should reach FIRST. The driver
-# records exactly the first 50 dict entries (observed rounds 1-2), so
-# entry order is a scarce resource. Round-3 rotation: rounds 1-2 left 83
-# oracle-backed queries driver-green and 39 witnessed only by the repo's
-# own harness (tools/parity_at_scale.py); this round's 50 slots go to
-# those 39 never-witnessed queries, 5 sentinels re-pinned from round-2
-# greens (regression canaries across the operator families: relational
-# agg, window features, survival, dedup LSH, grid sweep), and the 6 new
-# TPC-H-shape queries added this round — a disjoint-by-design set that
-# takes cumulative driver-green coverage to ~128/128. Names not listed
-# keep registration order after the priority block and before DEFERRED.
+# records exactly the first 50 dict entries (observed rounds 1-3), so
+# entry order is a scarce resource. Round-4 rotation: after r3 landed,
+# cumulative driver-green coverage is 128/148 and exactly 20 registered
+# queries have never appeared in any CORRECTNESS run — the 9 TPC-H
+# completions (locally 15/15 cell-match at the 6 GB lake and audited at
+# 1×/10×/100×) and the 11 rows-only queries (no SQL-oracle form exists;
+# the driver still records a rows_match row for them). This round's 50
+# slots = 5 sentinels (regression canaries, one per family, green every
+# prior round) + those 20 + round-4 additions + backfill from
+# _WITNESSED_R1_R2 order (already-green regression re-checks). Names not
+# listed keep registration order after the priority block.
 PRIORITY: tuple[str, ...] = (
-    # -- sentinels (round-2 green, one per family) ------------------------
+    # -- sentinels (green r1-r3; one per family) --------------------------
     "q1_pricing_summary",
     "tick_features",
     "km_survival_curve",
     "doc_minhash_lsh_pairs",
     "strategy_grid_sweep_2100",
-    # -- the 39 never-driver-witnessed oracle-backed queries --------------
-    "doc_lsh_recall_report",
-    "doc_fuzzy_prefix_pairs",
-    "rag_retrieval_context",
-    "grouping_sets_lineitem",
-    "multimodal_audio_features",
-    "doc_denylist_scrub",
-    "doc_source_mixture",
-    "unpivot_lineitem_measures",
-    "incremental_daily_rollup",
-    "doc_weighted_sample",
-    "doc_pii_scrub",
-    "user_value_ranks",
-    "trailing_hour_stats",
-    "native_session_windows",
-    "gapfill_daily_locf",
-    "trailing_hour_uniques",
-    "exists_late_shipments",
-    "not_exists_lapsed_customers",
-    "interval_concurrency_prefix",
-    "cube_lineitem",
-    "rollup_lineitem",
-    "pivot_event_counts",
-    "doc_dedup_canonical",
-    "doc_quality_filter",
-    "doc_stratified_sample",
-    "doc_simhash_neardup_canonical",
-    "doc_repetition_filter",
-    "doc_decontamination",
-    "ntile_user_quartiles",  # rewritten this round: operators.rank.exact_ntile
-    "keyset_paginate_orders",
-    "multimodal_frame_sample",
-    "event_outlier_mad",
-    "lateral_topn_per_region",
-    "mmr_rerank_topk",
-    "embedding_int8_quantize",
-    "doc_char_entropy",
-    "hybrid_rrf_retrieval",  # rewritten this round: no partition-less Window
-    "q14_promo_revenue",
-    "q7_volume_shipping",
-    # -- round-3 additions (queries_tpch_extra) ---------------------------
-    "q6_revenue_forecast",
-    "q10_returned_item_revenue",
-    "q12_priority_shipping",
-    "q16_parts_supplier_counts",
-    "q18_large_volume_orders",
-    "q22_sales_opportunity",
+    # -- the 9 never-witnessed TPC-H completions (round-3 additions) ------
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    # -- the 11 rows-only queries (driver records rows_match) -------------
+    "knn_ivf_kmeans_recall",
+    "knn_pq_adc_recall",
+    "knn_ivf_cosine",
+    "monte_carlo_summary",
+    "backtest_replay",
+    "stateful_feature_extract",
+    "decision_pipeline_replay",
+    "gbt_threshold_analysis",
+    "rl_observation_set",
+    "sketch_accuracy_report",
+    "trailing_hour_uniques_hll",
+    # -- round-4 additions (new queries registered this round) ------------
+    "interval_range_join_routed",
+    "trailing_hour_uniques_routed",
+    "q9_product_profit_bucketed",
+    # -- backfill: witnessed-green regression re-checks, r1/r2 order ------
+    "episode_price_arrays",
+    "doc_simhash_neardup_pairs",
+    "asof_join_grid",
+    "episode_batch_fetch",
+    "feature_matrix",
+    "training_set_builder",
+    "bayesian_gap_signal",
+    "volatility_sizing_tiers",
+    "lake_summary_stats",
+    "embedding_neardup_lsh",
+    "embedding_neardup_components",
+    "event_transition_matrix",
+    "funnel_conversion",
+    "interval_range_join",
+    "ewma_features",
+    "doc_chunk_dedup",
+    "knn_bruteforce_cosine",
+    "cohort_retention",
+    "doc_tfidf_topterms",
+    "user_trend_regression",
+    "multimodal_image_features",
+    "doc_train_split",
 )
 
-# ROUND-4 ROTATION CANDIDATES (never driver-witnessed once r3's run lands;
-# all green in the local harness at sf0.01 + 10×, the TPC-H nine also at
-# 100×): q2_min_cost_supplier, q4_order_priority, q8_market_share,
-# q9_product_profit, q11_important_parts, q15_top_supplier,
-# q17_small_quantity_revenue, q20_part_promotion, q21_waiting_suppliers —
-# plus whatever round 4 registers. Keep ~5 sentinels, backfill remaining
-# slots from _WITNESSED_R1_R2 order.
+# ROUND-5 ROTATION NOTE: once r4's run lands, cumulative driver witness is
+# 148/148 (every registered query). From round 5 on, rotate freely: keep
+# the 5 sentinels, spend the rest of the cap on round-5 additions first,
+# then the least-recently-witnessed names. Verify slot 50 after every
+# registration change (tools/show_cap.py); it has drifted twice.
 
 # The round-1/2 priority block, demoted to positions 51+ now that every
 # name in it has a green row in CORRECTNESS_r01/r02 (kept here: these run
