@@ -795,7 +795,7 @@ _RANGE_BUCKET_US = 3_600_000_000  # 1 h in microseconds
 @register(
     "interval_range_join",
     oracle=_RANGE_JOIN_ORACLE,
-    tags=("events",),
+    tags=("events", "exact-baseline"),  # at scale use interval_range_join_routed
     survey_ref="range/interval join (bucketed equi-join scale path)",
 )
 def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,6 +952,34 @@ def interval_concurrency_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select("user_id", "session_no", n_conc.alias("n_concurrent"))
         # the pair-join form is INNER: zero-concurrency sessions don't appear
         .where(F.col("n_concurrent") > 0)
+    )
+
+
+@register(
+    "interval_range_join_routed",
+    oracle=_RANGE_JOIN_ORACLE,
+    tags=("events", "routed"),
+    survey_ref="range/interval join, cost-routed (default entry point)",
+)
+def interval_range_join_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT entry point for interval concurrency: cost-routes
+    between the two exact forms so a caller cannot pick the pair-enumerating
+    join on a lake-sized input by accident (the round-3 'weak operator'
+    finding — 87 s at the 100x lake, vs 24 s for the prefix form).
+
+    Both arms are EXACT (same oracle): below the routing threshold the
+    bucketed equi-join wins (fewer shuffles, and sf-scale pair volume is
+    trivial); above it the O(n) order-statistics prefix-sum form is the
+    only shape whose cost does not track matched-pair volume. Catalyst's
+    own size estimate for the events scan gates the choice — no job runs
+    to decide.
+    """
+    from vectra_player_spark.operators.routing import route
+
+    return route(
+        t(spark, sf_dir, "events"),
+        lambda: interval_range_join(spark, sf_dir),
+        lambda: interval_concurrency_prefix(spark, sf_dir),
     )
 
 

