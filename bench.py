@@ -3,6 +3,13 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is fully materialized via
 the noop sink (no driver collect cost, no output I/O — pure engine time).
+
+The sf0.1 total (~6.7 s by round 3) sits near the fixed-overhead floor,
+where JVM/scheduler noise can swamp real round-over-round movement — so
+the line also carries a 10x row (`total_10x_sec` / `queries_10x`, single
+timed pass over the /tmp/scale10 lake, built on demand from sf0.1 by
+tools/make_scale10.py). Deltas at 10x are engine signal, not startup
+noise. Set SPARK_GRAFT_BENCH_10X=0 to skip that section.
 """
 
 from __future__ import annotations
@@ -63,8 +70,46 @@ def main() -> None:
     }
     if failed:
         out["failed"] = failed
+
+    if os.environ.get("SPARK_GRAFT_BENCH_10X", "1") != "0":
+        try:
+            dir_10x = _ensure_scale10(sf_dir)
+            t10: dict[str, float] = {}
+            for name, spec in bench_specs:
+                try:
+                    df = spec.spark_fn(spark, dir_10x)
+                    start = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    t10[name] = round(time.perf_counter() - start, 3)
+                except Exception as e:  # noqa: BLE001 — keep the line printable
+                    print(f"10x bench query {name} failed: {e}", file=sys.stderr)
+                    t10[name] = -1.0
+            out["total_10x_sec"] = round(sum(v for v in t10.values() if v >= 0), 3)
+            out["queries_10x"] = t10
+        except Exception as e:  # noqa: BLE001 — the sf0.1 headline must survive
+            print(f"10x section skipped: {e}", file=sys.stderr)
+
     print(json.dumps(out))
     spark.stop()
+
+
+def _ensure_scale10(sf_dir: str, out_dir: str = "/tmp/scale10") -> str:
+    """The 10x lake (sf0.1 unioned 10x with shifted keys). /tmp may be
+    wiped between rounds; rebuild on demand (~1 min, one-time)."""
+    if os.path.isdir(out_dir) and os.path.exists(
+        os.path.join(out_dir, "lineitem.parquet")
+    ):
+        return out_dir
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "make_scale10.py"),
+         sf_dir, out_dir, "10"],
+        check=True,
+        capture_output=True,
+    )
+    return out_dir
 
 
 if __name__ == "__main__":

@@ -149,3 +149,45 @@ def test_bucketed_event_lake_episode_access(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
         spark.sql("DROP TABLE IF EXISTS events_by_user_t")
+
+
+def test_bucketed_facts_orderkey_join(spark, sf_dir):
+    """The TPC-H fact-fact lever (round-3 q9 audit): lineitem+orders
+    bucketed on the order key join with no Exchange on either side, and
+    with the bucketed-scan ordering conf the per-task SortExec goes too.
+    Results stay row-identical to the plain join (same source rows)."""
+    from vectra_player_spark.operators.skew import materialize_bucketed_facts
+    from vectra_player_spark.tables import t
+
+    li_b, ord_b = materialize_bucketed_facts(spark, sf_dir, buckets=8)
+    li, orders = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def shape(df):
+            p = df._jdf.queryExecution().executedPlan().toString()
+            return p.count("Exchange hashpartitioning"), p.count("Sort ")
+
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        buck = li_b.join(ord_b, li_b.l_orderkey == ord_b.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        # plain: both join sides shuffle + the final agg; bucketed: only
+        # the final agg (its key is not the bucket key).
+        assert shape(plain)[0] == 3
+        assert shape(buck)[0] == 1
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        try:
+            buck2 = li_b.join(ord_b, li_b.l_orderkey == ord_b.o_orderkey).groupBy(
+                "o_orderstatus"
+            ).count()
+            n_ex, n_sort = shape(buck2)
+            assert (n_ex, n_sort) == (1, 0)  # scan supplies the SMJ order
+        finally:
+            spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, buck.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -86,6 +86,75 @@ def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+# (session id, sf_dir) → (lineitem_df, orders_df). The bucketed fact pair
+# is written once per session+lake and reused — the registered bucketed
+# queries and the bench's best-of-3 must not re-shuffle-and-write per call.
+_BUCKETED_FACTS: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def materialize_bucketed_facts(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """Bucket the TPC-H fact pair (lineitem, orders) on the order key so
+    their join — the one unavoidable fact-fact sort-merge in the TPC-H
+    suite (q9/q18's l_orderkey = o_orderkey) — reads co-located data with
+    NO Exchange on either side.
+
+    This generalizes materialize_bucketed_events from the episode lake to
+    the relational tables: same bucket COUNT on both tables and the join
+    key as the bucket key are what let Spark's bucketed-scan planner drop
+    both shuffles (hashpartitioning(orderkey, N) is already satisfied by
+    the scan). sortBy(orderkey) + one file per bucket additionally hands
+    the sort-merge join its order, removing the per-task SortExec when the
+    reading session sets
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true (same gating
+    as the events lake; see test_skew_bucketing).
+
+    At 100 TB this is a one-time layout cost at ingest amortized over
+    every orderkey join; the round-3 q9 audit named it as THE lever for
+    the accepted fact-fact join cost (SCALE.md 100x table).
+
+    Reference analog: the reference's physical design co-locates each
+    game's rows in one DuckDB file (src/services/event_store/
+    duckdb.py:147-238) — free on one node, a write-time layout at lake
+    scale.
+    """
+    from vectra_player_spark.tables import t
+
+    key = (id(spark), sf_dir)
+    cached = _BUCKETED_FACTS.get(key)
+    if cached is not None:
+        return cached
+    pair = []
+    for name, bucket_key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        table_name = f"{name}_by_orderkey"
+        # The in-memory catalog dies with the session but the warehouse
+        # directory persists — saveAsTable then fails LOCATION_ALREADY_EXISTS
+        # on a stale location the new catalog has never heard of. Drop both.
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = spark._jvm.org.apache.hadoop.fs.Path(wh, table_name)
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
+        df = t(spark, sf_dir, name)
+        (
+            df.repartition(buckets, F.col(bucket_key))
+            .sortWithinPartitions(bucket_key)
+            .write.mode("overwrite")
+            .bucketBy(buckets, bucket_key)
+            .sortBy(bucket_key)
+            .format("parquet")
+            .saveAsTable(table_name)
+        )
+        pair.append(spark.table(table_name))
+    result = (pair[0], pair[1])
+    _BUCKETED_FACTS[key] = result
+    return result
+
+
 def materialize_bucketed_events(
     spark: SparkSession,
     sf_dir: str,

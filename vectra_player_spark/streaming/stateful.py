@@ -160,14 +160,48 @@ def phase_machine_fn(
     yield pd.DataFrame(out, columns=[f.name for f in PHASE_OUTPUT_SCHEMA.fields])
 
 
-def phase_machine(ticks: DataFrame) -> DataFrame:
-    """T1/T4: per-feed phase state machine with gap signal annotations."""
+def phase_machine(ticks: DataFrame, idle_ttl_ms: int | None = None) -> DataFrame:
+    """T1/T4: per-feed phase state machine with gap signal annotations.
+
+    ``idle_ttl_ms``: per-key state eviction for unbounded key spaces. The
+    default (None) keeps state per feed forever — correct for the
+    reference's bounded feed set, unbounded at 100k+ churning keys (the
+    state-store audit in SCALE.md measures the growth). With a TTL, a
+    feed that stays silent for ``idle_ttl_ms`` of processing time has its
+    state REMOVED (phase detection restarts from UNKNOWN if the feed
+    returns) — the standard idle-session eviction policy; pick a TTL
+    above the feed's heartbeat cadence (gap_watchdog covers the
+    in-stream gap semantics below that horizon).
+    """
+    if idle_ttl_ms is None:
+        return ticks.groupBy("session_id").applyInPandasWithState(
+            phase_machine_fn,
+            outputStructType=PHASE_OUTPUT_SCHEMA,
+            stateStructType=PHASE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=[f.name for f in PHASE_OUTPUT_SCHEMA.fields]
+            )
+            return
+        yield from phase_machine_fn(key, pdfs, state)
+        # runs when Spark exhausts the generator — after the inner fn's
+        # state.update, which setTimeoutDuration requires
+        state.setTimeoutDuration(idle_ttl_ms)
+
     return ticks.groupBy("session_id").applyInPandasWithState(
-        phase_machine_fn,
+        fn,
         outputStructType=PHASE_OUTPUT_SCHEMA,
         stateStructType=PHASE_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 
