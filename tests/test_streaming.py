@@ -625,3 +625,84 @@ def test_phase_chain_neardup_gate_survives_restart(spark, tmp_path):
     # upstream stage also exactly-once across its own restart
     phase_rows = spark.read.parquet(phases_out)
     assert sorted(r.seq for r in phase_rows.collect()) == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def _poll(fn, want, deadline_sec=60):
+    """Poll fn() until it returns want (or deadline); returns last value.
+    ProcessingTimeTimeout queries run continuous timer batches, so
+    processAllAvailable never 'settles' — polling progress is the
+    supported observation method."""
+    import time as _time
+
+    deadline = _time.time() + deadline_sec
+    val = None
+    while _time.time() < deadline:
+        val = fn()
+        if val == want:
+            return val
+        _time.sleep(0.2)
+    return val
+
+
+def _state_rows(q):
+    p = q.lastProgress
+    if not p or not p.get("stateOperators"):
+        return None
+    return p["stateOperators"][0]["numRowsTotal"]
+
+
+def test_idle_ttl_evicts_state_and_flushes_partial_sessions(spark, tmp_path):
+    """ProcessingTimeTimeout eviction: a feed that goes silent past the
+    TTL has its partial game FINALIZED (flushed with the ticks that
+    arrived, same rule as the game-boundary flush) and its state removed.
+    State-store row counts from the progress metrics prove the eviction
+    (the SCALE.md state-audit contract)."""
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    rows_a = [dict(r, session_id="feed-live") for r in SCENARIO_A] + [
+        dict(r, session_id="feed-idle") for r in SCENARIO_A
+    ]
+    _write_jsonl(src / "a.jsonl", rows_a)
+    q = (
+        sessionize_games(read_tick_stream(spark, str(src)), idle_ttl_ms=500)
+        .writeStream.format("memory")
+        .queryName("ttl_sessions")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        # both keys resident once batch A lands; then both TTLs lapse
+        # (no further data) and both partial games flush on eviction
+        assert _poll(lambda: _state_rows(q), 2) == 2
+        assert _poll(lambda: _state_rows(q), 0) == 0
+        out = spark.table("ttl_sessions").collect()
+        by_key = {r.session_id: r for r in out}
+        assert set(by_key) == {"feed-live", "feed-idle"}
+        for r in out:  # both flushed WITH the backfilled tick applied
+            assert r.game_id == "g1" and r.n_ticks == 5 and r.n_backfilled == 1
+            assert r.had_gaps  # the 520 ms gap in SCENARIO_A
+    finally:
+        q.stop()
+
+
+def test_phase_machine_idle_ttl_drops_key(spark, tmp_path):
+    src = tmp_path / "ttl_phase_src"
+    src.mkdir()
+    _write_jsonl(src / "a.jsonl", SCENARIO_A)
+    q = (
+        phase_machine(read_tick_stream(spark, str(src)), idle_ttl_ms=500)
+        .writeStream.format("memory")
+        .queryName("ttl_phases")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        assert _poll(lambda: _state_rows(q), 1) == 1
+        assert _poll(lambda: spark.table("ttl_phases").count(), 5) == 5
+        # the key lapses; eviction emits no phantom rows
+        assert _poll(lambda: _state_rows(q), 0) == 0
+        assert spark.table("ttl_phases").count() == 5
+    finally:
+        q.stop()

@@ -186,10 +186,12 @@ def phase_machine(ticks: DataFrame, idle_ttl_ms: int | None = None) -> DataFrame
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
+            # consume the (empty) input iterator before touching state —
+            # the Arrow stream for the group must be drained either way —
+            # and yield NOTHING: an evicted phase key has no output rows.
+            for _ in pdfs:
+                pass
             state.remove()
-            yield pd.DataFrame(
-                [], columns=[f.name for f in PHASE_OUTPUT_SCHEMA.fields]
-            )
             return
         yield from phase_machine_fn(key, pdfs, state)
         # runs when Spark exhausts the generator — after the inner fn's
@@ -306,14 +308,57 @@ def sessionize_fn(
     yield pd.DataFrame(finalized, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields])
 
 
-def sessionize_games(ticks: DataFrame) -> DataFrame:
+def sessionize_games(ticks: DataFrame, idle_ttl_ms: int | None = None) -> DataFrame:
     """T2+T3: episode finalization on gameId boundary with partialPrices
     backfill. Emission is boundary-driven (the rug broadcast), not
-    watermark-driven — the reference's policy (SURVEY §7 hard-part 5)."""
+    watermark-driven — the reference's policy (SURVEY §7 hard-part 5).
+
+    ``idle_ttl_ms``: idle-key eviction. The boundary-driven emit bounds a
+    key's state to ONE in-flight game, but a feed whose rug broadcast
+    never arrives (crashed source, abandoned game) pins its partial game
+    forever, and the KEY itself lives forever either way — unbounded
+    key-churn needs a horizon (the reference's analog is the
+    price_history_handler dropping feeds on disconnect). With a TTL, an
+    idle key's partial game is FINALIZED (flushed downstream with
+    whatever ticks arrived — same rule as the game-boundary flush) and
+    its state removed.
+    """
+    if idle_ttl_ms is None:
+        return ticks.groupBy("session_id").applyInPandasWithState(
+            sessionize_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SESSION_OUTPUT_SCHEMA.fields]
+        if state.hasTimedOut:
+            for _ in pdfs:  # drain the group's (empty) Arrow stream
+                pass
+            gid, ticks_, prices, had_gaps, n_backfilled, seed, _last = state.get
+            rows = []
+            if gid is not None and len(ticks_) > 0:
+                order = sorted(range(len(ticks_)), key=lambda i: ticks_[i])
+                sp = [prices[i] for i in order]
+                rows.append(
+                    (key[0], gid, len(sp), sp, max(sp), had_gaps, n_backfilled, seed)
+                )
+            state.remove()
+            if rows:  # yield only non-empty frames (empty-frame Arrow
+                # round-trip crashes the worker — measured, not theory)
+                yield pd.DataFrame(rows, columns=cols)
+            return
+        yield from sessionize_fn(key, pdfs, state)
+        state.setTimeoutDuration(idle_ttl_ms)
+
     return ticks.groupBy("session_id").applyInPandasWithState(
-        sessionize_fn,
+        fn,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
