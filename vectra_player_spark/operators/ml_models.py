@@ -108,9 +108,43 @@ def threshold_analysis(
                 / F.nullif(F.sum(bet.cast("long")).cast("double"), F.lit(0.0)),
                 6,
             ).alias("precision"),
+            # reference semantics (src/ml/model.py:246-287): a payout:1
+            # gross win nets +(payout-1) per unit staked, a loss -1, and
+            # EV is normalized PER BET, not per row — ev = TP*(payout-1)
+            # - FP over total bets. Emitted alongside ev_per_row so both
+            # decision rules are computable from one table.
+            F.round(
+                (
+                    F.sum(F.when(bet & (F.col("label") == 1.0), 1).otherwise(0))
+                    * F.lit(payout - 1.0)
+                    - F.sum(F.when(bet & (F.col("label") == 0.0), 1).otherwise(0))
+                )
+                / F.nullif(F.sum(bet.cast("long")).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("ev_per_bet"),
         )
         .orderBy("threshold")
     )
+
+
+def optimal_threshold_reference(
+    table, min_win_rate: float = 0.25, default: float = 0.25
+) -> float:
+    """The reference's deployment-threshold decision (src/ml/model.py:
+    200-209): walk thresholds in table order (ascending), keep the first
+    strictly-highest ev_per_bet among thresholds whose win rate
+    (precision) >= min_win_rate; fall back to `default` when none
+    qualify. `table` is threshold_analysis' output (small — collected)."""
+    best_t, best_ev = default, 0.0
+    for r in table.orderBy("threshold").collect():
+        if (
+            r.precision is not None
+            and r.ev_per_bet is not None
+            and r.precision >= min_win_rate
+            and r.ev_per_bet > best_ev
+        ):
+            best_t, best_ev = r.threshold, r.ev_per_bet
+    return best_t
 
 
 def produce_strategy_profile(
