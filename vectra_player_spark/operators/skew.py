@@ -121,15 +121,21 @@ def materialize_bucketed_facts(
     duckdb.py:147-238) — free on one node, a write-time layout at lake
     scale.
     """
+    import hashlib
+
     from vectra_player_spark.tables import t
 
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, buckets)
     cached = _BUCKETED_FACTS.get(key)
     if cached is not None:
         return cached
+    # scope the table name by (lake, bucket count): two callers with
+    # different lakes/specs must not drop-and-rewrite each other's tables
+    # out from under memoized DataFrames (stale-file task failures)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     pair = []
     for name, bucket_key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        table_name = f"{name}_by_orderkey"
+        table_name = f"{name}_by_orderkey_{tag}_{buckets}"
         # The in-memory catalog dies with the session but the warehouse
         # directory persists — saveAsTable then fails LOCATION_ALREADY_EXISTS
         # on a stale location the new catalog has never heard of. Drop both.
