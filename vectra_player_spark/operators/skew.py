@@ -136,12 +136,18 @@ def materialize_bucketed_facts(
     pair = []
     for name, bucket_key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         table_name = f"{name}_by_orderkey_{tag}_{buckets}"
-        # The in-memory catalog dies with the session but the warehouse
-        # directory persists — saveAsTable then fails LOCATION_ALREADY_EXISTS
-        # on a stale location the new catalog has never heard of. Drop both.
+        # EXTERNAL table with an explicit path: the correctness driver
+        # hands us ITS session, whose default warehouse dir is
+        # ./spark-warehouse under an arbitrary cwd — never write there.
+        # An explicit location keeps the layout in the scratch area
+        # regardless of session conf (a real deployment would point this
+        # at the lake's curated zone).
+        location = f"/tmp/vectra_bucketed/{table_name}"
+        # The in-memory catalog dies with the session but the location
+        # persists — saveAsTable then fails LOCATION_ALREADY_EXISTS on a
+        # stale location the new catalog has never heard of. Drop both.
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        loc = spark._jvm.org.apache.hadoop.fs.Path(wh, table_name)
+        loc = spark._jvm.org.apache.hadoop.fs.Path(location)
         fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(loc):
             fs.delete(loc, True)
@@ -150,6 +156,7 @@ def materialize_bucketed_facts(
             df.repartition(buckets, F.col(bucket_key))
             .sortWithinPartitions(bucket_key)
             .write.mode("overwrite")
+            .option("path", location)
             .bucketBy(buckets, bucket_key)
             .sortBy(bucket_key)
             .format("parquet")
