@@ -61,6 +61,13 @@ def main() -> int:
     from vectra_player_spark.session import get_spark
 
     spark = get_spark("vectra_parity")
+    # This tool checks CORRECTNESS against the oracle; cost-based routing
+    # is a perf dispatch whose approx arm (trailing_hour_uniques_routed's
+    # HLL form above the size threshold) intentionally diverges from the
+    # exact oracle values. Force the exact arms so every oracle-backed
+    # query stays comparable at any lake size — the routing cutover is
+    # verified separately (tests + SCALE.md §Round 4).
+    spark.conf.set("spark.vectra.routing.maxExactBytes", str(1 << 60))
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, str] = {}
