@@ -706,3 +706,59 @@ def test_phase_machine_idle_ttl_drops_key(spark, tmp_path):
         assert spark.table("ttl_phases").count() == 5
     finally:
         q.stop()
+
+
+def test_band_store_compaction_preserves_suppression(spark, tmp_path):
+    """compact_band_store folds committed batch partitions into batch=-1:
+    store CONTENT is unchanged (same band set), directory count drops,
+    suppression against folded history still works, and a batch at/above
+    the horizon is left untouched (replay safety)."""
+    import os as _os
+
+    from vectra_player_spark.streaming.neardup import (
+        compact_band_store,
+        process_batch,
+    )
+
+    store = str(tmp_path / "cstore")
+
+    def doc(i, text):
+        return (i, text)
+
+    t0 = " ".join(f"a{i % 11} b{i % 7}" for i in range(60))
+    t1 = " ".join(f"c{i % 13} d{i % 5}" for i in range(60))
+    t2 = " ".join(f"e{i % 17} f{i % 3}" for i in range(60))
+    for bid, d in enumerate([doc(1, t0), doc(2, t1), doc(3, t2)]):
+        process_batch(
+            spark.createDataFrame([d], "doc_id long, text string"), bid, store
+        )
+    bands_dir = _os.path.join(store, "bands")
+    before = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(bands_dir).collect()
+    )
+    assert len([d for d in _os.listdir(bands_dir) if d.startswith("batch=")]) == 3
+    # fold batches 0-1 (committed history); batch 2 stays replayable
+    n = compact_band_store(spark, store, before_batch_id=2)
+    assert n == 2
+    dirs = sorted(d for d in _os.listdir(bands_dir) if d.startswith("batch="))
+    assert dirs == ["batch=-1", "batch=2"]
+    after = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(bands_dir).collect()
+    )
+    assert after == before  # content identical, layout folded
+    # suppression against folded history: replaying doc 1's text as a new
+    # doc in a NEW batch must be suppressed by the batch=-1 partition
+    process_batch(
+        spark.createDataFrame([(9, t0)], "doc_id long, text string"), 3, store
+    )
+    novel9 = spark.read.parquet(_os.path.join(store, "novel", "batch=3"))
+    assert novel9.count() == 0
+    # a second compaction folds batch=-1 + batch=2 again, content intact
+    assert compact_band_store(spark, store, before_batch_id=3) == 2
+    final = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(bands_dir).collect()
+    )
+    assert final == before

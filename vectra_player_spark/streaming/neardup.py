@@ -110,6 +110,67 @@ def process_batch(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     )
 
 
+def compact_band_store(
+    spark, store_dir: str, before_batch_id: int, target_files: int = 1
+) -> int:
+    """Fold the per-batch band partitions older than ``before_batch_id``
+    into ONE consolidated ``batch=-1`` partition.
+
+    The batch=N layout exists for replay idempotency (process_batch
+    overwrites its own partition on an at-least-once re-run), but a
+    long-lived ingest accumulates one directory per micro-batch and the
+    probe's listing cost grows without bound — the classic small-file
+    problem, here with a correctness constraint on top:
+
+    SAFETY RULE: only batches that can never replay may be folded.
+    A batch replays only if its foreachBatch epoch never committed, so
+    pass ``before_batch_id`` <= the checkpoint's last COMMITTED batch id;
+    everything strictly below it is immutable history. Folding a
+    replayable batch would be a data-loss bug: the replay overwrites
+    batch=N with fresh content while the folded copy of the OLD content
+    keeps suppressing the very docs the replay is re-admitting.
+
+    batch=-1 sorts below every real epoch, so the probe's
+    ``batch != current`` exclusion never masks folded history, and a
+    later compaction run folds the existing batch=-1 again (it is always
+    < before_batch_id). Same staged-write + rename swap protocol as
+    sources/event_lake.compact_partition (manifest commit on an object
+    store). Returns the number of batch directories folded.
+    """
+    import shutil
+    import uuid
+
+    path = _bands_store_path(store_dir)
+    if not os.path.isdir(path):  # driver-side maintenance op: local lake
+        return 0
+    old = [
+        d
+        for d in os.listdir(path)
+        if d.startswith("batch=") and int(d.split("=", 1)[1]) < before_batch_id
+    ]
+    if len(old) <= 1:
+        return 0  # nothing to fold (or already a single consolidated dir)
+    token = uuid.uuid4().hex
+    staged = os.path.join(store_dir, "_compact_tmp", token)
+    trash = os.path.join(store_dir, "_compact_trash", token)
+    merged = (
+        spark.read.parquet(path)
+        .where(F.col("batch") < before_batch_id)
+        .select("band_idx", "band_hash", "doc_id")
+    )
+    merged.coalesce(target_files).write.mode("overwrite").parquet(staged)
+    os.makedirs(trash, exist_ok=True)
+    for d in old:
+        shutil.move(os.path.join(path, d), os.path.join(trash, d))
+    try:
+        shutil.move(staged, os.path.join(path, "batch=-1"))
+    except BaseException:
+        for d in old:  # roll back: restore the originals
+            shutil.move(os.path.join(trash, d), os.path.join(path, d))
+        raise
+    return len(old)
+
+
 def neardup_suppress_stream(
     docs: DataFrame, store_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:
