@@ -33,13 +33,19 @@ _ISO_SESSIONS: dict[int, SparkSession] = {}
 
 def _iso_session(spark: SparkSession) -> SparkSession:
     iso = _ISO_SESSIONS.get(id(spark))
-    if iso is None:
-        from vectra_player_spark.session import prep_session
+    if iso is not None:
+        try:  # id() reuse after a session stop could hand back a clone of
+            # a DEAD context — probe cheaply and rebuild if so
+            iso.conf.get("spark.sql.cteRecursionRowLimit")
+            return iso
+        except Exception:  # noqa: BLE001 — any Py4J/closed-context error
+            del _ISO_SESSIONS[id(spark)]
+    from vectra_player_spark.session import prep_session
 
-        iso = spark.newSession()
-        prep_session(iso)
-        iso.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
-        _ISO_SESSIONS[id(spark)] = iso
+    iso = spark.newSession()
+    prep_session(iso)
+    iso.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
+    _ISO_SESSIONS[id(spark)] = iso
     return iso
 
 
