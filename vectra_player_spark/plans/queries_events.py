@@ -884,6 +884,15 @@ def interval_concurrency_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = sess.groupBy("user_id", "session_no").agg(
         F.min("eus").alias("start_us"), F.max("eus").alias("end_us")
     )
+    # TWO consumers read iv (start/end boundary branches) and THREE read
+    # the points union (in-bucket window, per-user window, bucket totals);
+    # per-branch pruning defeats ReuseExchange (the minhash_lsh_pairs
+    # finding), so unpinned the sessionization windows recompute per
+    # branch — measured 6 scans of events, 0 reused exchanges. Pin the
+    # small |sessions| relation; the union pins below.
+    from vectra_player_spark.session import pin
+
+    iv = pin(iv)
     points = (
         ev.select(
             F.unix_micros("ts").alias("ts_us"),
@@ -906,7 +915,7 @@ def interval_concurrency_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bkt = _RANGE_BUCKET_US
     is_event = F.when(F.col("kind") == 1, 1).otherwise(0)
-    pts = points.withColumn("bucket", (F.col("ts_us") / bkt).cast("bigint"))
+    pts = pin(points.withColumn("bucket", (F.col("ts_us") / bkt).cast("bigint")))
     in_bucket = Window.partitionBy("bucket").orderBy("ts_us", "kind").rowsBetween(
         Window.unboundedPreceding, 0
     )
