@@ -560,60 +560,100 @@ FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
     survey_ref="P7 extension: constraint validation report (FK/PK/null/range)",
 )
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every check over a table folds into ONE aggregate on ONE scan of
+    that table (count + conditional sums + count_distinct are all
+    algebraic, so they share the scan and the map-side partials), then a
+    stack() unpivots the scalar row into per-check rows. FK checks ride
+    the same discipline: the fact scans ONCE through a key-only left
+    join (dim side carries just its key), and the range/null checks for
+    that fact are computed over the SAME joined relation — a left join
+    on a unique key preserves row count, so n_rows is untouched. Net:
+    five full scans (one per table) + two key-only dim sides, versus one
+    scan per check (12) in the naive form — at 100 TB that is the
+    difference between reading lineitem once and reading it three times
+    per nightly QA run."""
     cust = t(spark, sf_dir, "customer")
     docs = t(spark, sf_dir, "documents")
     ev = t(spark, sf_dir, "events")
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
 
-    def check(name: str, df: DataFrame, violation) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("check_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(violation, 1).otherwise(0)).cast("bigint").alias("n_violations"),
-        ).select("check_name", "n_rows", "n_violations")
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
-    def unique_check(name: str, df: DataFrame, key: str) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("check_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count_distinct(F.col(key))).cast("bigint").alias("n_violations"),
-        ).select("check_name", "n_rows", "n_violations")
+    def stacked(agg_df, *checks):
+        # checks: (check_name, violations_col) pairs sharing the n column
+        parts = ", ".join(f"'{n}', n, {c}" for n, c in checks)
+        return agg_df.selectExpr(
+            f"stack({len(checks)}, {parts}) AS (check_name, n_rows, n_violations)"
+        )
 
-    # FK checks as key-only left joins: only the join keys shuffle, and the
-    # "violation" is a null probe-side key — identical to an anti-join count
-    # but done in one conditional aggregate.
-    li_fk = li.select("l_orderkey").join(
+    cust_rows = stacked(
+        cust.agg(
+            F.count(F.lit(1)).alias("n"),
+            viol(F.col("c_acctbal") < 0).alias("v_bal"),
+            (F.count(F.lit(1)) - F.count_distinct("c_custkey"))
+            .cast("bigint")
+            .alias("v_pk"),
+        ),
+        ("customer_acctbal_nonneg", "v_bal"),
+        ("customer_pk_unique", "v_pk"),
+    )
+    doc_rows = stacked(
+        docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            viol(F.col("n_chars") < 100).alias("v_len"),
+            viol(F.col("text").isNull() | (F.length("text") == 0)).alias("v_txt"),
+        ),
+        ("documents_min_length", "v_len"),
+        ("documents_text_nonempty", "v_txt"),
+    )
+    ev_rows = stacked(
+        ev.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count_distinct("event_id"))
+            .cast("bigint")
+            .alias("v_pk"),
+            viol(F.col("value").isNull()).alias("v_val"),
+        ),
+        ("events_pk_unique", "v_pk"),
+        ("events_value_nonnull", "v_val"),
+    )
+    # lineitem scans ONCE: range/qty checks ride the FK join's probe side
+    # (left join on the unique o_orderkey preserves row count)
+    li_fk = li.select("l_orderkey", "l_discount", "l_quantity").join(
         orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left"
+    )
+    li_rows = stacked(
+        li_fk.agg(
+            F.count(F.lit(1)).alias("n"),
+            viol(
+                F.col("l_discount").isNull()
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1)
+            ).alias("v_disc"),
+            viol(F.col("o_orderkey").isNull()).alias("v_fk"),
+            viol(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)).alias(
+                "v_qty"
+            ),
+        ),
+        ("lineitem_discount_range", "v_disc"),
+        ("lineitem_orderkey_fk", "v_fk"),
+        ("lineitem_qty_positive", "v_qty"),
     )
     ord_fk = orders.select("o_custkey").join(
         cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left"
     )
-    checks = [
-        check("customer_acctbal_nonneg", cust, F.col("c_acctbal") < 0),
-        unique_check("customer_pk_unique", cust, "c_custkey"),
-        check("documents_min_length", docs, F.col("n_chars") < 100),
-        check(
-            "documents_text_nonempty",
-            docs,
-            F.col("text").isNull() | (F.length("text") == 0),
+    ord_rows = stacked(
+        ord_fk.agg(
+            F.count(F.lit(1)).alias("n"),
+            viol(F.col("c_custkey").isNull()).alias("v_fk"),
         ),
-        unique_check("events_pk_unique", ev, "event_id"),
-        check("events_value_nonnull", ev, F.col("value").isNull()),
-        check(
-            "lineitem_discount_range",
-            li,
-            F.col("l_discount").isNull()
-            | (F.col("l_discount") < 0)
-            | (F.col("l_discount") > 1),
-        ),
-        check("lineitem_orderkey_fk", li_fk, F.col("o_orderkey").isNull()),
-        check("lineitem_qty_positive", li, F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)),
-        check("orders_custkey_fk", ord_fk, F.col("c_custkey").isNull()),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
+        ("orders_custkey_fk", "v_fk"),
+    )
+    out = cust_rows
+    for part in (doc_rows, ev_rows, li_rows, ord_rows):
+        out = out.unionByName(part)
     return out
 
 
