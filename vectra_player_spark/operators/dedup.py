@@ -186,6 +186,7 @@ def minhash_lsh_pairs(
     w: int = 3,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    prepared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) sharing at least one band.
 
@@ -194,9 +195,18 @@ def minhash_lsh_pairs(
     is quadratic in the duplication factor otherwise), then member pairs
     expand via equi-joins. Intra-group pairs exist only for groups WITH
     shingles: docs shorter than w tokens have no signature and produce no
-    pairs in the direct computation either."""
+    pairs in the direct computation either.
+
+    ``prepared``: an externally-computed (reps, members) pair from
+    rep_members over the same (id_col, text_col) — lets a composition
+    that runs SEVERAL pair operators over one corpus (doc_lsh_recall_
+    report runs this plus the exact Jaccard form) collapse once instead
+    of once per operator."""
     base = docs.select(F.col(id_col), F.col(text_col))
-    reps, members = rep_members(base, id_col, [fingerprint(text_col)])
+    if prepared is not None:
+        reps, members = prepared
+    else:
+        reps, members = rep_members(base, id_col, [fingerprint(text_col)])
     # THREE consumers read the signature table (both sides of the band
     # self-join + the intra-group rep set), and per-branch pruning defeats
     # ReuseExchange — unpinned, the shingle→md5→min chain (the query's
@@ -246,6 +256,7 @@ def ngram_jaccard_pairs(
     w: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
+    prepared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup pairs by w-gram Jaccard >= threshold via inverted index.
 
@@ -258,9 +269,14 @@ def ngram_jaccard_pairs(
     and exist only for groups with ≥1 (post-cap) shingle, matching the
     direct computation (shingle-less docs never pair). ``max_doc_freq``
     still counts RAW document frequency — each rep's shingle contributes
-    its group size — so capped shingles are dropped identically."""
+    its group size — so capped shingles are dropped identically.
+    ``prepared``: see minhash_lsh_pairs — shared rep collapse for
+    multi-operator compositions."""
     base = docs.select(F.col(id_col), F.col(text_col))
-    reps, members = rep_members(base, id_col, [fingerprint(text_col)])
+    if prepared is not None:
+        reps, members = prepared
+    else:
+        reps, members = rep_members(base, id_col, [fingerprint(text_col)])
     sh = doc_shingles(reps, id_col, text_col, w)
     if max_doc_freq is not None:
         gsize = members.groupBy(F.col("_rep").alias(id_col)).agg(

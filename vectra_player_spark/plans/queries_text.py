@@ -966,8 +966,22 @@ LEFT JOIN lsh l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
 )
 def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
-    lsh = minhash_lsh_pairs(docs).withColumn("_hit", F.lit(1))
+    # Both pair operators collapse the SAME corpus to representative
+    # space; share (and pin) one rep_members pass instead of running the
+    # fingerprint-groupBy window twice over the full corpus — the
+    # recall audit reads the corpus once per SIGNATURE type, not once
+    # per operator-internal stage (the round-4 scan audit's top entry).
+    from vectra_player_spark.functions.text import fingerprint
+    from vectra_player_spark.operators.dedup import rep_members
+    from vectra_player_spark.session import pin
+
+    base = docs.select(F.col("doc_id"), F.col("text"))
+    reps, members = rep_members(base, "doc_id", [fingerprint("text")])
+    shared = (pin(reps), pin(members))
+    exact = ngram_jaccard_pairs(docs, threshold=0.2, prepared=shared).select(
+        "doc_a", "doc_b"
+    )
+    lsh = minhash_lsh_pairs(docs, prepared=shared).withColumn("_hit", F.lit(1))
     joined = exact.join(lsh, ["doc_a", "doc_b"], "left")
     return joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact"),
