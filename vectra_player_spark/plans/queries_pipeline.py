@@ -234,6 +234,66 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_value_percentiles_approx",
+    oracle=None,
+    tags=("pipeline", "sketch"),
+    survey_ref="F7/A6 percentile scale path: mergeable sketch + self-validating error report",
+)
+def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path, self-validating (the HLL/sketch-report
+    pattern): percentile_approx's mergeable sketch holds bounded state
+    per group where the exact form materializes the full sorted group —
+    at lake scale the exact form is a per-group sort of everything, the
+    sketch a fixed-size map-side-combinable accumulator (relative rank
+    error <= 1/accuracy). Values are engine-specific (no DuckDB-matchable
+    form), so the registered query emits the ERROR REPORT against the
+    exact percentiles computed on the same scan: per-quantile mean/max
+    relative error and the within-tolerance fraction. Deterministic (the
+    GK-style sketch has no RNG), rows-only driver check."""
+    ev = t(spark, sf_dir, "events")
+    acc = 1000  # rank error <= 0.1% of the group
+    per_group = ev.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {q}D)").alias(f"exact_{tag}")
+            for q, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ],
+        *[
+            F.expr(f"percentile_approx(value, {q}D, {acc})").alias(f"approx_{tag}")
+            for q, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ],
+    )
+    err_cols = [
+        (
+            F.abs(F.col(f"approx_{tag}") - F.col(f"exact_{tag}"))
+            / F.nullif(F.abs(F.col(f"exact_{tag}")), F.lit(0.0))
+        ).alias(f"err_{tag}")
+        for tag in ("p50", "p90", "p99")
+    ]
+    errs = per_group.select("event_type", *err_cols)
+    return errs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        *[
+            F.round(F.avg(f"err_{tag}"), 6).alias(f"mean_err_{tag}")
+            for tag in ("p50", "p90", "p99")
+        ],
+        *[
+            F.round(F.max(f"err_{tag}"), 6).alias(f"max_err_{tag}")
+            for tag in ("p50", "p90", "p99")
+        ],
+        F.round(
+            F.avg(
+                (
+                    (F.col("err_p50") <= 0.01)
+                    & (F.col("err_p90") <= 0.01)
+                    & (F.col("err_p99") <= 0.01)
+                ).cast("double")
+            ),
+            6,
+        ).alias("frac_groups_within_1pct"),
+    )
+
+
 # --------------------------------------------------------------------------
 # skewed_event_rollup — the hot-key aggregation lever, oracle-proven
 # answer-preserving. event_type is the engine's most skewed key (a handful
@@ -254,6 +314,66 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# zorder_box_rollup — the multi-dimensional layout lever (operators/
+# layout.write_zordered), oracle-proven answer-preserving the same way
+# q9_product_profit_bucketed proves the bucketed lake: the query reads a
+# Z-ordered COPY of events (Morton-interleaved (user_id, value), range-
+# partitioned + file-sorted on the curve) and answers a 2-D box predicate;
+# the oracle runs on the ORIGINAL parquet. Identical hashes = the layout
+# changed file placement only. At 100 TB the z-layout is what lets a box
+# predicate on two columns skip most files via footer min/max on BOTH
+# dimensions (tests/test_layout.py measures the skipping; 1-D sorting
+# prunes only its own column).
+# --------------------------------------------------------------------------
+
+_ZORDER_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE user_id BETWEEN 30 AND 90 AND value BETWEEN 10.0 AND 50.0
+GROUP BY event_type
+"""
+
+# (session id, sf_dir) -> z-ordered events path (write once per session)
+_ZORDER_CACHE: dict[tuple[int, str], str] = {}
+
+
+@register(
+    "zorder_box_rollup",
+    oracle=_ZORDER_ORACLE,
+    tags=("pipeline", "layout"),
+    survey_ref="layout lever: Z-order clustering, box-predicate file skipping",
+)
+def zorder_box_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from vectra_player_spark.operators.layout import write_zordered
+
+    key = (id(spark), sf_dir)
+    path = _ZORDER_CACHE.get(key)
+    if path is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = f"/tmp/vectra_zorder/events_{tag}"
+        ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+        write_zordered(ev, path, "user_id", "value", bits=10, n_files=16)
+        _ZORDER_CACHE[key] = path
+    z = spark.read.parquet(path)
+    return (
+        z.where(
+            F.col("user_id").between(30, 90) & F.col("value").between(10.0, 50.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
 
 
 @register(

@@ -119,6 +119,8 @@ PRIORITY: tuple[str, ...] = (
     "interval_range_join_routed",
     "trailing_hour_uniques_routed",
     "q9_product_profit_bucketed",
+    "zorder_box_rollup",
+    "event_value_percentiles_approx",  # rows-only (sketch error report)
     # -- backfill: witnessed-green regression re-checks, r1/r2 order ------
     "episode_price_arrays",
     "doc_simhash_neardup_pairs",
@@ -141,11 +143,10 @@ PRIORITY: tuple[str, ...] = (
     "doc_tfidf_topterms",
     "user_trend_regression",
     "multimodal_image_features",
-    "doc_train_split",
 )
 
 # ROUND-5 ROTATION NOTE: once r4's run lands, cumulative driver witness is
-# 151/151 (every registered query). From round 5 on, rotate freely: keep
+# 153/153 (every registered query). From round 5 on, rotate freely: keep
 # the 5 sentinels, spend the rest of the cap on round-5 additions first,
 # then the least-recently-witnessed names. Verify slot 50 after every
 # registration change (tools/show_cap.py); it has drifted twice.
