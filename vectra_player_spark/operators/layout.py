@@ -66,6 +66,11 @@ def write_zordered(
     lo_x, hi_x, lo_y, hi_y = df.agg(
         F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
     ).first()
+    # empty (or all-null) input: no ordering to establish — normalize to a
+    # constant 0 frame so the write still produces a valid (empty) table
+    lo_x, hi_x, lo_y, hi_y = (
+        0.0 if v is None else float(v) for v in (lo_x, hi_x, lo_y, hi_y)
+    )
     z = morton_code(
         _normalize(F.col(col_x), float(lo_x), float(hi_x), bits),
         _normalize(F.col(col_y), float(lo_y), float(hi_y), bits),
