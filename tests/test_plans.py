@@ -319,3 +319,28 @@ def test_trailing_hll_report_accuracy_floor(spark, sf_dir):
     assert row.n_rows > 0
     assert row.mean_rel_err <= 0.05
     assert row.frac_within_rsd >= 0.85
+
+
+def test_data_quality_report_single_scan_per_table(spark, sf_dir):
+    """The round-4 rewrite's contract: every table's checks share ONE
+    scan (5 full scans + 2 key-only dim sides), not one scan per check."""
+    from vectra_player_spark.plans.queries_pipeline import data_quality_report
+
+    df = data_quality_report(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # optimizedPlan lists each relation once per logical scan (the
+    # executed-plan string double-prints under AQE)
+    assert opt.count("Relation") == 7, opt.count("Relation")
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("Exchange hashpartitioning") <= 2
+
+
+def test_zorder_box_rollup_pushes_box_predicate(spark, sf_dir):
+    from vectra_player_spark.plans.queries_pipeline import zorder_box_rollup
+
+    df = zorder_box_rollup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both box dimensions must reach the parquet scan (footer min/max
+    # skipping is the entire point of the z-layout)
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "user_id" in pushed and "value" in pushed, pushed
