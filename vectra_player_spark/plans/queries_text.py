@@ -1061,6 +1061,11 @@ def doc_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("prefix").isNotNull()
     )
     reps, members = rep_members(p, "doc_id", ["lang", "source", "len_bkt", "prefix"])
+    # both self-join sides + the intra-group set read the rep collapse;
+    # pin one materialization (the recurring ReuseExchange finding)
+    from vectra_player_spark.session import pin
+
+    reps, members = pin(reps), pin(members)
     a = reps.alias("a")
     b = reps.alias("b")
     dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
