@@ -399,6 +399,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(fixed("l_extendedprice")).alias("offer_cents"))
     )
+    # TWO consumers (the per-part best aggregate + the join-back) re-run
+    # the lineitem scan + semi-join + aggregate without a pin — offers is
+    # |qualifying (part,supp)| rows, far smaller than one lineitem scan.
+    from vectra_player_spark.session import pin
+
+    offers = pin(offers)
     best = offers.groupBy("l_partkey").agg(
         F.min("offer_cents").alias("best_cents")
     ).withColumnRenamed("l_partkey", "best_partkey")
