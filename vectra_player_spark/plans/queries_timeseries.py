@@ -355,6 +355,60 @@ def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# nth_tick_anchors — the frame-navigation window family (NTH_VALUE +
+# FIRST/LAST_VALUE IGNORE NULLS): per event, the episode's 2nd observed
+# value so far, the first non-null value, and the most recent non-null
+# value (the LOCF anchor). These are the W-family frame functions no other
+# registered query exercises; a deterministic NULL injection (event_id %
+# 7) makes the IGNORE NULLS semantics observable on a null-free source.
+# Scale: one hash exchange on user_id, one sort, one Window operator —
+# all four functions share the same running frame.
+# --------------------------------------------------------------------------
+
+_NTH_ORACLE = """
+SELECT user_id, event_id,
+       ROUND(nth_value(v, 2) OVER w, 6) + 0.0 AS second_value,
+       ROUND(first_value(v IGNORE NULLS) OVER w, 6) + 0.0 AS first_nonnull,
+       ROUND(last_value(v IGNORE NULLS) OVER w, 6) + 0.0 AS locf_value
+FROM (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "nth_tick_anchors",
+    oracle=_NTH_ORACLE,
+    tags=("events", "timeseries"),
+    survey_ref="W-family frame navigation: NTH_VALUE, FIRST/LAST_VALUE IGNORE NULLS",
+)
+def nth_tick_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    src = ev.select("user_id", "event_id", v.alias("v"))
+    return src.select(
+        "user_id",
+        "event_id",
+        (F.round(F.nth_value("v", 2).over(w), 6) + 0.0).alias("second_value"),
+        (F.round(F.first("v", ignorenulls=True).over(w), 6) + 0.0).alias(
+            "first_nonnull"
+        ),
+        (F.round(F.last("v", ignorenulls=True).over(w), 6) + 0.0).alias(
+            "locf_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # trailing_hour_uniques — sliding DISTINCT cardinality: per event, how many
 # distinct users acted in the same type's trailing hour. Spark disallows
 # DISTINCT aggregates in windows; the engine expresses it as

@@ -121,6 +121,7 @@ PRIORITY: tuple[str, ...] = (
     "q9_product_profit_bucketed",
     "zorder_box_rollup",
     "event_value_percentiles_approx",  # rows-only (sketch error report)
+    "nth_tick_anchors",
     # -- backfill: witnessed-green regression re-checks, r1/r2 order ------
     "episode_price_arrays",
     "doc_simhash_neardup_pairs",
@@ -146,7 +147,7 @@ PRIORITY: tuple[str, ...] = (
 )
 
 # ROUND-5 ROTATION NOTE: once r4's run lands, cumulative driver witness is
-# 153/153 (every registered query). From round 5 on, rotate freely: keep
+# 154/154 (every registered query). From round 5 on, rotate freely: keep
 # the 5 sentinels, spend the rest of the cap on round-5 additions first,
 # then the least-recently-witnessed names. Verify slot 50 after every
 # registration change (tools/show_cap.py); it has drifted twice.
