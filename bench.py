@@ -108,6 +108,7 @@ def _ensure_scale10(sf_dir: str, out_dir: str = "/tmp/scale10") -> str:
          sf_dir, out_dir, "10"],
         check=True,
         capture_output=True,
+        timeout=600,  # a hung rebuild must not hang the whole bench line
     )
     return out_dir
 

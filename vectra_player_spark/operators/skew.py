@@ -128,7 +128,20 @@ def materialize_bucketed_facts(
     key = (id(spark), sf_dir, buckets)
     cached = _BUCKETED_FACTS.get(key)
     if cached is not None:
-        return cached
+        # probe liveness: the session may have been stopped and its id()
+        # reused, or the external /tmp location wiped between runs — a
+        # stale hit would fail mid-query with FileNotFound instead
+        try:
+            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+            loc = spark._jvm.org.apache.hadoop.fs.Path(
+                f"/tmp/vectra_bucketed/lineitem_by_orderkey_{tag}_{buckets}"
+            )
+            fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(loc):
+                return cached
+        except Exception:  # noqa: BLE001 — dead context: rebuild below
+            pass
+        del _BUCKETED_FACTS[key]
     # scope the table name by (lake, bucket count): two callers with
     # different lakes/specs must not drop-and-rewrite each other's tables
     # out from under memoized DataFrames (stale-file task failures)

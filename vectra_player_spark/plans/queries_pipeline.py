@@ -355,6 +355,16 @@ def zorder_box_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (id(spark), sf_dir)
     path = _ZORDER_CACHE.get(key)
+    if path is not None:
+        try:  # stale-hit guard: /tmp wiped between runs or dead session
+            loc = spark._jvm.org.apache.hadoop.fs.Path(path)
+            fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(loc):
+                path = None
+        except Exception:  # noqa: BLE001 — dead context: rebuild
+            path = None
+        if path is None:
+            del _ZORDER_CACHE[key]
     if path is None:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         path = f"/tmp/vectra_zorder/events_{tag}"
