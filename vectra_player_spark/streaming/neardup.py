@@ -135,7 +135,12 @@ def compact_band_store(
     later compaction run folds the existing batch=-1 again (it is always
     < before_batch_id). Same staged-write + rename swap protocol as
     sources/event_lake.compact_partition (manifest commit on an object
-    store). Returns the number of batch directories folded.
+    store). CONCURRENCY CONTRACT: run between micro-batches (or with the
+    ingest paused) — a probe landing inside the swap window would miss
+    the folded history for that one batch and falsely admit a near-dup,
+    and unlike the crash cases that admit is permanent. Maintenance op,
+    not a background thread. Returns the number of batch directories
+    folded.
     """
     import shutil
     import uuid

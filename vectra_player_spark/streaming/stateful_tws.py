@@ -164,7 +164,12 @@ def _flush_session_state(key_val, st):
 
 
 def _rearm(handle: StatefulProcessorHandle, timers: TimerValues, ttl_ms: int) -> None:
-    # one live timer per key: drop stale registrations, arm the new one
+    # one live timer per key: drop stale registrations, arm the new one.
+    # Cost note: delete+register is 2 timer-store ops per ACTIVE key per
+    # batch — bounded by batch key activity, not population; the
+    # alternative (persisting the last timer in value state to skip
+    # no-op re-arms) saves nothing because an active key's deadline
+    # always moves.
     for t in handle.listTimers():
         handle.deleteTimer(t)
     handle.registerTimer(timers.getCurrentProcessingTimeInMs() + ttl_ms)
