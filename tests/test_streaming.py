@@ -755,10 +755,69 @@ def test_band_store_compaction_preserves_suppression(spark, tmp_path):
     )
     novel9 = spark.read.parquet(_os.path.join(store, "novel", "batch=3"))
     assert novel9.count() == 0
-    # a second compaction folds batch=-1 + batch=2 again, content intact
+    # a second compaction folds batch=-1 + batch=2 again (next generation
+    # batch=-2), content intact
     assert compact_band_store(spark, store, before_batch_id=3) == 2
     final = sorted(
         (r["doc_id"], r["band_idx"], r["band_hash"])
         for r in spark.read.parquet(bands_dir).collect()
     )
     assert final == before
+
+
+def test_band_store_compaction_interrupted_fold_is_safe(spark, tmp_path):
+    """Crash-atomicity (round-5 ADVICE): a kill AFTER the consolidated
+    generation lands but BEFORE the source dirs are deleted leaves the
+    store with duplicate history — the probe must still suppress (an
+    existence semi-join is duplicate-insensitive), and the next compaction
+    run must reclaim the leftovers without growing the band set."""
+    import os as _os
+    import shutil as _shutil
+
+    from vectra_player_spark.streaming.neardup import (
+        compact_band_store,
+        process_batch,
+    )
+
+    store = str(tmp_path / "istore")
+    t0 = " ".join(f"a{i % 11} b{i % 7}" for i in range(60))
+    t1 = " ".join(f"c{i % 13} d{i % 5}" for i in range(60))
+    for bid, d in enumerate([(1, t0), (2, t1)]):
+        process_batch(
+            spark.createDataFrame([d], "doc_id long, text string"), bid, store
+        )
+    bands_dir = _os.path.join(store, "bands")
+    before = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(bands_dir).collect()
+    )
+    # Simulate the interrupted fold: consolidated batch=-1 exists ALONGSIDE
+    # the still-undeleted source dirs (the exact on-disk state a hard kill
+    # between the rename and the deletes leaves behind).
+    assert compact_band_store(spark, store, before_batch_id=2) == 2
+    for bid, d in [(0, (1, t0)), (1, (2, t1))]:  # re-create the source dirs
+        process_batch(
+            spark.createDataFrame([d], "doc_id long, text string"), bid, store
+        )
+    dirs = sorted(d for d in _os.listdir(bands_dir) if d.startswith("batch="))
+    assert dirs == ["batch=-1", "batch=0", "batch=1"]
+    # stale staging dir from the crash must also be reclaimed
+    _os.makedirs(_os.path.join(store, "_compact_tmp", "deadbeef"), exist_ok=True)
+    # probe against the duplicated store still suppresses
+    process_batch(
+        spark.createDataFrame([(9, t0)], "doc_id long, text string"), 5, store
+    )
+    assert spark.read.parquet(_os.path.join(store, "novel", "batch=5")).count() == 0
+    _shutil.rmtree(_os.path.join(store, "novel", "batch=5"))
+    _shutil.rmtree(_os.path.join(bands_dir, "batch=5"))
+    # next compaction reclaims: folds dup history into batch=-2, removes
+    # leftovers, band SET identical (dropDuplicates absorbs the dup rows)
+    assert compact_band_store(spark, store, before_batch_id=2) == 3
+    dirs = sorted(d for d in _os.listdir(bands_dir) if d.startswith("batch="))
+    assert dirs == ["batch=-2"]
+    assert not _os.path.isdir(_os.path.join(store, "_compact_tmp"))
+    after = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(bands_dir).collect()
+    )
+    assert after == before

@@ -43,13 +43,25 @@ from pyspark.sql import DataFrame
 ROUTING_CONF = "spark.vectra.routing.maxExactBytes"
 DEFAULT_MAX_EXACT_BYTES = 64 * 1024 * 1024
 
+ROW_BYTES_CONF = "spark.vectra.routing.assumedRowBytes"
+DEFAULT_ASSUMED_ROW_BYTES = 100
+
+# Catalyst reports spark.sql.defaultSizeInBytes (Long.MaxValue unless
+# overridden) for any relation it has no statistics for — a derived gate
+# (post-join/aggregate with CBO off) propagates it. Anything in that
+# magnitude band is a sentinel, not a measurement.
+_UNKNOWN_STATS_FLOOR = 1 << 62
+
 
 def plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for the plan's output (bytes, no job run).
 
     For file-source scans this is the post-pruning file footprint; for
     derived plans it is the optimizer's propagated estimate — the same
-    number AQE and the broadcast-threshold planner consult.
+    number AQE and the broadcast-threshold planner consult. Derived plans
+    with UNKNOWN stats return the defaultSizeInBytes sentinel
+    (Long.MaxValue) — callers must treat that band as "no estimate", not
+    "huge" (see :func:`route`).
     """
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
@@ -62,12 +74,31 @@ def route(
 ) -> DataFrame:
     """Return ``exact_fn()`` when ``gate``'s estimated size is affordable,
     else ``scale_fn()``. ``gate`` is the driving input relation (the one
-    whose volume makes the exact form explode)."""
+    whose volume makes the exact form explode).
+
+    Contract: ``gate`` should be a file-source scan (possibly with pushed
+    filters), where Catalyst's estimate is the post-pruning file footprint
+    — a real measurement. If a derived gate arrives with NO statistics,
+    Catalyst propagates the defaultSizeInBytes sentinel, which naive
+    comparison would silently read as "huge → scale arm". We refuse to
+    route on the sentinel: instead the gate's rows are counted (one cheap
+    job — bounded by a scan of the gate, always far below the exploding
+    exact arm it guards) and sized at ``spark.vectra.routing.assumedRowBytes``
+    (default 100) per row."""
     if max_exact_bytes is None:
         conf = gate.sparkSession.conf.get(ROUTING_CONF, None)
         max_exact_bytes = (
             int(conf) if conf is not None else DEFAULT_MAX_EXACT_BYTES
         )
-    if plan_size_bytes(gate) <= max_exact_bytes:
+    est = plan_size_bytes(gate)
+    if est >= _UNKNOWN_STATS_FLOOR:  # stats sentinel, not a measurement
+        row_bytes_conf = gate.sparkSession.conf.get(ROW_BYTES_CONF, None)
+        row_bytes = (
+            int(row_bytes_conf)
+            if row_bytes_conf is not None
+            else DEFAULT_ASSUMED_ROW_BYTES
+        )
+        est = gate.count() * row_bytes
+    if est <= max_exact_bytes:
         return exact_fn()
     return scale_fn()

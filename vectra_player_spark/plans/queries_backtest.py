@@ -94,11 +94,90 @@ def gbt_threshold_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_analysis(scored)
 
 
-@register("rl_observation_set", oracle=None, tags=("ml",), survey_ref="M20")
-def rl_observation_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M20 data-prep: 15-dim observation array per (episode, tick)."""
-    from vectra_player_spark.operators.backtest import fit_hazard_model as _fit
-    from vectra_player_spark.operators.rl_dataset import build_rl_observations
+# The 15 observation slots are pure window expressions plus one broadcast
+# survival-predictor join (operators/rl_dataset.py), so unlike the replay
+# queries above M20 IS oracle-expressible — the driver row was red in r4
+# because the packed array<double> column crashed the harness's pandas
+# canonical sort. The registered form therefore emits the slots as named
+# scalar columns (the env-artifact array API stays in rl_dataset.py);
+# continuous slots use the engine-stable fround grid mirrored below, and
+# p_end keeps the ROUND(,6) convention its own green oracle
+# (conditional_end_prob, r1) established.
+_RL_OBS_ORACLE = """
+WITH durations AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS duration
+  FROM events GROUP BY 1, 2
+),
+hist AS (SELECT duration AS t, COUNT(*) AS events FROM durations GROUP BY 1),
+grid AS (
+  SELECT UNNEST(range(0, CAST((SELECT MAX(duration) + 2 FROM durations) AS BIGINT)))
+         AS t_grid
+),
+cond AS (
+  SELECT g.t_grid AS t,
+         ROUND(CASE WHEN SUM(CASE WHEN h.t >= g.t_grid THEN h.events ELSE 0 END) > 0
+               THEN SUM(CASE WHEN h.t >= g.t_grid AND h.t < g.t_grid + 10
+                             THEN h.events ELSE 0 END)
+                    * 1.0 / SUM(CASE WHEN h.t >= g.t_grid THEN h.events ELSE 0 END)
+               ELSE 0.0 END, 6) AS p_end
+  FROM grid g CROSS JOIN hist h GROUP BY g.t_grid
+),
+ep AS (
+  SELECT CAST(user_id AS VARCHAR) AS game_id, event_id AS seq,
+         CAST(value AS DOUBLE) AS p
+  FROM events
+),
+obs AS (
+  SELECT game_id,
+         ROW_NUMBER() OVER w - 1 AS tick,
+         p,
+         LAG(p, 1) OVER w AS l1,
+         LAG(p, 3) OVER w AS l3,
+         STDDEV(p) OVER (PARTITION BY game_id ORDER BY seq
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS vol5,
+         STDDEV(p) OVER (PARTITION BY game_id ORDER BY seq
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vol10,
+         MAX(p) OVER (PARTITION BY game_id ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max,
+         AVG(p) OVER (PARTITION BY game_id ORDER BY seq
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS ma11
+  FROM ep
+  WINDOW w AS (PARTITION BY game_id ORDER BY seq)
+)
+SELECT
+  o.game_id,
+  CAST(o.tick AS BIGINT) AS tick,
+  CAST(o.tick AS DOUBLE) AS obs_tick,
+  FLOOR(COALESCE(o.p, 0.0) * 1e6 + 0.5) / 1e6 AS obs_price,
+  FLOOR(COALESCE(o.p - o.l1, 0.0) * 1e6 + 0.5) / 1e6 AS obs_d1,
+  FLOOR(COALESCE((o.p - o.l3) / 3.0, 0.0) * 1e6 + 0.5) / 1e6 AS obs_d3,
+  FLOOR(COALESCE(o.vol5, 0.0) * 1e6 + 0.5) / 1e6 AS obs_vol5,
+  FLOOR(COALESCE(o.vol10, 0.0) * 1e6 + 0.5) / 1e6 AS obs_vol10,
+  FLOOR(COALESCE(o.run_max, 0.0) * 1e6 + 0.5) / 1e6 AS obs_run_max,
+  FLOOR(COALESCE(o.p / NULLIF(o.run_max, 0.0) - 1, 0.0) * 1e6 + 0.5) / 1e6
+    AS obs_drawdown,
+  COALESCE(CAST(o.p > o.l3 * 1.2 AS DOUBLE), 0.0) AS obs_breakout,
+  COALESCE(CAST(o.p < o.l3 * 0.8 AS DOUBLE), 0.0) AS obs_breakdown,
+  COALESCE(c.p_end, 0.0) AS obs_p_rug,
+  CAST(o.tick >= 200 AS DOUBLE) AS obs_zone,
+  FLOOR(COALESCE(o.ma11, 0.0) * 1e6 + 0.5) / 1e6 AS obs_ma11,
+  FLOOR(COALESCE(o.p - o.ma11, 0.0) * 1e6 + 0.5) / 1e6 AS obs_ma_dev,
+  1.0 AS obs_bias
+FROM obs o LEFT JOIN cond c ON o.tick = c.t
+"""
 
-    model = _fit(_durations(spark, sf_dir))
-    return build_rl_observations(_episodes(spark, sf_dir), model)
+
+@register("rl_observation_set", oracle=_RL_OBS_ORACLE, tags=("ml",), survey_ref="M20")
+def rl_observation_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M20 data-prep: the 15-dim observation set per (episode, tick), emitted
+    as named scalar columns (driver-safe; oracle-backed). The env-artifact
+    array form is `rl_dataset.build_rl_observations` over the same slot
+    definitions (reference: src/rl/envs/sidebet_v1_env.py:33-200)."""
+    from vectra_player_spark.operators.rl_dataset import build_rl_observation_table
+    from vectra_player_spark.operators.survival import conditional_end_probability
+
+    durations = _durations(spark, sf_dir)
+    max_t = durations.agg(F.max("duration")).collect()[0][0] or 0
+    grid = spark.range(0, int(max_t) + 2).select(F.col("id").alias("t_grid"))
+    curve = conditional_end_probability(durations, grid, window=10).select("t", "p_end")
+    return build_rl_observation_table(_episodes(spark, sf_dir), curve)

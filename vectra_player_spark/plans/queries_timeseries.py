@@ -497,9 +497,18 @@ def trailing_hour_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# oracle=None ON PURPOSE (round-5 ADVICE): the two arms DIVERGE in values
+# (exact set counts vs HLL estimates), and route() picks by scan size — an
+# exact-values oracle would silently red on any lake whose events scan
+# exceeds spark.vectra.routing.maxExactBytes. Value coverage is unchanged:
+# the exact arm IS `trailing_hour_uniques` (same oracle, registered above),
+# the approx arm's accuracy contract is `trailing_hour_uniques_hll`'s
+# self-report; this entry witnesses the dispatch itself (rows-only is
+# arm-invariant — both arms emit one row per event). The routed entry whose
+# arms share ONE oracle (interval_range_join_routed) stays hash-checked.
 @register(
     "trailing_hour_uniques_routed",
-    oracle=_TRAILING_UNIQ_ORACLE,
+    oracle=None,
     tags=("events", "timeseries", "routed"),
     survey_ref="sliding distinct cardinality, cost-routed (default entry point)",
 )

@@ -114,7 +114,8 @@ def compact_band_store(
     spark, store_dir: str, before_batch_id: int, target_files: int = 1
 ) -> int:
     """Fold the per-batch band partitions older than ``before_batch_id``
-    into ONE consolidated ``batch=-1`` partition.
+    into ONE consolidated negative-generation partition (batch=-1, then
+    batch=-2, ...).
 
     The batch=N layout exists for replay idempotency (process_batch
     overwrites its own partition on an at-least-once re-run), but a
@@ -130,17 +131,24 @@ def compact_band_store(
     batch=N with fresh content while the folded copy of the OLD content
     keeps suppressing the very docs the replay is re-admitting.
 
-    batch=-1 sorts below every real epoch, so the probe's
-    ``batch != current`` exclusion never masks folded history, and a
-    later compaction run folds the existing batch=-1 again (it is always
-    < before_batch_id). Same staged-write + rename swap protocol as
-    sources/event_lake.compact_partition (manifest commit on an object
-    store). CONCURRENCY CONTRACT: run between micro-batches (or with the
-    ingest paused) — a probe landing inside the swap window would miss
-    the folded history for that one batch and falsely admit a near-dup,
-    and unlike the crash cases that admit is permanent. Maintenance op,
-    not a background thread. Returns the number of batch directories
-    folded.
+    CRASH ATOMICITY (round-5 ADVICE fix): history is never absent. The
+    consolidated copy is staged, then renamed IN (one rename) as a NEW
+    generation ``batch=-(G+1)`` while every source dir is still present;
+    only after that are the folded dirs deleted. A probe or hard kill at
+    any point sees either the old dirs, the old dirs PLUS the new
+    generation (duplicate rows — harmless to an existence semi-join), or
+    the new generation alone. The interrupted-fold leftovers (surviving
+    old dirs, stale _compact_tmp) are reclaimed by the next compaction
+    run, which folds everything < before_batch_id again (dropDuplicates
+    keeps re-folds from growing the store). Negative generations sort
+    below every real epoch, so the probe's ``batch != current`` exclusion
+    never masks folded history.
+
+    CONCURRENCY CONTRACT: run between micro-batches (or with the ingest
+    paused) relative to process_batch WRITES — folding must not race a
+    replay overwriting a batch=N source dir. Concurrent probes (reads)
+    are safe under this protocol. Maintenance op, not a background
+    thread. Returns the number of batch directories folded.
     """
     import shutil
     import uuid
@@ -148,31 +156,31 @@ def compact_band_store(
     path = _bands_store_path(store_dir)
     if not os.path.isdir(path):  # driver-side maintenance op: local lake
         return 0
-    old = [
-        d
+    tmp_root = os.path.join(store_dir, "_compact_tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)  # stale staging from a crash
+    gens = [
+        int(d.split("=", 1)[1])
         for d in os.listdir(path)
-        if d.startswith("batch=") and int(d.split("=", 1)[1]) < before_batch_id
+        if d.startswith("batch=")
     ]
+    old = [g for g in gens if g < before_batch_id]
     if len(old) <= 1:
         return 0  # nothing to fold (or already a single consolidated dir)
-    token = uuid.uuid4().hex
-    staged = os.path.join(store_dir, "_compact_tmp", token)
-    trash = os.path.join(store_dir, "_compact_trash", token)
+    next_gen = min(min(gens), 0) - 1
+    staged = os.path.join(tmp_root, uuid.uuid4().hex)
     merged = (
         spark.read.parquet(path)
         .where(F.col("batch") < before_batch_id)
         .select("band_idx", "band_hash", "doc_id")
+        .dropDuplicates(["band_idx", "band_hash", "doc_id"])
     )
     merged.coalesce(target_files).write.mode("overwrite").parquet(staged)
-    os.makedirs(trash, exist_ok=True)
-    for d in old:
-        shutil.move(os.path.join(path, d), os.path.join(trash, d))
-    try:
-        shutil.move(staged, os.path.join(path, "batch=-1"))
-    except BaseException:
-        for d in old:  # roll back: restore the originals
-            shutil.move(os.path.join(trash, d), os.path.join(path, d))
-        raise
+    # One rename makes the consolidated generation live while every source
+    # dir still exists — no window without history.
+    shutil.move(staged, os.path.join(path, f"batch={next_gen}"))
+    for g in old:
+        shutil.rmtree(os.path.join(path, f"batch={g}"), ignore_errors=True)
+    shutil.rmtree(tmp_root, ignore_errors=True)
     return len(old)
 
 
