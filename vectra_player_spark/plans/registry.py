@@ -75,82 +75,84 @@ def register(
 
 
 # Names the driver's correctness harness should reach FIRST. The driver
-# records exactly the first 50 dict entries (observed rounds 1-3), so
-# entry order is a scarce resource. Round-4 rotation: after r3 landed,
-# cumulative driver-green coverage is 128/148 and exactly 20 registered
-# queries have never appeared in any CORRECTNESS run — the 9 TPC-H
-# completions (locally 15/15 cell-match at the 6 GB lake and audited at
-# 1×/10×/100×) and the 11 rows-only queries (no SQL-oracle form exists;
-# the driver still records a rows_match row for them). This round's 50
-# slots = 5 sentinels (regression canaries, one per family, green every
-# prior round) + those 20 + round-4 additions + backfill from
-# _WITNESSED_R1_R2 order (already-green regression re-checks). Names not
+# records exactly the first 50 dict entries (observed rounds 1-4), so
+# entry order is a scarce resource. Round-5 rotation (after r4, cumulative
+# driver witness is 153/154 — rl_observation_set is the one red row, fixed
+# this round): 5 sentinels + the round-5 CHANGED entries (queries whose
+# registered form or oracle changed this round must re-witness) + the
+# least-recently-witnessed backfill — all 33 names last seen in
+# CORRECTNESS_r01 (three rounds stale) + the 5 highest-value r2-stale
+# names. The remaining 21 r2-stale names rotate in next round. Names not
 # listed keep registration order after the priority block.
 PRIORITY: tuple[str, ...] = (
-    # -- sentinels (green r1-r3; one per family) --------------------------
+    # -- sentinels (green every prior round; one per family) --------------
     "q1_pricing_summary",
     "tick_features",
     "km_survival_curve",
     "doc_minhash_lsh_pairs",
     "strategy_grid_sweep_2100",
-    # -- the 9 never-witnessed TPC-H completions (round-3 additions) ------
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    # -- the 11 rows-only queries (driver records rows_match) -------------
-    "knn_ivf_kmeans_recall",
-    "knn_pq_adc_recall",
-    "knn_ivf_cosine",
-    "monte_carlo_summary",
-    "backtest_replay",
-    "stateful_feature_extract",
-    "decision_pipeline_replay",
-    "gbt_threshold_analysis",
-    "rl_observation_set",
-    "sketch_accuracy_report",
-    "trailing_hour_uniques_hll",
-    # -- round-4 additions (new queries registered this round) ------------
-    "interval_range_join_routed",
-    "trailing_hour_uniques_routed",
-    "q9_product_profit_bucketed",
-    "zorder_box_rollup",
-    "event_value_percentiles_approx",  # rows-only (sketch error report)
-    "nth_tick_anchors",
-    # -- backfill: witnessed-green regression re-checks, r1/r2 order ------
-    "episode_price_arrays",
-    "doc_simhash_neardup_pairs",
-    "asof_join_grid",
-    "episode_batch_fetch",
-    "feature_matrix",
-    "training_set_builder",
-    "bayesian_gap_signal",
-    "volatility_sizing_tiers",
-    "lake_summary_stats",
-    "embedding_neardup_lsh",
-    "embedding_neardup_components",
-    "event_transition_matrix",
-    "funnel_conversion",
-    "interval_range_join",
-    "ewma_features",
-    "doc_chunk_dedup",
-    "knn_bruteforce_cosine",
-    "cohort_retention",
-    "doc_tfidf_topterms",
-    "user_trend_regression",
-    "multimodal_image_features",
+    # -- round-5 changed entries (re-witness the new forms) ----------------
+    "rl_observation_set",  # r4's one red row → oracle-backed scalar form
+    "trailing_hour_uniques_routed",  # oracle dropped (arm-divergent): rows-only
+    "backtest_replay",  # regression-pin VALUES oracle (round-5)
+    "decision_pipeline_replay",  # regression-pin VALUES oracle (round-5)
+    "stateful_feature_extract",  # regression-pin VALUES oracle (round-5)
+    "monte_carlo_summary",  # regression-pin VALUES oracle (round-5)
+    "q9_product_profit",  # now self-routing onto the bucketed layout
+    # -- backfill: ALL 33 names last witnessed in r1 (3 rounds stale) ------
+    "agg_having_big_customers",
+    "best_row_dedup",
+    "conditional_end_prob",
+    "corr_lineitem_measures",
+    "dedup_keep_first",
+    "descriptive_stats",
+    "distinct_segments",
+    "doc_corpus_stats",
+    "doc_exact_dedup",
+    "doc_fingerprints",
+    "doc_ngram_jaccard_pairs",
+    "doc_simhash",
+    "doc_text_quality",
+    "embedding_centroids",
+    "embedding_neardup_pairs",
+    "event_type_counts",
+    "histogram_order_totals",
+    "join_anti_dormant_customers",
+    "join_semi_active_customers",
+    "json_props_stats",
+    "kelly_fractions_table",
+    "momentum_features",
+    "optimal_entry_window",
+    "order_status_stats",
+    "paginate_orders",
+    "pre_event_window",
+    "q5_region_revenue",
+    "setop_except_customers",
+    "setop_intersect_customers",
+    "strategy_best_config",
+    "strategy_grid_sweep",
+    "topk_orders_by_price",
+    "vol_of_vol",
+    # -- r2-stale picks (operators with round-4 rewrites or scale levers) --
+    "data_quality_report",  # rewritten single-pass in r4 — regression check
+    "skewed_event_rollup",  # the salting lever's hard-signal row
+    "gap_sessionization",  # T2 batch analog
+    "kelly_entry_table",  # M9
+    "event_rate_buckets",  # T11
 )
 
-# ROUND-5 ROTATION NOTE: once r4's run lands, cumulative driver witness is
-# 154/154 (every registered query). From round 5 on, rotate freely: keep
-# the 5 sentinels, spend the rest of the cap on round-5 additions first,
-# then the least-recently-witnessed names. Verify slot 50 after every
-# registration change (tools/show_cap.py); it has drifted twice.
+# ROUND-6 ROTATION NOTE: keep the 5 sentinels, lead with round-6 changed
+# entries, then the least-recently-witnessed: the 21 r2-stale names not
+# rotated this round (bm25_topk_retrieval, corpus_curation_pipeline,
+# doc_sequence_packing, doc_train_split, event_value_percentiles,
+# hazard_rate_smoothed, max_drop_per_user, multimodal_image_features,
+# novel_event_detection, ohlc_bars, props_variant_stats,
+# q13_customer_distribution, q19_disjunctive_revenue,
+# q3_top_revenue_orders, recursive_hierarchy_rollup, rolling_daily_stats,
+# scalar_subquery_small_qty, scd2_user_type_history, union_by_name_orders,
+# user_trend_regression, volatility_per_user), then r3-stale. Verify
+# slot 50 after every registration change (tools/show_cap.py); it has
+# drifted twice.
 
 # The round-1/2 priority block, demoted to positions 51+ now that every
 # name in it has a green row in CORRECTNESS_r01/r02 (kept here: these run
