@@ -24,14 +24,33 @@ import pandas as pd
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
-# query name -> (game key column, within-game order columns; [] = one
-# summary row per game)
+# pin name -> (game key column, within-game order columns; [] = one
+# summary row per game). Since round 5 the registered forms of the trace
+# queries are per-game DIGESTS (their driver oracle is a sf0.01 VALUES
+# regression pin, plans/_replay_pins.py); the goldens keep pinning the
+# FULL per-tick traces via the unregistered builder functions so a
+# regression still localizes to the exact game AND survives changes to
+# the registered projection.
 PINNED = {
     "backtest_replay": ("game_id", []),
     "decision_pipeline_replay": ("game_id", ["tick"]),
     "stateful_feature_extract": ("game_id", ["tick"]),
     "rl_observation_set": ("game_id", ["tick"]),
 }
+
+
+def _builder(name: str):
+    from vectra_player_spark import plans
+    from vectra_player_spark.plans.queries_backtest import (
+        decision_pipeline_trace,
+        stateful_feature_trace,
+    )
+
+    full_traces = {
+        "decision_pipeline_replay": decision_pipeline_trace,
+        "stateful_feature_extract": stateful_feature_trace,
+    }
+    return full_traces.get(name, plans.QUERIES[name].spark_fn)
 
 
 def _render(v) -> str:
@@ -59,10 +78,8 @@ def per_game_hashes(pdf: pd.DataFrame, game_col: str, order_cols: list[str]) -> 
 
 
 def compute(spark, name: str, sf_dir: str) -> dict[str, str]:
-    from vectra_player_spark import plans
-
     game_col, order_cols = PINNED[name]
-    pdf = plans.QUERIES[name].spark_fn(spark, sf_dir).toPandas()
+    pdf = _builder(name)(spark, sf_dir).toPandas()
     return per_game_hashes(pdf, game_col, order_cols)
 
 

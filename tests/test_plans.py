@@ -184,6 +184,9 @@ _BNLJ_ALLOWED = {
     "q15_top_supplier",  # 1-row MAX(revenue) scalar broadcast
     "doc_tfidf_topterms",  # 1-row corpus-size scalar broadcast
     "conditional_end_prob",
+    # same broadcast duration-histogram × grid cross as conditional_end_prob
+    # (the hazard curve feeding slot 10) — the episode side stays equi-joined
+    "rl_observation_set",
     "gbt_threshold_analysis",
     "kelly_entry_table",
     "kelly_fractions_table",

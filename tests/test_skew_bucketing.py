@@ -191,3 +191,83 @@ def test_bucketed_facts_orderkey_join(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_q9_self_routing_discovers_layout(spark, sf_dir):
+    """Round-5: the DEFAULT q9 entry self-routes. Without the layout the
+    fact-fact orderkey SMJ shuffles both sides; once the layout exists —
+    including when only the on-disk location survives from an EARLIER
+    session (dead in-memory catalog) — discovery re-registers the external
+    tables and the same entry plans an exchange-free orderkey join.
+    Values identical on both arms."""
+    import shutil
+
+    from vectra_player_spark.operators.skew import (
+        _BUCKETED_FACTS,
+        _fact_table_name,
+        bucketed_facts_if_available,
+        materialize_bucketed_facts,
+    )
+    from vectra_player_spark.plans.queries_tpch_extra import q9_product_profit
+
+    root = f"/tmp/vectra_bucketed_route_test_{id(spark)}"
+    spark.conf.set("spark.vectra.bucketed.location", root)
+    # threshold between the pruned dim estimates (~0.2-0.8 KB at sf0.001)
+    # and the pruned orders estimate (~8 KB): dims broadcast — as they do
+    # at any real scale — while the fact-fact orderkey join is an SMJ, the
+    # join the layout exists for. Disabling broadcast outright would be
+    # wrong: dim SMJs would repartition lineitem on partkey/suppkey and
+    # destroy the bucket distribution before the orders join.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+
+    def orderkey_exchanges(df):
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("+- == Initial Plan ==")[0]  # AQE prints both
+        return sum(
+            1
+            for line in final.splitlines()
+            if "Exchange hashpartitioning" in line
+            and ("l_orderkey" in line or "o_orderkey" in line)
+        )
+
+    def cleanup():
+        _BUCKETED_FACTS.clear()
+        for name in ("lineitem", "orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {_fact_table_name(name, sf_dir, 32)}")
+        shutil.rmtree(root, ignore_errors=True)
+
+    try:
+        shutil.rmtree(root, ignore_errors=True)
+        assert bucketed_facts_if_available(spark, sf_dir) is None
+        plain = q9_product_profit(spark, sf_dir)
+        plain_rows = sorted(map(tuple, plain.collect()))
+        assert orderkey_exchanges(plain) == 2  # both fact sides shuffle
+
+        materialize_bucketed_facts(spark, sf_dir)
+        # partial wipe (only orders) → treated as absent, falls back clean
+        shutil.rmtree(
+            f"{root}/{_fact_table_name('orders', sf_dir, 32)}", ignore_errors=True
+        )
+        assert bucketed_facts_if_available(spark, sf_dir) is None
+        assert orderkey_exchanges(q9_product_profit(spark, sf_dir)) == 2
+
+        materialize_bucketed_facts(spark, sf_dir)
+        routed = q9_product_profit(spark, sf_dir)
+        assert orderkey_exchanges(routed) == 0  # bucketed scans satisfy the SMJ
+        assert sorted(map(tuple, routed.collect())) == plain_rows
+
+        # cross-session discovery: drop the catalog entries (simulating a
+        # fresh session whose in-memory catalog never saw the tables) and
+        # clear the memo; the on-disk layout alone must re-register.
+        _BUCKETED_FACTS.clear()
+        for name in ("lineitem", "orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {_fact_table_name(name, sf_dir, 32)}")
+        assert bucketed_facts_if_available(spark, sf_dir) is not None
+        rerouted = q9_product_profit(spark, sf_dir)
+        assert orderkey_exchanges(rerouted) == 0
+        assert sorted(map(tuple, rerouted.collect())) == plain_rows
+    finally:
+        spark.conf.unset("spark.vectra.bucketed.location")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        cleanup()

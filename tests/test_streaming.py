@@ -821,3 +821,88 @@ def test_band_store_compaction_interrupted_fold_is_safe(spark, tmp_path):
         for r in spark.read.parquet(bands_dir).collect()
     )
     assert after == before
+
+
+def test_sessionize_event_time_ttl_flushes_on_watermark(spark, tmp_path):
+    """EventTimeTimeout eviction (round-5): the idle deadline anchors at the
+    key's LAST EVENT TIME and fires when the watermark passes it — the
+    replay/backfill policy. No periodic trigger, no continuous timer
+    micro-batches (the ProcessingTimeTimeout pathology): the flush is
+    driven purely by event-time progress in the data."""
+    src = tmp_path / "evttl_src"
+    src.mkdir()
+    _write_jsonl(
+        src / "a.jsonl", [dict(r, session_id="feed-idle") for r in SCENARIO_A]
+    )
+    q = (
+        sessionize_games(
+            read_tick_stream(spark, str(src)),
+            idle_ttl_ms=2_000,
+            ttl_mode="event",
+            watermark_delay="1 second",
+        )
+        .writeStream.format("memory")
+        .queryName("evttl_sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch A: game g1 never hits a boundary and the watermark sits at
+        # its own max-1s — nothing flushed, state resident
+        assert spark.table("evttl_sessions").count() == 0
+        # an hour-later event on ANOTHER feed advances the watermark far
+        # past feed-idle's (last_ts + ttl) deadline → event-time timer
+        # fires (no-data micro-batch) and flushes the partial game
+        _write_jsonl(
+            src / "b.jsonl",
+            [dict(_tick(100, "g9", 3_600_000, active=True, price=1.0, tick=0),
+                  session_id="feed-live")],
+        )
+        q.processAllAvailable()
+        assert _poll(lambda: spark.table("evttl_sessions").count(), 1) == 1
+        row = spark.table("evttl_sessions").collect()[0]
+        assert row.session_id == "feed-idle"
+        # flushed WITH the backfilled tick applied — same finalize rule as
+        # the game-boundary flush
+        assert row.game_id == "g1" and row.n_ticks == 5 and row.n_backfilled == 1
+        assert row.had_gaps
+    finally:
+        q.stop()
+
+
+def test_phase_machine_event_time_ttl_drops_key(spark, tmp_path):
+    """Phase-machine event-time TTL: the idle key is evicted when the
+    watermark passes, emitting no phantom rows; the live feed's rows are
+    unaffected."""
+    src = tmp_path / "evttl_phase_src"
+    src.mkdir()
+    _write_jsonl(src / "a.jsonl", SCENARIO_A)  # feed-1
+    q = (
+        phase_machine(
+            read_tick_stream(spark, str(src)),
+            idle_ttl_ms=2_000,
+            ttl_mode="event",
+            watermark_delay="1 second",
+        )
+        .writeStream.format("memory")
+        .queryName("evttl_phases")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("evttl_phases").count() == 5
+        assert _state_rows(q) == 1
+        _write_jsonl(
+            src / "b.jsonl",
+            [dict(_tick(100, "g9", 3_600_000, active=True, price=1.0, tick=0),
+                  session_id="feed-live")],
+        )
+        q.processAllAvailable()
+        # feed-1 evicted by the watermark (no phantom output); feed-live's
+        # one row landed → 6 total, 1 resident key
+        assert _poll(lambda: _state_rows(q), 1) == 1
+        assert spark.table("evttl_phases").count() == 6
+    finally:
+        q.stop()

@@ -79,6 +79,12 @@ def main() -> int:
             continue
         if name in skip:
             continue
+        if "regression-pin" in spec.tags and "sf0.01" not in sf_dir:
+            # The pin is a frozen VALUES literal of the engine's own
+            # sf0.01 output — meaningless against any other lake.
+            results[name] = "SKIP-PIN"
+            print(f"{'SKIP':6} {name}  (regression pin is sf0.01-only)", flush=True)
+            continue
         try:
             sdf = spec.spark_fn(spark, sf_dir)
             n_spark = sdf.count()
@@ -98,12 +104,12 @@ def main() -> int:
         print(f"{results[name].split(' ')[0]:6} {name}"
               + ("" if results[name] == "MATCH" else f"  {results[name]}"),
               flush=True)
-    n_match = sum(1 for v in results.values() if v in ("MATCH", "COUNT-ONLY"))
+    n_match = sum(1 for v in results.values() if v in ("MATCH", "COUNT-ONLY", "SKIP-PIN"))
     print(json.dumps({
         "metric": "parity_at_scale", "sf_dir": sf_dir,
         "checked": len(results), "match": n_match,
         "mismatch": {k: v for k, v in results.items()
-                     if v not in ("MATCH", "COUNT-ONLY")},
+                     if v not in ("MATCH", "COUNT-ONLY", "SKIP-PIN")},
         "wall_sec": round(time.time() - t0, 1),
     }))
     return 0 if n_match == len(results) else 1

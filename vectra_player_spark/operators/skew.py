@@ -91,6 +91,54 @@ def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
 # queries and the bench's best-of-3 must not re-shuffle-and-write per call.
 _BUCKETED_FACTS: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 
+# Root directory for the external bucketed layout. Configurable so
+# concurrent deployments can point at distinct scratch areas (a
+# drop-and-rewrite in one session must not clobber a location another
+# live session's memoized DataFrames still read); the default is shared
+# on purpose — a SHARED location is what lets a later session DISCOVER a
+# layout an earlier one materialized (bucketed_facts_if_available).
+BUCKETED_LOCATION_CONF = "spark.vectra.bucketed.location"
+_DEFAULT_BUCKETED_ROOT = "/tmp/vectra_bucketed"
+
+_FACT_SPECS = (("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
+
+
+def _bucketed_root(spark: SparkSession) -> str:
+    return spark.conf.get(BUCKETED_LOCATION_CONF, None) or _DEFAULT_BUCKETED_ROOT
+
+
+def _fact_table_name(table: str, sf_dir: str, buckets: int) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{table}_by_orderkey_{tag}_{buckets}"
+
+
+def _locations_live(spark: SparkSession, sf_dir: str, buckets: int) -> bool:
+    """True iff BOTH fact locations exist on the (possibly remote) FS.
+
+    Probing both tables matters (round-5 ADVICE): if only the orders dir
+    was wiped, a lineitem-only probe would return a half-dead pair that
+    fails mid-job with FileNotFound."""
+    from py4j.protocol import Py4JError
+
+    root = _bucketed_root(spark)
+    try:
+        for table, _ in _FACT_SPECS:
+            loc = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{root}/{_fact_table_name(table, sf_dir, buckets)}"
+            )
+            fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(loc):
+                return False
+        return True
+    except (Py4JError, AttributeError, RuntimeError):
+        # Py4JError: JVM-side failure on the probe; AttributeError /
+        # RuntimeError: stopped context (dead gateway). A dead context
+        # means nothing cached is usable — report not-live so callers
+        # rebuild or fall back.
+        return False
+
 
 def materialize_bucketed_facts(
     spark: SparkSession,
@@ -121,41 +169,35 @@ def materialize_bucketed_facts(
     duckdb.py:147-238) — free on one node, a write-time layout at lake
     scale.
     """
-    import hashlib
-
     from vectra_player_spark.tables import t
 
     key = (id(spark), sf_dir, buckets)
     cached = _BUCKETED_FACTS.get(key)
     if cached is not None:
         # probe liveness: the session may have been stopped and its id()
-        # reused, or the external /tmp location wiped between runs — a
-        # stale hit would fail mid-query with FileNotFound instead
-        try:
-            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-            loc = spark._jvm.org.apache.hadoop.fs.Path(
-                f"/tmp/vectra_bucketed/lineitem_by_orderkey_{tag}_{buckets}"
-            )
-            fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
-            if fs.exists(loc):
-                return cached
-        except Exception:  # noqa: BLE001 — dead context: rebuild below
-            pass
+        # reused, or the external scratch location wiped between runs — a
+        # stale hit would fail mid-query with FileNotFound instead. BOTH
+        # locations are probed (round-5 ADVICE: an orders-only wipe used
+        # to return a half-dead pair).
+        if _locations_live(spark, sf_dir, buckets):
+            return cached
         del _BUCKETED_FACTS[key]
     # scope the table name by (lake, bucket count): two callers with
     # different lakes/specs must not drop-and-rewrite each other's tables
     # out from under memoized DataFrames (stale-file task failures)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = _bucketed_root(spark)
     pair = []
-    for name, bucket_key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        table_name = f"{name}_by_orderkey_{tag}_{buckets}"
+    for name, bucket_key in _FACT_SPECS:
+        table_name = _fact_table_name(name, sf_dir, buckets)
         # EXTERNAL table with an explicit path: the correctness driver
         # hands us ITS session, whose default warehouse dir is
         # ./spark-warehouse under an arbitrary cwd — never write there.
         # An explicit location keeps the layout in the scratch area
         # regardless of session conf (a real deployment would point this
-        # at the lake's curated zone).
-        location = f"/tmp/vectra_bucketed/{table_name}"
+        # at the lake's curated zone — or set
+        # spark.vectra.bucketed.location per deployment to avoid sharing
+        # the scratch root across concurrent sessions).
+        location = f"{root}/{table_name}"
         # The in-memory catalog dies with the session but the location
         # persists — saveAsTable then fails LOCATION_ALREADY_EXISTS on a
         # stale location the new catalog has never heard of. Drop both.
@@ -175,6 +217,48 @@ def materialize_bucketed_facts(
             .format("parquet")
             .saveAsTable(table_name)
         )
+        pair.append(spark.table(table_name))
+    result = (pair[0], pair[1])
+    _BUCKETED_FACTS[key] = result
+    return result
+
+
+def bucketed_facts_if_available(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> tuple[DataFrame, DataFrame] | None:
+    """Self-routing discovery (round-5): return the bucketed fact pair if
+    the layout already exists, WITHOUT ever building it — the layout write
+    is an ingest-time decision (49.7 s at the 100× lake), not something a
+    read query should trigger as a side effect.
+
+    Three tiers, cheapest first: the session memo (validated against the
+    filesystem), this session's catalog, and bare on-disk locations from
+    an EARLIER session — the in-memory catalog died with that session, so
+    the external tables are re-registered here via CREATE TABLE ...
+    CLUSTERED BY ... LOCATION with the schema read back from the parquet
+    footers. (A metastore-backed deployment gets this re-registration for
+    free; this function is the in-memory-catalog stand-in.) Returns None
+    when the layout is absent or only partially present.
+    """
+    key = (id(spark), sf_dir, buckets)
+    cached = _BUCKETED_FACTS.get(key)
+    if cached is not None and _locations_live(spark, sf_dir, buckets):
+        return cached
+    _BUCKETED_FACTS.pop(key, None)
+    if not _locations_live(spark, sf_dir, buckets):
+        return None
+    root = _bucketed_root(spark)
+    pair = []
+    for name, bucket_key in _FACT_SPECS:
+        table_name = _fact_table_name(name, sf_dir, buckets)
+        if not spark.catalog.tableExists(table_name):
+            location = f"{root}/{table_name}"
+            schema_ddl = spark.read.parquet(location).schema.toDDL()
+            spark.sql(
+                f"CREATE TABLE {table_name} ({schema_ddl}) USING parquet "
+                f"CLUSTERED BY ({bucket_key}) SORTED BY ({bucket_key}) "
+                f"INTO {buckets} BUCKETS LOCATION '{location}'"
+            )
         pair.append(spark.table(table_name))
     result = (pair[0], pair[1])
     _BUCKETED_FACTS[key] = result

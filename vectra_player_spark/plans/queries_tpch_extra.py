@@ -240,13 +240,25 @@ GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
 @register(
     "q18_large_volume_orders",
     oracle=_Q18_ORACLE,
-    tags=("relational", "tpch"),
-    survey_ref="J3,A4,A11 (HAVING semi-join + contextual re-aggregation)",
+    tags=("relational", "tpch", "routed"),
+    survey_ref="J3,A4,A11 (HAVING semi-join + contextual re-aggregation; "
+    "self-routing onto the bucketed fact layout when it exists)",
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every relation in q18's spine keys on the order key (the HAVING
+    pre-aggregate, the semi-join, the orders join), so the bucketed fact
+    layout removes three shuffles at once when present — same
+    layout-only self-routing as q9_product_profit (r4 measured 12.0 →
+    7.8 s at the 100× lake on this layout)."""
+    from vectra_player_spark.operators.skew import bucketed_facts_if_available
+
+    pair = bucketed_facts_if_available(spark, sf_dir)
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
+    if pair is None:
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders")
+    else:
+        li, orders = pair
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(fixed("l_quantity")).alias("qty_cents"))
@@ -574,12 +586,27 @@ GROUP BY ns.n_name, strftime(o.o_orderdate, '%Y')
 @register(
     "q9_product_profit",
     oracle=_Q9_ORACLE,
-    tags=("relational", "tpch"),
-    survey_ref="J1,A11,F3 (profit rollup, signed exact fixed-point)",
+    tags=("relational", "tpch", "routed"),
+    survey_ref="J1,A11,F3 (profit rollup, signed exact fixed-point; "
+    "self-routing onto the bucketed fact layout when it exists)",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
+    """The DEFAULT q9 entry self-routes (round-5): when the bucketed fact
+    pair exists for this lake (operators/skew.bucketed_facts_if_available
+    — memo, catalog, or an earlier session's on-disk layout), the
+    fact-fact orderkey join reads co-located buckets (1 Exchange in the
+    plan); otherwise plain scans (3 Exchanges). Both arms are the SAME
+    relational plan over different layouts, so one oracle covers both —
+    unlike value-divergent routing (trailing_hour_uniques), this row stays
+    hash-checked regardless of arm. Discovery never BUILDS the layout
+    (that is q9_product_profit_bucketed / an ingest-time decision)."""
+    from vectra_player_spark.operators.skew import bucketed_facts_if_available
+
+    pair = bucketed_facts_if_available(spark, sf_dir)
+    if pair is None:
+        li, orders = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    else:
+        li, orders = pair
     return _q9_plan(spark, sf_dir, li, orders)
 
 

@@ -33,8 +33,10 @@ drive them directly against the applyInPandasWithState functions on the
 same scenarios; the engine-level tests skip with a reason when protobuf
 is absent and run for real where it exists.
 
-Shared per-row replay logic lives in the pure helpers below — one
-semantics, two harness bindings.
+The per-row replay cores and the partial-episode flush are IMPORTED from
+streaming/stateful.py (single-sourced since round 5 — the ADVICE flagged
+the earlier copies as drift-prone): one semantics, two harness bindings
+by construction.
 """
 
 from __future__ import annotations
@@ -52,115 +54,18 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from vectra_player_spark.streaming.stateful import (
+    _PHASE_COLS,
+    _PHASE_INIT,
+    _SESSION_COLS,
+    _SESSION_INIT,
     PHASE_OUTPUT_SCHEMA,
     PHASE_STATE_SCHEMA,
     SESSION_OUTPUT_SCHEMA,
     SESSION_STATE_SCHEMA,
-    _detect_phase,
-    _gap_lr,
+    _flush_session_state,
+    _replay_phase,
+    _replay_session,
 )
-
-_PHASE_COLS = [f.name for f in PHASE_OUTPUT_SCHEMA.fields]
-_SESSION_COLS = [f.name for f in SESSION_OUTPUT_SCHEMA.fields]
-
-_PHASE_INIT = (None, "UNKNOWN", 0, 0, None, False)
-_SESSION_INIT = (None, [], [], False, 0, None, None)
-
-
-def _replay_phase(key_val, st, batch: pd.DataFrame):
-    """One batch of ticks through the phase machine; returns (rows, state).
-    Pure function of (state tuple, sorted batch) — shared by both API
-    bindings so their semantics cannot drift."""
-    cur_game, prev_phase, games_seen, rug_count, last_ts, prev_rugged = st
-    out = []
-    for row in batch.sort_values("seq").itertuples():
-        phase = _detect_phase(row)
-        gid = row.game_id
-        if gid != cur_game:
-            games_seen += 1
-            if prev_rugged and phase not in ("RUGGED",):
-                phase = "COOLDOWN" if phase == "UNKNOWN" else phase
-            cur_game = gid
-        if phase == "RUGGED" and not prev_rugged:
-            rug_count += 1
-        gap_ms = int(row.ts_ms - last_ts) if last_ts is not None else 0
-        out.append(
-            (
-                key_val,
-                int(row.seq),
-                gid,
-                phase,
-                prev_phase,
-                phase != prev_phase,
-                games_seen,
-                rug_count,
-                row.server_seed is not None and phase == "RUGGED",
-                gap_ms,
-                _gap_lr(gap_ms),
-            )
-        )
-        prev_phase = phase
-        prev_rugged = phase == "RUGGED"
-        last_ts = int(row.ts_ms)
-    return out, (cur_game, prev_phase, games_seen, rug_count, last_ts, prev_rugged)
-
-
-def _replay_session(key_val, st, batch: pd.DataFrame):
-    """One batch of ticks through the sessionizer; returns
-    (finalized_rows, state). Same boundary/backfill/duplicate rules as
-    stateful.sessionize_fn."""
-    gid, ticks, prices, had_gaps, n_backfilled, seed, last_ts = st
-    ticks, prices = list(ticks), list(prices)
-    finalized = []
-
-    def finalize():
-        nonlocal ticks, prices, had_gaps, n_backfilled, seed
-        if gid is not None and ticks:
-            order = sorted(range(len(ticks)), key=lambda i: ticks[i])
-            sp = [prices[i] for i in order]
-            finalized.append(
-                (key_val, gid, len(sp), sp, max(sp), had_gaps, n_backfilled, seed)
-            )
-        ticks, prices, had_gaps, n_backfilled, seed = [], [], False, 0, None
-
-    for row in batch.sort_values("seq").itertuples():
-        if row.game_id != gid:
-            finalize()
-            gid = row.game_id
-        if last_ts is not None and (row.ts_ms - last_ts) >= 350:
-            had_gaps = True
-        last_ts = int(row.ts_ms)
-        if row.tick is not None and row.price is not None and not pd.isna(row.price):
-            tick = int(row.tick)
-            if tick in ticks:
-                prices[ticks.index(tick)] = float(row.price)
-            else:
-                ticks.append(tick)
-                prices.append(float(row.price))
-        bt, bp = row.backfill_ticks, row.backfill_prices
-        if bt is not None and len(bt) > 0:
-            for bt_i, bp_i in zip(bt, bp):
-                bt_i = int(bt_i)
-                if bt_i not in ticks:
-                    ticks.append(bt_i)
-                    prices.append(float(bp_i))
-                    n_backfilled += 1
-        if row.server_seed is not None and not (
-            isinstance(row.server_seed, float) and pd.isna(row.server_seed)
-        ):
-            seed = row.server_seed
-    return finalized, (gid, ticks, prices, had_gaps, n_backfilled, seed, last_ts)
-
-
-def _flush_session_state(key_val, st):
-    """Finalize a partial episode straight from its state tuple (timer
-    expiry path — no batch rows involved)."""
-    gid, ticks, prices, had_gaps, n_backfilled, seed, _last = st
-    if gid is None or not ticks:
-        return []
-    order = sorted(range(len(ticks)), key=lambda i: ticks[i])
-    sp = [prices[i] for i in order]
-    return [(key_val, gid, len(sp), sp, max(sp), had_gaps, n_backfilled, seed)]
 
 
 def _rearm(handle: StatefulProcessorHandle, timers: TimerValues, ttl_ms: int) -> None:
