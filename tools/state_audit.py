@@ -149,7 +149,111 @@ def _audit_ttl(spark, op_name: str, make_df, src_dir: str, n_keys: int) -> int:
     return n
 
 
+def _checkpoint_inventory(ckpt: str) -> dict:
+    """Aggregate the RocksDB checkpoint's state files by kind: .zip =
+    full snapshot uploads, .changelog = per-commit deltas. The split IS
+    the changelog-checkpointing story: with changelog enabled, most
+    versions commit a small delta and snapshots happen at the maintenance
+    cadence; without it, every version re-uploads a full snapshot."""
+    kinds: dict[str, list[int]] = {}
+    for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+        for f in files:
+            ext = f.split(".")[-1]
+            try:
+                size = os.path.getsize(os.path.join(root, f))
+            except OSError:
+                continue
+            kinds.setdefault(ext, []).append(size)
+    return {
+        ext: {"n": len(sizes), "bytes": sum(sizes)}
+        for ext, sizes in sorted(kinds.items())
+    }
+
+
+def _audit_cadence(spark, op_name: str, make_df, n_keys: int, changelog: bool) -> dict:
+    """Multi-commit run (maxFilesPerTrigger=2 over the 16-file corpus → 8
+    commits) with changelog checkpointing on/off; reports the checkpoint's
+    snapshot-vs-delta byte split and total commit wall time."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        str(changelog).lower(),
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"audit_cad_{op_name}_")
+    t0 = time.monotonic()
+    q = (
+        make_df()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    wall = time.monotonic() - t0
+    n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else None
+    metrics = _state_metrics(q.lastProgress)
+    q.stop()
+    out = {
+        "mode": "changelog" if changelog else "snapshot",
+        "operator": op_name,
+        "n_keys": n_keys,
+        "n_commits": n_batches,
+        "wall_sec": round(wall, 2),
+        "checkpoint_bytes_total": _du(ckpt),
+        "state_files": _checkpoint_inventory(ckpt),
+        "rocksdbSstFileSize": metrics.get("rocksdbSstFileSize"),
+    }
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def cadence_main(tiers: list[int], only_op: str | None = None) -> int:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vectra_player_spark.session import get_spark
+    from vectra_player_spark.streaming.jobs import read_tick_stream
+    from vectra_player_spark.streaming.stateful import phase_machine, sessionize_games
+
+    spark = get_spark("state_audit_cadence")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKS)
+
+    for n_keys in tiers:
+        src = tempfile.mkdtemp(prefix=f"audit_cad_src_{n_keys}_")
+        _gen_corpus(spark, src, n_keys)
+
+        def stream():
+            return (
+                spark.readStream.format("json")
+                .schema(read_tick_stream(spark, src).schema)
+                .option("maxFilesPerTrigger", "2")
+                .load(src)
+            )
+
+        for op_name, op in (("phase_machine", phase_machine),
+                            ("sessionize_games", sessionize_games)):
+            if only_op is not None and op_name != only_op:
+                continue
+            for changelog in (False, True):
+                res = _audit_cadence(
+                    spark, op_name, lambda: op(stream()), n_keys, changelog
+                )
+                print(json.dumps(res), flush=True)
+        shutil.rmtree(src, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
 def main() -> int:
+    if "--cadence" in sys.argv:
+        sys.argv.remove("--cadence")
+        only_op = None
+        if "--only-op" in sys.argv:
+            i = sys.argv.index("--only-op")
+            only_op = sys.argv[i + 1]
+            del sys.argv[i : i + 2]
+        return cadence_main(
+            [int(a) for a in sys.argv[1:]] or [10_000, 100_000], only_op
+        )
     tiers = [int(a) for a in sys.argv[1:]] or [1_000, 10_000, 100_000]
 
     from vectra_player_spark.session import get_spark
