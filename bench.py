@@ -47,6 +47,8 @@ def main() -> None:
         probe_runs.append(time.perf_counter() - t0)
     cpu_probe = round(min(probe_runs), 3)
 
+    _ensure_window_layout(spark, sf_dir)
+
     bench_specs = [
         (name, spec) for name, spec in sorted(plans.QUERIES.items()) if "bench" in spec.tags
     ]
@@ -99,6 +101,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_10X", "1") != "0":
         try:
             dir_10x = _ensure_scale10(sf_dir)
+            _ensure_window_layout(spark, dir_10x)
             t10: dict[str, float] = {}
             for name, spec in bench_specs:
                 try:
@@ -122,6 +125,34 @@ def main() -> None:
 
     print(json.dumps(out))
     spark.stop()
+
+
+def _ensure_window_layout(spark, sf_dir: str) -> None:
+    """Materialize the window-family bucketed events layout once per lake
+    (ingest-time cost, logged to stderr, OUTSIDE the query timings — the
+    same footing as _ensure_scale10's lake build). tick_features and
+    feature_matrix then self-route onto it (tables.events_for_windows):
+    the Window's Exchange+Sort come off the scan, 1.9-2.6× at the 10×
+    lake (SCALE.md §window-family layout). Failure falls back to plain
+    scans — the bench line must survive a read-only /tmp."""
+    import time as _time
+
+    try:
+        from vectra_player_spark.operators.skew import (
+            bucketed_events_if_available,
+            materialize_bucketed_events_lake,
+        )
+
+        if bucketed_events_if_available(spark, sf_dir) is None:
+            t0 = _time.perf_counter()
+            materialize_bucketed_events_lake(spark, sf_dir)
+            print(
+                f"events window layout built for {sf_dir} in "
+                f"{_time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001 — layout is an optimization only
+        print(f"window layout unavailable for {sf_dir}: {e}", file=sys.stderr)
 
 
 def _ensure_scale10(sf_dir: str, out_dir: str = "/tmp/scale10") -> str:

@@ -271,3 +271,114 @@ def test_q9_self_routing_discovers_layout(spark, sf_dir):
         spark.conf.unset("spark.vectra.bucketed.location")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         cleanup()
+
+
+def test_window_family_self_routing_on_events_layout(spark, sf_dir):
+    """Round-5: tick_features/feature_matrix self-route onto the bucketed
+    (user_id)-sorted-(user_id, event_id) events layout. Routed plan loses
+    BOTH the Window's Exchange and its SortExec (outputOrdering conf +
+    one file per bucket); values identical to the plain arm (same
+    oracle-checked query either way)."""
+    import shutil
+
+    from vectra_player_spark import plans
+    from vectra_player_spark.operators.skew import (
+        _events_table_name,
+        bucketed_events_if_available,
+        materialize_bucketed_events_lake,
+    )
+
+    root = f"/tmp/vectra_bucketed_evroute_{id(spark)}"
+    spark.conf.set("spark.vectra.bucketed.location", root)
+
+    def shape(name):
+        df = plans.QUERIES[name].spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        final = p.split("+- == Initial Plan ==")[0]
+        ex = sum(
+            1
+            for line in final.splitlines()
+            if "Exchange hashpartitioning" in line and "user_id" in line
+        )
+        srt = sum(1 for line in final.splitlines() if "Sort [user_id" in line)
+        rows = sorted(
+            map(tuple, plans.QUERIES[name].spark_fn(spark, sf_dir).collect())
+        )
+        return ex, srt, rows
+
+    try:
+        shutil.rmtree(root, ignore_errors=True)
+        assert bucketed_events_if_available(spark, sf_dir) is None
+        ex0, srt0, rows0 = shape("tick_features")
+        assert (ex0, srt0) == (1, 1)  # plain scan: shuffle + sort feed the Window
+        materialize_bucketed_events_lake(spark, sf_dir)
+        ex1, srt1, rows1 = shape("tick_features")
+        assert (ex1, srt1) == (0, 0)  # scan satisfies distribution AND order
+        assert rows1 == rows0
+        exf, srtf, _ = shape("feature_matrix")
+        assert (exf, srtf) == (0, 0)
+        # dead-catalog discovery (fresh session analog)
+        from vectra_player_spark.operators.skew import _BUCKETED_EVENTS
+
+        _BUCKETED_EVENTS.clear()
+        spark.sql(f"DROP TABLE IF EXISTS {_events_table_name(sf_dir, 32)}")
+        assert bucketed_events_if_available(spark, sf_dir) is not None
+        ex2, srt2, rows2 = shape("tick_features")
+        assert (ex2, srt2) == (0, 0) and rows2 == rows0
+    finally:
+        spark.conf.unset("spark.vectra.bucketed.location")
+        from vectra_player_spark.operators.skew import _BUCKETED_EVENTS
+
+        _BUCKETED_EVENTS.clear()
+        spark.sql(f"DROP TABLE IF EXISTS {_events_table_name(sf_dir, 32)}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_layout_write_is_timezone_safe(spark, sf_dir):
+    """Round-5 hostile-sweep regression: materializing the events layout
+    from a session sitting in a non-UTC zone must not persist shifted
+    instants (events' NTZ→LTZ cast is session-tz dependent — the writer
+    normalizes via prep_session), and the tables plan cache must not keep
+    a stray-zone analysis alive after the session is normalized."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectra_player_spark.operators.skew import (
+        _BUCKETED_EVENTS,
+        _events_table_name,
+        materialize_bucketed_events_lake,
+    )
+    from vectra_player_spark.tables import t
+
+    root = f"/tmp/vectra_bucketed_tz_{id(spark)}"
+    spark.conf.set("spark.vectra.bucketed.location", root)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        shutil.rmtree(root, ignore_errors=True)
+        # UTC truth, read fresh
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        truth = sorted(
+            r[0] for r in t(spark, sf_dir, "events").select(F.unix_micros("ts")).collect()
+        )
+        # hostile zone at write time
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev_b = materialize_bucketed_events_lake(spark, sf_dir)
+        got = sorted(r[0] for r in ev_b.select(F.unix_micros("ts")).collect())
+        assert got == truth  # writer normalized before persisting
+        # the plan cache must be tz-keyed: a non-UTC read must not leak
+        # into UTC consumers
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        t(spark, sf_dir, "events").select(F.unix_micros("ts")).collect()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        again = sorted(
+            r[0] for r in t(spark, sf_dir, "events").select(F.unix_micros("ts")).collect()
+        )
+        assert again == truth
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.conf.unset("spark.vectra.bucketed.location")
+        _BUCKETED_EVENTS.clear()
+        spark.sql(f"DROP TABLE IF EXISTS {_events_table_name(sf_dir, 32)}")
+        shutil.rmtree(root, ignore_errors=True)

@@ -114,20 +114,29 @@ def _fact_table_name(table: str, sf_dir: str, buckets: int) -> str:
     return f"{table}_by_orderkey_{tag}_{buckets}"
 
 
-def _locations_live(spark: SparkSession, sf_dir: str, buckets: int) -> bool:
-    """True iff BOTH fact locations exist on the (possibly remote) FS.
+def _events_table_name(sf_dir: str, buckets: int) -> str:
+    import hashlib
 
-    Probing both tables matters (round-5 ADVICE): if only the orders dir
-    was wiped, a lineitem-only probe would return a half-dead pair that
-    fails mid-job with FileNotFound."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"events_by_user_{tag}_{buckets}"
+
+
+def _locations_live(
+    spark: SparkSession, sf_dir: str, buckets: int, table_names=None
+) -> bool:
+    """True iff EVERY layout location exists on the (possibly remote) FS.
+
+    Probing all tables matters (round-5 ADVICE): if only one dir of a
+    multi-table layout was wiped, a single-table probe would return a
+    half-dead set that fails mid-job with FileNotFound."""
     from py4j.protocol import Py4JError
 
+    if table_names is None:
+        table_names = [_fact_table_name(t, sf_dir, buckets) for t, _ in _FACT_SPECS]
     root = _bucketed_root(spark)
     try:
-        for table, _ in _FACT_SPECS:
-            loc = spark._jvm.org.apache.hadoop.fs.Path(
-                f"{root}/{_fact_table_name(table, sf_dir, buckets)}"
-            )
+        for table_name in table_names:
+            loc = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/{table_name}")
             fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
             if not fs.exists(loc):
                 return False
@@ -169,7 +178,10 @@ def materialize_bucketed_facts(
     duckdb.py:147-238) — free on one node, a write-time layout at lake
     scale.
     """
+    from vectra_player_spark.session import prep_session
     from vectra_player_spark.tables import t
+
+    prep_session(spark)  # normalize tz before reading/persisting (see events)
 
     key = (id(spark), sf_dir, buckets)
     cached = _BUCKETED_FACTS.get(key)
@@ -304,3 +316,100 @@ def materialize_bucketed_events(
     )
     writer.format("parquet").saveAsTable(table_name)
     return spark.table(table_name)
+
+
+# (session id, sf_dir, buckets) → bucketed events DataFrame (window-family
+# layout). Same memo discipline as _BUCKETED_FACTS.
+_BUCKETED_EVENTS: dict[tuple[int, str, int], DataFrame] = {}
+
+
+def materialize_bucketed_events_lake(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> DataFrame:
+    """The WINDOW-FAMILY events layout: bucketed by the episode key
+    (user_id) and sorted by (user_id, event_id) — exactly the
+    partitionBy/orderBy spec every per-episode window query uses
+    (tick_features, feature_matrix, ewma_features, momentum, ...). A
+    bucketed scan then satisfies the Window's ClusteredDistribution with
+    NO Exchange; with one file per bucket and
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true (set by
+    get_spark/prep_session) the scan's sort claim removes the per-task
+    SortExec too — the whole window pipeline runs straight off the scan.
+
+    At 100 TB this converts EVERY window query's full-table shuffle into
+    a one-time ingest layout — the same economics as the orderkey fact
+    pair (SCALE.md §bucketed facts), applied to the engine's hottest
+    query family. Distinct from `materialize_bucketed_events` (the
+    episode-access layout sorted by (user_id, ts, event_id)): the window
+    family orders by event_id, and the scan's sort claim must match the
+    window spec EXACTLY to drop the sort.
+
+    External-location scheme, memo, and discovery mirror the fact pair;
+    see `bucketed_events_if_available` for the read side.
+    """
+    from vectra_player_spark.session import prep_session
+    from vectra_player_spark.tables import t
+
+    # The layout write PERSISTS ts instants; normalize the session first
+    # (UTC, same contract every registered query gets via the registry
+    # wrapper) — events' NTZ→LTZ cast is session-timezone dependent, and a
+    # layout written under a stray zone would feed every later session
+    # 5-hour-shifted timestamps (round-5 hostile-sweep finding).
+    prep_session(spark)
+
+    key = (id(spark), sf_dir, buckets)
+    cached = _BUCKETED_EVENTS.get(key)
+    table_name = _events_table_name(sf_dir, buckets)
+    if cached is not None:
+        if _locations_live(spark, sf_dir, buckets, [table_name]):
+            return cached
+        del _BUCKETED_EVENTS[key]
+    root = _bucketed_root(spark)
+    location = f"{root}/{table_name}"
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    loc = spark._jvm.org.apache.hadoop.fs.Path(location)
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
+    ev = t(spark, sf_dir, "events")
+    (
+        ev.repartition(buckets, F.col("user_id"))  # one file per bucket
+        .sortWithinPartitions("user_id", "event_id")
+        .write.mode("overwrite")
+        .option("path", location)
+        .bucketBy(buckets, "user_id")
+        .sortBy("user_id", "event_id")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    out = spark.table(table_name)
+    _BUCKETED_EVENTS[key] = out
+    return out
+
+
+def bucketed_events_if_available(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> DataFrame | None:
+    """Self-routing discovery for the window-family events layout — the
+    events analog of `bucketed_facts_if_available` (memo → catalog →
+    on-disk re-registration; never builds the layout as a read side
+    effect). Returns None when absent."""
+    key = (id(spark), sf_dir, buckets)
+    table_name = _events_table_name(sf_dir, buckets)
+    cached = _BUCKETED_EVENTS.get(key)
+    if cached is not None and _locations_live(spark, sf_dir, buckets, [table_name]):
+        return cached
+    _BUCKETED_EVENTS.pop(key, None)
+    if not _locations_live(spark, sf_dir, buckets, [table_name]):
+        return None
+    if not spark.catalog.tableExists(table_name):
+        location = f"{_bucketed_root(spark)}/{table_name}"
+        schema_ddl = spark.read.parquet(location).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE {table_name} ({schema_ddl}) USING parquet "
+            f"CLUSTERED BY (user_id) SORTED BY (user_id, event_id) "
+            f"INTO {buckets} BUCKETS LOCATION '{location}'"
+        )
+    out = spark.table(table_name)
+    _BUCKETED_EVENTS[key] = out
+    return out

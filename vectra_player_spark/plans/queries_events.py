@@ -25,7 +25,7 @@ from vectra_player_spark.operators.windows import (
     tick_features,
 )
 from vectra_player_spark.plans.registry import register
-from vectra_player_spark.tables import t
+from vectra_player_spark.tables import events_for_windows, t
 
 # --------------------------------------------------------------------------
 # tick_features — the flagship query (duckdb.py:408-458 re-expressed).
@@ -69,7 +69,9 @@ FROM t
 
 @register("tick_features", oracle=_TICK_ORACLE, tags=("events", "bench"), survey_ref="W1-W4,F3,F4,M2")
 def tick_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # self-routes onto the window-family bucketed layout when present
+    # (tables.events_for_windows) — values layout-independent, same oracle
+    ev = events_for_windows(spark, sf_dir)
     return tick_features(ev, episode_key="user_id", order_key="event_id", price_col="value")
 
 
@@ -97,7 +99,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 
 @register("momentum_features", oracle=_MOMENTUM_ORACLE, tags=("events",), survey_ref="W7,W9,W10")
 def momentum_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)
     return momentum_features(ev, episode_key="user_id", order_key="event_id", price_col="value")
 
 
@@ -1033,7 +1035,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
     survey_ref="W-family: exponentially weighted moving average",
 )
 def ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("event_id")
     num = None
     den = None

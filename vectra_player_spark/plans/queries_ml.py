@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from vectra_player_spark.operators.asof import asof_join
 from vectra_player_spark.plans.registry import register
-from vectra_player_spark.tables import t
+from vectra_player_spark.tables import events_for_windows, t
 
 # --------------------------------------------------------------------------
 # M4: training-set builder — sample every 5th tick, label "episode ends
@@ -272,8 +272,9 @@ def feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All window families in ONE pass: every expression shares the same
     (user_id, event_id) window spec, so Catalyst plans a single sort +
     single Window operator — the shape to prefer at 100 TB over chained
-    per-feature passes."""
-    ev = t(spark, sf_dir, "events")
+    per-feature passes. Self-routes onto the bucketed events layout when
+    present (tables.events_for_windows)."""
+    ev = events_for_windows(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("event_id")
     p = F.col("value")
     l1, l2, l3, l5 = (F.lag(p, k).over(w) for k in (1, 2, 3, 5))

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vectra_player_spark.plans.registry import register
-from vectra_player_spark.tables import t
+from vectra_player_spark.tables import events_for_windows, t
 
 _OHLC_ORACLE = """
 SELECT user_id,
@@ -387,7 +387,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id
     survey_ref="W-family frame navigation: NTH_VALUE, FIRST/LAST_VALUE IGNORE NULLS",
 )
 def nth_tick_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)
     v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
     w = (
         Window.partitionBy("user_id")

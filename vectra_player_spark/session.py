@@ -47,6 +47,10 @@ def get_spark(app_name: str = "vectra_player_spark", cpus: int | None = None) ->
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
         )
+        # Bucketed scans may claim their written sort order (needs this
+        # legacy-gated conf + one file per bucket): the window-family
+        # events layout then feeds Window operators with NO SortExec.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,6 +64,9 @@ def prep_session(spark: SparkSession) -> SparkSession:
     must be UTC to line up with the DuckDB oracle's naive-UTC timestamps.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # see get_spark: lets the window-family bucketed layout feed Window
+    # operators sort-free when the driver's session discovers it
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     return spark
 
 

@@ -27,23 +27,30 @@ TABLES = (
 )
 
 
-# (session id, sf_dir, name) → DataFrame. A DataFrame is an immutable
-# logical plan, so reuse across queries in the same session is free and
-# skips the per-read parquet footer/schema inference (~0.1-0.3 s per call
-# — material when the correctness harness runs the full registry).
+# (session id, session timezone, sf_dir, name) → DataFrame. A DataFrame
+# is an immutable logical plan, so reuse across queries in the same
+# session is free and skips the per-read parquet footer/schema inference
+# (~0.1-0.3 s per call — material when the correctness harness runs the
+# full registry).
 # The key must identify the SESSION, not the application: newSession()
 # clones (recursive_hierarchy_rollup's conf isolation) share an
 # applicationId, and a DataFrame is bound to the session that read it —
 # createOrReplaceTempView on a cross-session cache hit would register the
 # view in the wrong catalog. id(spark) is stable while the entry lives
 # because the cached DataFrame holds a reference to its session.
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# The TIMEZONE is part of the key because events' NTZ→LTZ ts cast freezes
+# the session timezone AT ANALYSIS: a plan cached before prep_session
+# normalized the session to UTC would keep converting naive timestamps in
+# the wrong zone for every later (correctly-UTC) query — a 5-hour shift
+# on every ts-derived value, caught by the round-5 hostile sweep.
+_PLAN_CACHE: dict[tuple[int, str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (id(spark), sf_dir, name)
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    key = (id(spark), tz, sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -73,3 +80,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 t = load
+
+
+def events_for_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table, self-routed onto the window-family bucketed
+    layout when one exists for this lake (bucketed by user_id, sorted by
+    (user_id, event_id) — operators/skew.materialize_bucketed_events_lake).
+
+    Per-episode window queries (partitionBy user_id, orderBy event_id)
+    then read pre-shuffled, pre-sorted buckets: the Window's Exchange
+    disappears, and with the bucketed-scan ordering conf so does its
+    SortExec. Values are layout-independent — every routed query keeps
+    its original oracle, so the driver's hash comparison holds on either
+    arm. Discovery never builds the layout (ingest-time decision); absent
+    layout → the plain parquet scan."""
+    from vectra_player_spark.operators.skew import bucketed_events_if_available
+
+    ev = bucketed_events_if_available(spark, sf_dir)
+    return ev if ev is not None else load(spark, sf_dir, "events")
