@@ -1,0 +1,71 @@
+"""Mergeable sketch tables (operators/sketch_tables.py): the accuracy and
+mergeability contracts the registered error reports rely on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectra_player_spark.operators.sketch_tables import (
+    build_daily_sketch_table,
+    heavy_hitters_report,
+    range_distinct_from_sketches,
+    sketch_rollup_error_report,
+)
+
+
+def _events(spark, n_users=500, n_days=10):
+    # each user appears on EVERY day — the union must count them once,
+    # not n_days times (the property a naive per-day-count sum gets wrong)
+    rows = spark.range(n_users * n_days).select(
+        (F.col("id") % n_users).alias("uid"),
+        (F.col("id") / n_users).cast("long").alias("d"),
+    )
+    return rows.select(
+        F.concat(F.lit("u"), F.col("uid")).alias("user_id"),
+        F.lit("TYPE_A").alias("event_type"),
+        F.expr("timestamp_micros(cast(1704067200000000 + d * 86400000000 as long))").alias("ts"),
+    )
+
+
+def test_union_of_daily_sketches_dedups_across_days(spark):
+    ev = _events(spark)
+    table = build_daily_sketch_table(ev)
+    assert table.count() == 10  # one row per (group, day)
+    est = range_distinct_from_sketches(table).collect()[0]
+    assert est["n_days"] == 10
+    # 500 distinct users total (each on all 10 days); a non-mergeable
+    # rollup would report ~5000. HLL lgK=12 is exact at this cardinality.
+    assert abs(est["est_distinct"] - 500) / 500 < 0.05
+
+
+def test_range_query_over_day_subset(spark):
+    ev = _events(spark)
+    table = build_daily_sketch_table(ev).where(F.col("day") >= "2024-01-06")
+    est = range_distinct_from_sketches(table).collect()[0]
+    exact = (
+        ev.where(F.to_date("ts") >= "2024-01-06")
+        .agg(F.count_distinct("user_id"))
+        .collect()[0][0]
+    )
+    assert est["n_days"] == 5
+    assert abs(est["est_distinct"] - exact) / exact < 0.05
+
+
+def test_rollup_error_report_contract(spark, sf_dir):
+    row = sketch_rollup_error_report(
+        __import__(
+            "vectra_player_spark.tables", fromlist=["t"]
+        ).t(spark, sf_dir, "events")
+    ).collect()[0]
+    assert row["n_groups"] >= 1
+    assert row["max_rel_err"] <= 0.05  # lgK=12 nominal band
+    assert row["frac_within_5pct"] == 1.0
+
+
+def test_cms_never_underestimates_and_bounds_overshoot(spark, sf_dir):
+    from vectra_player_spark.tables import t
+
+    row = heavy_hitters_report(t(spark, sf_dir, "documents")).collect()[0]
+    assert row["k"] == 20
+    assert row["n_under"] == 0  # CMS one-sided guarantee
+    assert row["max_overshoot_vs_bound"] <= 1.0  # within eps*N

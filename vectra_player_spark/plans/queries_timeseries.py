@@ -548,3 +548,47 @@ def trailing_hour_uniques_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return route(ev, lambda: trailing_hour_uniques(spark, sf_dir), _approx)
+
+
+# --------------------------------------------------------------------------
+# Mergeable sketch tables (round 5): the lake-scale pre-aggregation pattern
+# — ONE small sketch row per (group, day) at ingest, any later range
+# distinct answered by sketch UNION instead of a raw COUNT(DISTINCT) scan
+# (operators/sketch_tables.py). Spark 4's native DataSketches HLL
+# (hll_sketch_agg/hll_union_agg/hll_sketch_estimate) keeps the whole
+# pipeline in codegen. Registered as self-validating error reports
+# (sketch values are engine-specific — the accuracy claim is the check),
+# like event_value_percentiles_approx / trailing_hour_uniques_hll.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "daily_uniques_sketch_rollup",
+    oracle=None,
+    tags=("events", "timeseries", "sketch"),
+    survey_ref="A-family extension: mergeable HLL sketch table (pre-aggregated "
+    "distinct over arbitrary ranges; stats-cache analog at lake scale)",
+)
+def daily_uniques_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build per-(event_type, day) HLL sketches, answer the all-range
+    distinct per group from sketch UNION ONLY, report error vs exact —
+    proving mergeability end-to-end, not just single-shot estimation."""
+    from vectra_player_spark.operators.sketch_tables import sketch_rollup_error_report
+
+    return sketch_rollup_error_report(t(spark, sf_dir, "events"))
+
+
+@register(
+    "token_heavy_hitters_cms",
+    oracle=None,
+    tags=("documents", "text", "sketch"),
+    survey_ref="text-analysis extension: count-min-sketch heavy hitters with "
+    "exact-count validation (one-sided error bound checked empirically)",
+)
+def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS over the corpus token stream probed at the exact top-20 tokens:
+    checks the sketch never underestimates and overshoot stays within the
+    eps*N bound."""
+    from vectra_player_spark.operators.sketch_tables import heavy_hitters_report
+
+    return heavy_hitters_report(t(spark, sf_dir, "documents"))

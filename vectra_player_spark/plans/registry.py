@@ -137,13 +137,17 @@ PRIORITY: tuple[str, ...] = (
     "data_quality_report",  # rewritten single-pass in r4 — regression check
     "skewed_event_rollup",  # the salting lever's hard-signal row
     "gap_sessionization",  # T2 batch analog
-    "kelly_entry_table",  # M9
-    "event_rate_buckets",  # T11
+    # -- round-5 NEW operators (first witness beats re-witnessing old
+    # greens; kelly_entry_table / event_rate_buckets move to the r6 stale
+    # backlog with the rest of r2) --
+    "daily_uniques_sketch_rollup",  # mergeable HLL sketch table
+    "token_heavy_hitters_cms",  # count-min heavy hitters
 )
 
 # ROUND-6 ROTATION NOTE: keep the 5 sentinels, lead with round-6 changed
-# entries, then the least-recently-witnessed: the 21 r2-stale names not
-# rotated this round (bm25_topk_retrieval, corpus_curation_pipeline,
+# entries, then the least-recently-witnessed: the 23 r2-stale names not
+# rotated this round (kelly_entry_table, event_rate_buckets,
+# bm25_topk_retrieval, corpus_curation_pipeline,
 # doc_sequence_packing, doc_train_split, event_value_percentiles,
 # hazard_rate_smoothed, max_drop_per_user, multimodal_image_features,
 # novel_event_detection, ohlc_bars, props_variant_stats,
