@@ -69,3 +69,97 @@ def test_cms_never_underestimates_and_bounds_overshoot(spark, sf_dir):
     assert row["k"] == 20
     assert row["n_under"] == 0  # CMS one-sided guarantee
     assert row["max_overshoot_vs_bound"] <= 1.0  # within eps*N
+
+
+def test_stream_maintenance_replay_safe(spark, tmp_path):
+    """HLL union is register-wise MAX: re-folding the SAME batch into the
+    store must not move any estimate (at-least-once replay safety by
+    algebra, no batch bookkeeping), while genuinely new ids do."""
+    from vectra_player_spark.operators.sketch_tables import (
+        range_distinct_from_sketches,
+    )
+    from vectra_player_spark.streaming.sketch_maintenance import (
+        merge_batch_into_store,
+        read_sketch_store,
+    )
+
+    store = str(tmp_path / "sketch_store")
+
+    def batch(lo, hi, day):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("user_id"),
+            F.lit("TYPE_A").alias("event_type"),
+            F.expr(
+                f"timestamp_micros(cast(1704067200000000 + {day} * 86400000000 as long))"
+            ).alias("ts"),
+        )
+
+    def estimate():
+        table = read_sketch_store(spark, store).select(
+            F.col("group").alias("event_type"), "day", "id_sketch"
+        )
+        return range_distinct_from_sketches(table).collect()[0]["est_distinct"]
+
+    merge_batch_into_store(batch(0, 300, day=0), store)
+    e1 = estimate()
+    assert abs(e1 - 300) / 300 < 0.05
+    # REPLAY the identical batch: estimate must be bit-identical
+    merge_batch_into_store(batch(0, 300, day=0), store)
+    assert estimate() == e1
+    # overlapping new batch on another day: 0-299 again plus 300-399
+    merge_batch_into_store(batch(0, 400, day=1), store)
+    e2 = estimate()
+    assert abs(e2 - 400) / 400 < 0.05
+    # store stays tiny: one row per (group, day)
+    assert read_sketch_store(spark, store).count() == 2
+
+
+def test_stream_maintenance_via_streaming_query(spark, tmp_path):
+    """End-to-end through a real file stream + foreachBatch."""
+    import json as _json
+
+    from vectra_player_spark.operators.sketch_tables import (
+        range_distinct_from_sketches,
+    )
+    from vectra_player_spark.streaming.sketch_maintenance import (
+        maintain_daily_sketches,
+        read_sketch_store,
+    )
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+
+    def write(fname, lo, hi):
+        with open(src / fname, "w") as f:
+            for i in range(lo, hi):
+                f.write(
+                    _json.dumps(
+                        {
+                            "user_id": f"u{i}",
+                            "event_type": "TYPE_A",
+                            "ts_us": 1704067200000000 + i,
+                        }
+                    )
+                    + "\n"
+                )
+
+    write("a.jsonl", 0, 200)
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id string, event_type string, ts_us long")
+        .load(str(src))
+        .select("user_id", "event_type", F.expr("timestamp_micros(ts_us)").alias("ts"))
+    )
+    q = maintain_daily_sketches(stream, store, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        write("b.jsonl", 100, 300)  # overlap 100-199 + new 200-299
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    table = read_sketch_store(spark, store).select(
+        F.col("group").alias("event_type"), "day", "id_sketch"
+    )
+    est = range_distinct_from_sketches(table).collect()[0]["est_distinct"]
+    assert abs(est - 300) / 300 < 0.05
