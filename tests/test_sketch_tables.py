@@ -163,3 +163,50 @@ def test_stream_maintenance_via_streaming_query(spark, tmp_path):
     )
     est = range_distinct_from_sketches(table).collect()[0]["est_distinct"]
     assert abs(est - 300) / 300 < 0.05
+
+
+def test_stream_maintenance_interrupted_swap_is_safe(spark, tmp_path):
+    """A kill between 'new generation renamed in' and 'old generations
+    deleted' leaves both on disk — readers take the max generation and the
+    next merge reclaims the leftovers; history is never absent."""
+    import os as _os
+
+    from vectra_player_spark.operators.sketch_tables import (
+        range_distinct_from_sketches,
+    )
+    from vectra_player_spark.streaming.sketch_maintenance import (
+        _generations,
+        merge_batch_into_store,
+        read_sketch_store,
+    )
+
+    store = str(tmp_path / "gstore")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("user_id"),
+            F.lit("TYPE_A").alias("event_type"),
+            F.expr("timestamp_micros(1704067200000000)").alias("ts"),
+        )
+
+    merge_batch_into_store(batch(0, 100), store)
+    merge_batch_into_store(batch(100, 200), store)
+    assert _generations(store) == [2]
+    # simulate the interrupted swap: re-create a stale gen_1 ALONGSIDE
+    import shutil as _shutil
+
+    _shutil.copytree(_os.path.join(store, "gen_2"), _os.path.join(store, "gen_1"))
+    # reader takes the max generation
+    table = read_sketch_store(spark, store).select(
+        F.col("group").alias("event_type"), "day", "id_sketch"
+    )
+    est = range_distinct_from_sketches(table).collect()[0]["est_distinct"]
+    assert abs(est - 200) / 200 < 0.05
+    # next merge folds from the max gen and reclaims the leftover
+    merge_batch_into_store(batch(200, 300), store)
+    assert _generations(store) == [3]
+    table = read_sketch_store(spark, store).select(
+        F.col("group").alias("event_type"), "day", "id_sketch"
+    )
+    est = range_distinct_from_sketches(table).collect()[0]["est_distinct"]
+    assert abs(est - 300) / 300 < 0.05

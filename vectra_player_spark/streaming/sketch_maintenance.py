@@ -14,11 +14,16 @@ needs (streaming/neardup.py): sketches are idempotent by ALGEBRA, counts
 are not, which is why the maintained store carries sketches only
 (pinned in tests/test_sketch_tables.py::test_stream_maintenance_replay_safe).
 
-Store layout: one parquet dir, the full (group, day, sketch) relation
-rewritten per batch via staged-write + atomic rename. The relation is
-|groups|x|days| SMALL rows (4 KB registers each), so the rewrite is
-cheaper than partition surgery at any realistic cardinality; the rename
-keeps readers consistent (same protocol as event_lake.compact_partition).
+Store layout: GENERATION dirs (gen_1, gen_2, ...), each holding the full
+(group, day, sketch) relation — |groups|x|days| SMALL rows (4 KB
+registers each), so a full rewrite per batch is cheaper than partition
+surgery at any realistic cardinality. A merge writes gen_{N+1} via
+staged-write + ONE rename while gen_N still exists, then deletes older
+generations: there is NO window where the store's history is absent (a
+hard kill leaves either gen_N, both, or gen_{N+1} — readers take the
+max; the crash-atomicity lesson from the band-store compactor applied
+here from the start... after the first review caught the naive
+move-out-then-in swap doing exactly the wrong thing).
 """
 
 from __future__ import annotations
@@ -34,8 +39,19 @@ from vectra_player_spark.operators.sketch_tables import build_daily_sketch_table
 _STORE_SCHEMA = "group string, day date, id_sketch binary"
 
 
-def _store_current(store_dir: str) -> str:
-    return os.path.join(store_dir, "current")
+def _generations(store_dir: str) -> list[int]:
+    if not os.path.isdir(store_dir):
+        return []
+    return sorted(
+        int(d.split("_", 1)[1])
+        for d in os.listdir(store_dir)
+        if d.startswith("gen_") and d.split("_", 1)[1].isdigit()
+    )
+
+
+def _latest_gen_path(store_dir: str) -> str | None:
+    gens = _generations(store_dir)
+    return os.path.join(store_dir, f"gen_{gens[-1]}") if gens else None
 
 
 def merge_batch_into_store(
@@ -53,9 +69,9 @@ def merge_batch_into_store(
     fresh = build_daily_sketch_table(batch, group_col, ts_col, id_col).select(
         F.col(group_col).alias("group"), "day", "id_sketch"
     )
-    current = _store_current(store_dir)
-    if os.path.isdir(current):
-        existing = spark.read.parquet(current)
+    gens = _generations(store_dir)
+    if gens:
+        existing = spark.read.parquet(os.path.join(store_dir, f"gen_{gens[-1]}"))
         merged = (
             existing.unionByName(fresh)
             .groupBy("group", "day")
@@ -65,20 +81,19 @@ def merge_batch_into_store(
         merged = fresh
     staged = os.path.join(store_dir, "_staged", uuid.uuid4().hex)
     merged.coalesce(1).write.mode("overwrite").parquet(staged)
-    tmp_old = os.path.join(store_dir, "_old", uuid.uuid4().hex)
-    os.makedirs(os.path.dirname(tmp_old), exist_ok=True)
-    if os.path.isdir(current):
-        shutil.move(current, tmp_old)
-    shutil.move(staged, current)
-    shutil.rmtree(os.path.join(store_dir, "_old"), ignore_errors=True)
+    # one rename IN while the previous generation still exists — no window
+    # without history; then retire the older generations
+    shutil.move(staged, os.path.join(store_dir, f"gen_{(gens[-1] if gens else 0) + 1}"))
+    for g in gens:
+        shutil.rmtree(os.path.join(store_dir, f"gen_{g}"), ignore_errors=True)
     shutil.rmtree(os.path.join(store_dir, "_staged"), ignore_errors=True)
 
 
 def read_sketch_store(spark, store_dir: str) -> DataFrame | None:
-    current = _store_current(store_dir)
-    if not os.path.isdir(current):
+    latest = _latest_gen_path(store_dir)
+    if latest is None:
         return None
-    return spark.read.parquet(current)
+    return spark.read.parquet(latest)
 
 
 def maintain_daily_sketches(
