@@ -382,3 +382,36 @@ def test_layout_write_is_timezone_safe(spark, sf_dir):
         _BUCKETED_EVENTS.clear()
         spark.sql(f"DROP TABLE IF EXISTS {_events_table_name(sf_dir, 32)}")
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_discovery_refuses_uncommitted_layout(spark, sf_dir):
+    """A layout dir whose _SUCCESS marker is missing (writer killed
+    mid-job-commit) must read as ABSENT — registering a partially
+    committed table would return silently incomplete data."""
+    import os as _os
+    import shutil
+
+    from vectra_player_spark.operators.skew import (
+        _BUCKETED_EVENTS,
+        _events_table_name,
+        bucketed_events_if_available,
+        materialize_bucketed_events_lake,
+    )
+
+    root = f"/tmp/vectra_bucketed_succ_{id(spark)}"
+    spark.conf.set("spark.vectra.bucketed.location", root)
+    try:
+        shutil.rmtree(root, ignore_errors=True)
+        materialize_bucketed_events_lake(spark, sf_dir)
+        assert bucketed_events_if_available(spark, sf_dir) is not None
+        _BUCKETED_EVENTS.clear()
+        spark.sql(f"DROP TABLE IF EXISTS {_events_table_name(sf_dir, 32)}")
+        _os.remove(
+            _os.path.join(root, _events_table_name(sf_dir, 32), "_SUCCESS")
+        )
+        assert bucketed_events_if_available(spark, sf_dir) is None
+    finally:
+        spark.conf.unset("spark.vectra.bucketed.location")
+        _BUCKETED_EVENTS.clear()
+        spark.sql(f"DROP TABLE IF EXISTS {_events_table_name(sf_dir, 32)}")
+        shutil.rmtree(root, ignore_errors=True)

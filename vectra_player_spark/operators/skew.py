@@ -124,11 +124,18 @@ def _events_table_name(sf_dir: str, buckets: int) -> str:
 def _locations_live(
     spark: SparkSession, sf_dir: str, buckets: int, table_names=None
 ) -> bool:
-    """True iff EVERY layout location exists on the (possibly remote) FS.
+    """True iff EVERY layout location exists on the (possibly remote) FS
+    AND carries the committer's _SUCCESS marker.
 
     Probing all tables matters (round-5 ADVICE): if only one dir of a
     multi-table layout was wiped, a single-table probe would return a
-    half-dead set that fails mid-job with FileNotFound."""
+    half-dead set that fails mid-job with FileNotFound. Requiring
+    _SUCCESS matters for a subtler reason: a writer killed mid-job-commit
+    can leave a location with SOME part files visible — discovery trusting
+    bare existence would register a silently INCOMPLETE table (wrong
+    answers, not an error). The marker only appears after job commit, so
+    a half-written layout reads as absent and the caller falls back to
+    plain scans / rebuild."""
     from py4j.protocol import Py4JError
 
     if table_names is None:
@@ -136,7 +143,9 @@ def _locations_live(
     root = _bucketed_root(spark)
     try:
         for table_name in table_names:
-            loc = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/{table_name}")
+            loc = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{root}/{table_name}/_SUCCESS"
+            )
             fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
             if not fs.exists(loc):
                 return False
