@@ -232,7 +232,7 @@ GROUP BY e.event_id
 
 @register("pre_event_window", oracle=_PRE_EVENT_ORACLE, tags=("events",), survey_ref="M21,P4")
 def pre_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: layout-routable
     errors = ev.where(F.col("event_type") == "error").select(
         F.col("user_id").alias("e_user"), F.col("event_id").alias("error_event_id"),
         F.col("ts").alias("e_ts"),
@@ -272,7 +272,7 @@ FROM (
 
 @register("max_drop_per_user", oracle=_MAXDROP_ORACLE, tags=("events",), survey_ref="M1,M22")
 def max_drop_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: layout-routable
     return max_drop_per_episode(ev, episode_key="user_id", order_key="event_id", price_col="value")
 
 
@@ -351,7 +351,7 @@ GROUP BY d.user_id
 
 @register("volatility_per_user", oracle=_VOL_ORACLE, tags=("events",), survey_ref="M13,A6,F7")
 def volatility_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: layout-routable
     w = Window.partitionBy("user_id").orderBy("event_id")
     diffs = ev.select(
         "user_id",
@@ -484,7 +484,7 @@ GROUP BY user_id, session_no
 
 @register("gap_sessionization", oracle=_SESSIONIZE_ORACLE, tags=("events", "bench"), survey_ref="T2 batch,W1")
 def gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: layout-routable
     w = Window.partitionBy("user_id").orderBy("event_id")
     prev_ts = F.lag("ts").over(w)
     new_session = (
@@ -538,7 +538,7 @@ FROM eps
 
 @register("episode_price_arrays", oracle=_EPISODE_ARRAYS_ORACLE, tags=("events",), survey_ref="FIXTURES §3,M1,J5")
 def episode_price_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: layout-routable
     eps = (
         ev.groupBy(F.col("user_id").alias("game_id"))
         .agg(
@@ -703,7 +703,7 @@ GROUP BY user_id
     survey_ref="sequential funnel (T1-adjacent ordered pattern match)",
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: layout-routable
     w = (
         Window.partitionBy("user_id")
         .orderBy("event_id")
