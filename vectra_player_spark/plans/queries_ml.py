@@ -97,7 +97,7 @@ FROM lrs
 
 @register("bayesian_gap_signal", oracle=_GAP_ORACLE, tags=("ml", "bench"), survey_ref="M10,T4,W12")
 def bayesian_gap_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: layout-routable
     w = Window.partitionBy("user_id").orderBy("event_id")
     gaps = ev.select(
         "user_id",
