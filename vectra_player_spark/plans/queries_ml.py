@@ -41,7 +41,7 @@ WHERE tick % 5 = 0
 
 @register("training_set_builder", oracle=_TRAINING_ORACLE, tags=("ml",), survey_ref="M4,M2,W5")
 def training_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: layout-routable
     w = Window.partitionBy("user_id").orderBy("event_id")
     wp = Window.partitionBy("user_id")
     ticks = ev.select(
@@ -158,7 +158,7 @@ FROM vol v CROSS JOIN cuts c
 
 @register("volatility_sizing_tiers", oracle=_TIERS_ORACLE, tags=("ml",), survey_ref="M14,A6")
 def volatility_sizing_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: layout-routable
     w = Window.partitionBy("user_id").orderBy("event_id")
     vol = (
         ev.select("user_id", (F.col("value") - F.lag("value").over(w)).alias("ret"))
@@ -211,7 +211,7 @@ ASOF LEFT JOIN curve c
 
 @register("asof_join_grid", oracle=_ASOF_ORACLE, tags=("ml",), survey_ref="F9 (as-of join)")
 def asof_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: layout-routable
     curve = ev.select(
         "user_id", "event_id", F.round("value", 6).alias("value")
     )
@@ -359,7 +359,7 @@ GROUP BY user_id
 
 @register("pivot_event_counts", oracle=_PIVOT_ORACLE, tags=("events",), survey_ref="A9 (pivot)")
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: layout-routable
     return (
         ev.groupBy("user_id")
         .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
@@ -382,7 +382,7 @@ WHERE user_id IN (1, 3, 5, 7)
 
 @register("episode_batch_fetch", oracle=_INLIST_ORACLE, tags=("events",), survey_ref="J3,O1")
 def episode_batch_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: layout-routable
     return ev.where(F.col("user_id").isin(1, 3, 5, 7)).select(
         "user_id", "event_id", "event_type", F.round("value", 6).alias("value")
     )

@@ -19,7 +19,7 @@ from vectra_player_spark.operators.survival import (
     km_survival,
 )
 from vectra_player_spark.plans.registry import register
-from vectra_player_spark.tables import t
+from vectra_player_spark.tables import events_for_windows
 
 _DURATIONS_CTE = """
 WITH durations AS (
@@ -31,7 +31,8 @@ WITH durations AS (
 
 
 def _durations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # hashpartitioning(user_id) satisfies ClusteredDistribution(user_id, day)
+    ev = events_for_windows(spark, sf_dir)
     return ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("duration")
     )
