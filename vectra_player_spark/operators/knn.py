@@ -110,6 +110,146 @@ def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd_deterministic(
+    vectors: DataFrame,
+    m: int,
+    n_codes: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 8,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Deterministic distributed Lloyd over m independent subspaces
+    (m=1 → plain k-means). Bit-identical output regardless of partition
+    count, core count, or task completion order — the property Spark ML's
+    KMeans cannot give (its center updates sum doubles in task-completion
+    order, so local[8] and local[32] can diverge in the last bit and, near
+    assignment ties, in the resulting model). Reproducible index builds
+    are what let a 100 TB deployment rebuild a coarse quantizer on a
+    different cluster topology and serve identical ANN answers.
+
+    Determinism by construction:
+    - init: the n_codes vectors with the smallest ids (a total order on
+      data, not on topology);
+    - sampling (optional): an md5-coin on the id — the same rows are
+      chosen under any partitioning, unlike DataFrame.sample whose
+      per-partition RNG streams reshuffle with the split;
+    - assignment: per-row double arithmetic with ties broken to the
+      lowest code id (array_position of array_min);
+    - center update: per-(subspace, code, dim) sums accumulate in exact
+      DECIMAL(38,15) — associative and commutative, so shuffle order is
+      irrelevant — and the mean divides driver-side in decimal.
+
+    All m subspaces train in ONE job per iteration: assign codes for
+    every subspace in a single codegen projection, stack the (subspace,
+    code, subvector) triples, posexplode, and hash-aggregate — map-side
+    partial combine keeps the shuffle at m·n_codes·d rows per partition.
+    Returns codebook[m][n_codes][d]."""
+    base = vectors.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if sample_fraction is not None and sample_fraction < 1.0:
+        coin = F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 8), 16, 10)
+        base = base.where(
+            coin.cast("bigint") % 1_000_000 < int(sample_fraction * 1_000_000)
+        )
+    first = sorted(
+        base.orderBy("_id").limit(n_codes).collect(), key=lambda r: r["_id"]
+    )
+    if not first:
+        return [[] for _ in range(m)]
+    dim = len(first[0]["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = [
+        [list(r["_v"][j * d : (j + 1) * d]) for r in first] for j in range(m)
+    ]
+    for _ in range(max_iter):
+        dist_cols, code_cols = [], []
+        for j, bj in enumerate(books):
+            sub = f"slice(_v, {j * d + 1}, {d})"
+            dists = (
+                f"transform({_arr_lit(bj)}, c -> "
+                f"aggregate(zip_with({sub}, c, (x, y) -> (x - y) * (x - y)), "
+                "0.0D, (a, t) -> a + t))"
+            )
+            dist_cols.append(F.expr(dists).alias(f"_d{j}"))
+            code_cols.append(
+                F.expr(
+                    f"CAST(array_position(_d{j}, array_min(_d{j})) AS INT) - 1"
+                ).alias(f"_c{j}")
+            )
+        assigned = base.select("_v", *dist_cols).select("_v", *code_cols)
+        stacked = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.col(f"_c{j}").alias("code"),
+                            F.expr(f"slice(_v, {j * d + 1}, {d})").alias("sub"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.j", "s.code", F.posexplode("s.sub").alias("pos", "x"))
+        sums = (
+            stacked.groupBy("j", "code", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,15)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = [[list(c) for c in bj] for bj in books]
+        for r in sums:
+            # empty codes keep their previous centroid (no r rows for them)
+            new[r["j"]][r["code"]][r["pos"]] = float(r["s"] / r["n"])
+        if new == books:
+            break
+        books = new
+    return books
+
+
+def kmeans_deterministic(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 8,
+) -> DataFrame:
+    """Coarse quantizer for IVF with reproducible output (see
+    _lloyd_deterministic): same (cell_id, centroid) frame under any
+    partitioning/core count — the property that makes the ANN recall
+    queries VALUES-pinnable for the driver's hash compare."""
+    books = _lloyd_deterministic(vectors, 1, n_cells, vec_col, id_col, max_iter)
+    return vectors.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(books[0])],
+        "cell_id int, centroid array<double>",
+    )
+
+
+def pq_train_deterministic(
+    vectors: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 8,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """PQ codebooks with reproducible output; unlike pq_train (one Spark ML
+    fit PER subspace — m sequential jobs per iteration), all m subspaces
+    train jointly in one job per iteration. Sampling, when requested, is
+    an id-keyed md5-coin so the training set itself is partition-invariant."""
+    return _lloyd_deterministic(
+        vectors, m, n_codes, vec_col, id_col, max_iter, sample_fraction
+    )
+
+
 def pq_train(
     vectors: DataFrame,
     m: int = 8,
