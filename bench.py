@@ -47,7 +47,7 @@ def main() -> None:
         probe_runs.append(time.perf_counter() - t0)
     cpu_probe = round(min(probe_runs), 3)
 
-    _ensure_window_layout(spark, sf_dir)
+    layout_build = {"sf": _ensure_window_layout(spark, sf_dir)}
 
     bench_specs = [
         (name, spec) for name, spec in sorted(plans.QUERIES.items()) if "bench" in spec.tags
@@ -88,6 +88,12 @@ def main() -> None:
         "spread": spreads,
         "sf": sf,
         "cpu_probe_sec": cpu_probe,
+        # Warm-lake methodology disclosure (round-5 verdict item): the
+        # query timings assume pre-built window layouts (an ingest-time
+        # cost); this row carries what THIS run actually paid to build
+        # them (0.0 when the layout was already present), so
+        # round-over-round totals stay self-describing.
+        "layout_build_sec": layout_build,
         # Round-over-round comparisons should lead with total_10x_sec (the
         # 1M-event/6M-lineitem lake): the sf0.1 total sits at the
         # fixed-overhead floor where host drift swamps engine signal
@@ -101,7 +107,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_10X", "1") != "0":
         try:
             dir_10x = _ensure_scale10(sf_dir)
-            _ensure_window_layout(spark, dir_10x)
+            layout_build["10x"] = _ensure_window_layout(spark, dir_10x)
+            out["layout_build_sec"] = layout_build
             t10: dict[str, float] = {}
             for name, spec in bench_specs:
                 try:
@@ -127,14 +134,16 @@ def main() -> None:
     spark.stop()
 
 
-def _ensure_window_layout(spark, sf_dir: str) -> None:
+def _ensure_window_layout(spark, sf_dir: str) -> float:
     """Materialize the window-family bucketed events layout once per lake
-    (ingest-time cost, logged to stderr, OUTSIDE the query timings — the
-    same footing as _ensure_scale10's lake build). tick_features and
-    feature_matrix then self-route onto it (tables.events_for_windows):
-    the Window's Exchange+Sort come off the scan, 1.9-2.6× at the 10×
-    lake (SCALE.md §window-family layout). Failure falls back to plain
-    scans — the bench line must survive a read-only /tmp."""
+    (ingest-time cost, OUTSIDE the query timings — the same footing as
+    _ensure_scale10's lake build — but RETURNED so the JSON line carries
+    it as layout_build_sec). tick_features and feature_matrix then
+    self-route onto it (tables.events_for_windows): the Window's
+    Exchange+Sort come off the scan, 1.9-2.6× at the 10× lake (SCALE.md
+    §window-family layout). Failure falls back to plain scans — the
+    bench line must survive a read-only /tmp. Returns seconds spent
+    building (0.0 when already present, -1.0 on failure)."""
     import time as _time
 
     try:
@@ -146,13 +155,16 @@ def _ensure_window_layout(spark, sf_dir: str) -> None:
         if bucketed_events_if_available(spark, sf_dir) is None:
             t0 = _time.perf_counter()
             materialize_bucketed_events_lake(spark, sf_dir)
+            sec = round(_time.perf_counter() - t0, 3)
             print(
-                f"events window layout built for {sf_dir} in "
-                f"{_time.perf_counter() - t0:.1f}s",
+                f"events window layout built for {sf_dir} in {sec:.1f}s",
                 file=sys.stderr,
             )
+            return sec
+        return 0.0
     except Exception as e:  # noqa: BLE001 — layout is an optimization only
         print(f"window layout unavailable for {sf_dir}: {e}", file=sys.stderr)
+        return -1.0
 
 
 def _ensure_scale10(sf_dir: str, out_dir: str = "/tmp/scale10") -> str:

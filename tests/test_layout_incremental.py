@@ -1,0 +1,187 @@
+"""Incremental layout maintenance (round-6): a lake that grows a new
+day's partition must (1) stop routing onto the now-stale bucketed layout,
+(2) absorb the delta via a per-bucket append WITHOUT rewriting history,
+(3) keep routed window queries Exchange-free and value-identical to the
+plain-scan arm, and (4) restore the sort-free plan after compaction.
+
+Reference cadence analog: the recorder appends per-date files
+(services/recording/src/storage.py:150-175); the layout must track that
+ingest rhythm, not assume a static lake.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vectra_player_spark.operators.skew import (
+    _BUCKETED_EVENTS,
+    _events_table_name,
+    bucketed_events_if_available,
+    compact_bucketed_events_layout,
+    materialize_bucketed_events_lake,
+    refresh_bucketed_events_layout,
+)
+from vectra_player_spark.tables import invalidate_lake, t
+
+BUCKETS = 32
+
+
+@pytest.fixture()
+def growing_lake(spark, sf_dir, tmp_path):
+    """A temp lake holding day-1 events (lower half by event_id) as a
+    parquet DIRECTORY, plus the day-2 delta frame ready to append."""
+    ev = t(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    lake = str(tmp_path / "lake")
+    (tmp_path / "lake").mkdir()
+    ev.where(F.col("event_id") <= cut).coalesce(2).write.parquet(
+        f"{lake}/events.parquet"
+    )
+    day2 = ev.where(F.col("event_id") > cut)
+    root = f"/tmp/vectra_bucketed_incr_{id(spark)}"
+    spark.conf.set("spark.vectra.bucketed.location", root)
+    shutil.rmtree(root, ignore_errors=True)
+    yield lake, day2
+    spark.conf.unset("spark.vectra.bucketed.location")
+    _BUCKETED_EVENTS.clear()
+    spark.sql(f"DROP TABLE IF EXISTS {_events_table_name(lake, BUCKETS)}")
+    spark.sql(f"DROP TABLE IF EXISTS {_events_table_name(lake, BUCKETS)}_compact")
+    shutil.rmtree(root, ignore_errors=True)
+    invalidate_lake(lake)
+
+
+def _window_rows_and_shape(spark, lake):
+    """tick_features' exact window shape over the routed events relation:
+    (sorted rows, #user_id Exchanges, #user_id Sorts) from the FINAL
+    adaptive plan."""
+    from vectra_player_spark.tables import events_for_windows
+
+    ev = events_for_windows(spark, lake)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    feats = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("d"),
+    )
+    feats.write.format("noop").mode("overwrite").save()
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    ex = sum(
+        1
+        for line in final.splitlines()
+        if "Exchange hashpartitioning" in line and "user_id" in line
+    )
+    srt = sum(1 for line in final.splitlines() if "Sort [user_id" in line)
+    return sorted(map(tuple, feats.collect())), ex, srt
+
+
+def _plain_rows(spark, lake):
+    from vectra_player_spark.tables import _read
+
+    ev = _read(spark, lake, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return sorted(
+        map(
+            tuple,
+            ev.select(
+                "user_id",
+                "event_id",
+                F.round(F.col("value") - F.lag("value").over(w), 6).alias("d"),
+            ).collect(),
+        )
+    )
+
+
+def _files_per_bucket(spark, lake):
+    import glob
+    import os
+    import re
+
+    root = spark.conf.get("spark.vectra.bucketed.location")
+    loc = os.path.join(root, _events_table_name(lake, BUCKETS))
+    counts: dict[int, int] = {}
+    for f in glob.glob(f"{loc}/part-*"):
+        m = re.search(r"_(\d{5})(?:\.|_)", os.path.basename(f))
+        if m:
+            b = int(m.group(1))
+            counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
+def test_ingest_day_refresh_route_and_compact(spark, growing_lake):
+    lake, day2 = growing_lake
+
+    # day 1: full build; routed == plain, Exchange-free AND sort-free
+    stats = refresh_bucketed_events_layout(spark, lake, BUCKETS)
+    assert stats["mode"] == "built"
+    rows1, ex1, srt1 = _window_rows_and_shape(spark, lake)
+    assert (ex1, srt1) == (0, 0)
+    assert rows1 == _plain_rows(spark, lake)
+
+    # day 2 lands in the RAW lake (new part files in the same directory)
+    day2.coalesce(1).write.mode("append").parquet(f"{lake}/events.parquet")
+    invalidate_lake(lake)  # a new session would see this listing anyway
+
+    # staleness contract: discovery refuses the outgrown layout (memo'd
+    # signature changed), so the routed arm falls back to the plain scan
+    assert bucketed_events_if_available(spark, lake, BUCKETS) is None
+    rows_stale, ex_stale, _ = _window_rows_and_shape(spark, lake)
+    assert ex_stale == 1  # plain arm shuffles — but answers stay right
+    assert rows_stale == _plain_rows(spark, lake)
+
+    # incremental refresh: delta-sized append, history untouched
+    stats = refresh_bucketed_events_layout(spark, lake, BUCKETS)
+    assert stats["mode"] == "appended"
+    assert stats["delta_rows"] == day2.count()
+
+    # appended layout: buckets now hold >1 file → Spark drops the scan's
+    # sort claim (SortExec returns) but the hash-clustering claim holds
+    # (no Exchange); values hash-match the unrouted arm
+    rows2, ex2, srt2 = _window_rows_and_shape(spark, lake)
+    assert ex2 == 0
+    assert srt2 == 1
+    assert rows2 == _plain_rows(spark, lake)
+    fpb = _files_per_bucket(spark, lake)
+    assert max(fpb.values()) > 1  # fragmentation is real, not vacuous
+
+    # idempotent: re-running the refresh is a noop
+    assert refresh_bucketed_events_layout(spark, lake, BUCKETS)["mode"] == "noop"
+
+    # compaction: back to one file per bucket, sort claim restored
+    assert compact_bucketed_events_layout(spark, lake, BUCKETS)["mode"] == "compacted"
+    fpb = _files_per_bucket(spark, lake)
+    assert fpb and max(fpb.values()) == 1
+    rows3, ex3, srt3 = _window_rows_and_shape(spark, lake)
+    assert (ex3, srt3) == (0, 0)
+    assert rows3 == _plain_rows(spark, lake)
+
+
+def test_mutated_history_forces_rebuild(spark, growing_lake):
+    """If rows BELOW the watermark changed (the lake was not append-only),
+    the append arm cannot reconcile — refresh must detect the count
+    mismatch and rebuild from raw, the source of truth."""
+    lake, day2 = growing_lake
+    assert refresh_bucketed_events_layout(spark, lake, BUCKETS)["mode"] == "built"
+
+    # mutate history: rewrite the raw lake MINUS some old rows (count
+    # shrinks, no new watermark rows)
+    from vectra_player_spark.tables import _read
+
+    ev = _read(spark, lake, "events").collect()
+    keep = ev[: len(ev) - 5]
+    import shutil as _sh
+
+    _sh.rmtree(f"{lake}/events.parquet")
+    spark.createDataFrame(keep).coalesce(2).write.parquet(f"{lake}/events.parquet")
+    invalidate_lake(lake)
+
+    assert bucketed_events_if_available(spark, lake, BUCKETS) is None  # stale
+    stats = refresh_bucketed_events_layout(spark, lake, BUCKETS)
+    assert stats["mode"] == "rebuilt"
+    rows, ex, srt = _window_rows_and_shape(spark, lake)
+    assert (ex, srt) == (0, 0)
+    assert rows == _plain_rows(spark, lake)

@@ -8,13 +8,23 @@ feature_matrix, ...) onto the episode-bucketed events table
 (operators/skew.py). This tool is the other half — run it once per lake
 at ingest/compaction time:
 
-    python tools/maintain_layouts.py [sf_dir ...]
+    python tools/maintain_layouts.py [--compact] [sf_dir ...]
+
+The events layout is maintained INCREMENTALLY (round-6): a fresh layout
+is a noop, a lake that grew a day of new events gets a delta-sized
+per-bucket append (refresh_bucketed_events_layout — history is never
+rewritten), and only a mutated history forces a full rebuild. Appends
+fragment buckets (>1 file per bucket drops the scan's sort claim, so
+window queries regain a SortExec while staying Exchange-free);
+``--compact`` rewrites fragmented buckets back to one file each —
+Exchange-free per-bucket work, run it on the compaction cadence, not
+per ingest. The fact pair rebuilds wholesale when stale (TPC-H facts
+have no monotone watermark column contract).
 
 Default lake: /root/testdata/sf0.1. Honors
 spark.vectra.bucketed.location via SPARK_VECTRA_BUCKETED_LOCATION.
-Prints one JSON line per layout with build seconds (or 'present' when the
-layout already exists and is live — the tool is idempotent and cheap to
-re-run).
+Prints one JSON line per layout with the action taken and seconds — the
+tool is idempotent and cheap to re-run on a fresh lake.
 """
 
 from __future__ import annotations
@@ -28,14 +38,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    lakes = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    args = sys.argv[1:]
+    compact = "--compact" in args
+    lakes = [a for a in args if a != "--compact"] or ["/root/testdata/sf0.1"]
 
     from vectra_player_spark.operators.skew import (
         BUCKETED_LOCATION_CONF,
-        bucketed_events_if_available,
         bucketed_facts_if_available,
-        materialize_bucketed_events_lake,
+        compact_bucketed_events_layout,
         materialize_bucketed_facts,
+        refresh_bucketed_events_layout,
     )
     from vectra_player_spark.session import get_spark
 
@@ -45,31 +57,29 @@ def main() -> int:
     if loc:
         spark.conf.set(BUCKETED_LOCATION_CONF, loc)
 
-    jobs = (
-        ("facts_by_orderkey", bucketed_facts_if_available, materialize_bucketed_facts),
-        (
-            "events_by_user_window",
-            bucketed_events_if_available,
-            materialize_bucketed_events_lake,
-        ),
-    )
     for lake in lakes:
-        for name, probe, build in jobs:
-            if probe(spark, lake) is not None:
-                print(json.dumps({"lake": lake, "layout": name, "status": "present"}))
-                continue
+        # fact pair: wholesale build/rebuild when absent or stale
+        t0 = time.perf_counter()
+        if bucketed_facts_if_available(spark, lake) is not None:
+            print(json.dumps({"lake": lake, "layout": "facts_by_orderkey",
+                              "status": "present"}))
+        else:
+            materialize_bucketed_facts(spark, lake)
+            print(json.dumps({"lake": lake, "layout": "facts_by_orderkey",
+                              "status": "built",
+                              "sec": round(time.perf_counter() - t0, 1)}))
+        # events layout: incremental refresh (built/noop/appended/rebuilt)
+        t0 = time.perf_counter()
+        stats = refresh_bucketed_events_layout(spark, lake)
+        stats.update({"lake": lake, "layout": "events_by_user_window",
+                      "sec": round(time.perf_counter() - t0, 1)})
+        print(json.dumps(stats))
+        if compact:
             t0 = time.perf_counter()
-            build(spark, lake)
-            print(
-                json.dumps(
-                    {
-                        "lake": lake,
-                        "layout": name,
-                        "status": "built",
-                        "sec": round(time.perf_counter() - t0, 1),
-                    }
-                )
-            )
+            cstats = compact_bucketed_events_layout(spark, lake)
+            cstats.update({"lake": lake, "layout": "events_by_user_window",
+                           "sec": round(time.perf_counter() - t0, 1)})
+            print(json.dumps(cstats))
     spark.stop()
     return 0
 

@@ -86,10 +86,14 @@ def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
-# (session id, sf_dir) → (lineitem_df, orders_df). The bucketed fact pair
-# is written once per session+lake and reused — the registered bucketed
-# queries and the bench's best-of-3 must not re-shuffle-and-write per call.
-_BUCKETED_FACTS: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+# (session id, sf_dir, buckets) → ((lineitem_df, orders_df), raw lake
+# signature at validation time). The bucketed fact pair is written once
+# per session+lake and reused — the registered bucketed queries and the
+# bench's best-of-3 must not re-shuffle-and-write per call. The signature
+# half is the staleness contract: a memo hit re-checks it (listing-only)
+# so a lake that GREW since validation stops routing onto a layout that
+# no longer covers it.
+_BUCKETED_FACTS: dict[tuple[int, str, int], tuple] = {}
 
 # Root directory for the external bucketed layout. Configurable so
 # concurrent deployments can point at distinct scratch areas (a
@@ -119,6 +123,55 @@ def _events_table_name(sf_dir: str, buckets: int) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return f"events_by_user_{tag}_{buckets}"
+
+
+def _lake_signature(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ("events",)
+) -> tuple | None:
+    """Cheap freshness token for the RAW lake: (file count, total bytes,
+    max mtime) per table, read from the filesystem listing only — no Spark
+    job. This is what lets layout discovery notice that the lake grew (a
+    new day's partition landed) without paying a row-count scan on every
+    query: the signature is captured when a layout validates and compared
+    on each later memo hit. At 100 TB a listing is metadata-scale — the
+    same status calls every scan's file index already makes."""
+    from py4j.protocol import Py4JError
+
+    sig = []
+    try:
+        for table in tables:
+            path = spark._jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/{table}.parquet")
+            fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(path):
+                return None
+            status = fs.getFileStatus(path)
+            if status.isFile():
+                sig.append((1, status.getLen(), status.getModificationTime()))
+                continue
+            n, total, mtime = 0, 0, 0
+            it = fs.listFiles(path, True)
+            while it.hasNext():
+                st = it.next()
+                name = st.getPath().getName()
+                if name.startswith("_") or name.startswith("."):
+                    continue  # committer markers don't change the data
+                n += 1
+                total += st.getLen()
+                mtime = max(mtime, st.getModificationTime())
+            sig.append((n, total, mtime))
+        return tuple(sig)
+    except (Py4JError, AttributeError, RuntimeError):
+        return None
+
+
+def _raw_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Row count of the RAW table from a FRESH read — bypassing the tables
+    plan cache, whose file listing snapshots at first analysis and would
+    not see files appended to the lake since (the point of this count is
+    exactly to detect that). Parquet COUNT(*) is footer-metadata work."""
+    from vectra_player_spark.tables import _read
+
+    return _read(spark, sf_dir, table).count()
 
 
 def _locations_live(
@@ -199,9 +252,13 @@ def materialize_bucketed_facts(
         # reused, or the external scratch location wiped between runs — a
         # stale hit would fail mid-query with FileNotFound instead. BOTH
         # locations are probed (round-5 ADVICE: an orders-only wipe used
-        # to return a half-dead pair).
-        if _locations_live(spark, sf_dir, buckets):
-            return cached
+        # to return a half-dead pair). The raw-lake signature must also
+        # be unchanged (round-6): a grown lake invalidates the layout.
+        pair_cached, sig_cached = cached
+        if _locations_live(spark, sf_dir, buckets) and sig_cached == _lake_signature(
+            spark, sf_dir, ("lineitem", "orders")
+        ):
+            return pair_cached
         del _BUCKETED_FACTS[key]
     # scope the table name by (lake, bucket count): two callers with
     # different lakes/specs must not drop-and-rewrite each other's tables
@@ -240,7 +297,10 @@ def materialize_bucketed_facts(
         )
         pair.append(spark.table(table_name))
     result = (pair[0], pair[1])
-    _BUCKETED_FACTS[key] = result
+    _BUCKETED_FACTS[key] = (
+        result,
+        _lake_signature(spark, sf_dir, ("lineitem", "orders")),
+    )
     return result
 
 
@@ -253,19 +313,31 @@ def bucketed_facts_if_available(
     read query should trigger as a side effect.
 
     Three tiers, cheapest first: the session memo (validated against the
-    filesystem), this session's catalog, and bare on-disk locations from
-    an EARLIER session — the in-memory catalog died with that session, so
-    the external tables are re-registered here via CREATE TABLE ...
-    CLUSTERED BY ... LOCATION with the schema read back from the parquet
-    footers. (A metastore-backed deployment gets this re-registration for
-    free; this function is the in-memory-catalog stand-in.) Returns None
-    when the layout is absent or only partially present.
+    filesystem AND the raw lake's listing signature), this session's
+    catalog, and bare on-disk locations from an EARLIER session — the
+    in-memory catalog died with that session, so the external tables are
+    re-registered here via CREATE TABLE ... CLUSTERED BY ... LOCATION
+    with the schema read back from the parquet footers. (A metastore-
+    backed deployment gets this re-registration for free; this function
+    is the in-memory-catalog stand-in.)
+
+    Staleness contract (round-6): before a layout is first trusted in a
+    session, its row count must EQUAL the raw table's (both are parquet
+    footer-count jobs, paid once and then guarded by the listing
+    signature). A lake that grew since the layout was written — the
+    daily-ingest case — reads as stale: the query falls back to the raw
+    scan (correct, just unrouted) until tools/maintain_layouts.py
+    refreshes the layout. Returns None when absent, partially present,
+    or stale.
     """
     key = (id(spark), sf_dir, buckets)
+    sig = _lake_signature(spark, sf_dir, ("lineitem", "orders"))
     cached = _BUCKETED_FACTS.get(key)
-    if cached is not None and _locations_live(spark, sf_dir, buckets):
-        return cached
-    _BUCKETED_FACTS.pop(key, None)
+    if cached is not None:
+        pair_cached, sig_cached = cached
+        if _locations_live(spark, sf_dir, buckets) and sig_cached == sig:
+            return pair_cached
+        _BUCKETED_FACTS.pop(key, None)
     if not _locations_live(spark, sf_dir, buckets):
         return None
     root = _bucketed_root(spark)
@@ -280,9 +352,11 @@ def bucketed_facts_if_available(
                 f"CLUSTERED BY ({bucket_key}) SORTED BY ({bucket_key}) "
                 f"INTO {buckets} BUCKETS LOCATION '{location}'"
             )
+        if spark.table(table_name).count() != _raw_rowcount(spark, sf_dir, name):
+            return None  # layout no longer covers the lake — refresh needed
         pair.append(spark.table(table_name))
     result = (pair[0], pair[1])
-    _BUCKETED_FACTS[key] = result
+    _BUCKETED_FACTS[key] = (result, sig)
     return result
 
 
@@ -327,9 +401,10 @@ def materialize_bucketed_events(
     return spark.table(table_name)
 
 
-# (session id, sf_dir, buckets) → bucketed events DataFrame (window-family
-# layout). Same memo discipline as _BUCKETED_FACTS.
-_BUCKETED_EVENTS: dict[tuple[int, str, int], DataFrame] = {}
+# (session id, sf_dir, buckets) → (bucketed events DataFrame, raw lake
+# signature at validation time). Same memo + staleness discipline as
+# _BUCKETED_FACTS.
+_BUCKETED_EVENTS: dict[tuple[int, str, int], tuple] = {}
 
 
 def materialize_bucketed_events_lake(
@@ -370,8 +445,11 @@ def materialize_bucketed_events_lake(
     cached = _BUCKETED_EVENTS.get(key)
     table_name = _events_table_name(sf_dir, buckets)
     if cached is not None:
-        if _locations_live(spark, sf_dir, buckets, [table_name]):
-            return cached
+        df_cached, sig_cached = cached
+        if _locations_live(
+            spark, sf_dir, buckets, [table_name]
+        ) and sig_cached == _lake_signature(spark, sf_dir):
+            return df_cached
         del _BUCKETED_EVENTS[key]
     root = _bucketed_root(spark)
     location = f"{root}/{table_name}"
@@ -392,25 +470,16 @@ def materialize_bucketed_events_lake(
         .saveAsTable(table_name)
     )
     out = spark.table(table_name)
-    _BUCKETED_EVENTS[key] = out
+    _BUCKETED_EVENTS[key] = (out, _lake_signature(spark, sf_dir))
     return out
 
 
-def bucketed_events_if_available(
-    spark: SparkSession, sf_dir: str, buckets: int = 32
-) -> DataFrame | None:
-    """Self-routing discovery for the window-family events layout — the
-    events analog of `bucketed_facts_if_available` (memo → catalog →
-    on-disk re-registration; never builds the layout as a read side
-    effect). Returns None when absent."""
-    key = (id(spark), sf_dir, buckets)
-    table_name = _events_table_name(sf_dir, buckets)
-    cached = _BUCKETED_EVENTS.get(key)
-    if cached is not None and _locations_live(spark, sf_dir, buckets, [table_name]):
-        return cached
-    _BUCKETED_EVENTS.pop(key, None)
-    if not _locations_live(spark, sf_dir, buckets, [table_name]):
-        return None
+def _ensure_events_table_registered(
+    spark: SparkSession, table_name: str, buckets: int
+) -> None:
+    """Re-register the external events layout in THIS session's catalog
+    from its on-disk location (the in-memory catalog dies with each
+    session; a metastore deployment gets this for free)."""
     if not spark.catalog.tableExists(table_name):
         location = f"{_bucketed_root(spark)}/{table_name}"
         schema_ddl = spark.read.parquet(location).schema.toDDL()
@@ -419,6 +488,177 @@ def bucketed_events_if_available(
             f"CLUSTERED BY (user_id) SORTED BY (user_id, event_id) "
             f"INTO {buckets} BUCKETS LOCATION '{location}'"
         )
+
+
+def bucketed_events_if_available(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> DataFrame | None:
+    """Self-routing discovery for the window-family events layout — the
+    events analog of `bucketed_facts_if_available` (memo → catalog →
+    on-disk re-registration; never builds the layout as a read side
+    effect). Staleness contract (round-6): the layout is only trusted if
+    its row count equals the raw table's (checked once per session, then
+    guarded by the raw lake's listing signature on every memo hit) — a
+    lake that grew a new day since the layout was written routes back to
+    the plain scan until refresh_bucketed_events_layout catches the
+    layout up. Returns None when absent, uncommitted, or stale."""
+    key = (id(spark), sf_dir, buckets)
+    table_name = _events_table_name(sf_dir, buckets)
+    sig = _lake_signature(spark, sf_dir)
+    cached = _BUCKETED_EVENTS.get(key)
+    if cached is not None:
+        df_cached, sig_cached = cached
+        if (
+            _locations_live(spark, sf_dir, buckets, [table_name])
+            and sig_cached == sig
+        ):
+            return df_cached
+        _BUCKETED_EVENTS.pop(key, None)
+    if not _locations_live(spark, sf_dir, buckets, [table_name]):
+        return None
+    _ensure_events_table_registered(spark, table_name, buckets)
     out = spark.table(table_name)
-    _BUCKETED_EVENTS[key] = out
+    if out.count() != _raw_rowcount(spark, sf_dir, "events"):
+        return None  # layout no longer covers the lake — refresh needed
+    _BUCKETED_EVENTS[key] = (out, sig)
     return out
+
+
+def refresh_bucketed_events_layout(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> dict:
+    """Incremental layout maintenance (round-6): absorb the lake's NEW
+    rows into the window-family bucketed layout without rewriting
+    history — the daily-ingest cadence the reference's writer follows
+    (per-date append files, services/recording/src/storage.py:150-175).
+
+    Mechanism: the layout's MAX(event_id) is the append watermark (the
+    event lake is append-only with monotone event ids — the reference's
+    recorder assigns them in arrival order); rows above it shuffle ONCE
+    (delta-sized, not lake-sized) into per-bucket files appended to the
+    existing table. Spark's bucketed scan then unions files per bucket:
+    the hashpartitioning claim survives (window/join queries stay
+    Exchange-free), while the per-bucket SORT claim is dropped by Spark
+    itself whenever a bucket has >1 file — appended layouts degrade to
+    exchange-free-with-sort, never to wrong answers. A periodic
+    compact_bucketed_events_layout restores the one-file-per-bucket sort
+    claim.
+
+    Self-defense: if after the append the layout's row count still
+    differs from the raw table's, history below the watermark was
+    mutated (not an append-only lake) — the tool falls back to a FULL
+    rebuild from raw, which is always correct because the raw lake is
+    the source of truth. Returns a stats dict with the mode taken
+    ('built' | 'noop' | 'appended' | 'rebuilt') and delta row count."""
+    from vectra_player_spark.session import prep_session
+    from vectra_player_spark.tables import _read, invalidate_lake
+
+    prep_session(spark)
+    table_name = _events_table_name(sf_dir, buckets)
+    if not _locations_live(spark, sf_dir, buckets, [table_name]):
+        materialize_bucketed_events_lake(spark, sf_dir, buckets)
+        return {"mode": "built", "delta_rows": None}
+    _ensure_events_table_registered(spark, table_name, buckets)
+    # fresh raw read: the plan-cache's file listing snapshots at first
+    # analysis and would hide the very files this refresh exists to absorb
+    raw = _read(spark, sf_dir, "events")
+    wm = spark.table(table_name).agg(F.max("event_id")).collect()[0][0]
+    delta = raw.where(F.col("event_id") > wm) if wm is not None else raw
+    n_delta = delta.count()
+    if n_delta:
+        (
+            delta.repartition(buckets, F.col("user_id"))
+            .sortWithinPartitions("user_id", "event_id")
+            .write.mode("append")
+            .bucketBy(buckets, "user_id")
+            .sortBy("user_id", "event_id")
+            .format("parquet")
+            .saveAsTable(table_name)
+        )
+        spark.catalog.refreshTable(table_name)
+    mode = "appended" if n_delta else "noop"
+    if spark.table(table_name).count() != raw.count():
+        # history below the watermark changed — rebuild from truth
+        materialize_bucketed_events_lake(spark, sf_dir, buckets)
+        mode = "rebuilt"
+    # downstream readers must see the refreshed lake: invalidate the
+    # analysis-time plan cache and re-memoize against the new signature
+    invalidate_lake(sf_dir)
+    _BUCKETED_EVENTS[(id(spark), sf_dir, buckets)] = (
+        spark.table(table_name),
+        _lake_signature(spark, sf_dir),
+    )
+    return {"mode": mode, "delta_rows": n_delta}
+
+
+def compact_bucketed_events_layout(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> dict:
+    """Rewrite the (possibly append-fragmented) events layout back to ONE
+    file per bucket, restoring the bucketed scan's sort claim that
+    appends forfeit (Spark only advertises per-bucket order for
+    single-file buckets).
+
+    Cost shape vs a full rebuild: the source is the layout itself, whose
+    bucketed scan is already hash-clustered on user_id — the rewrite is
+    a per-bucket read-sort-write with NO Exchange (the V1 bucketed
+    writer sorts within each task and each task holds exactly one
+    bucket), vs the rebuild's full-lake shuffle. Swap protocol: write to
+    a side location, then drop-rename-reregister. A crash between the
+    renames leaves the canonical location absent, which discovery
+    already treats as no-layout (falls back to the raw scan — the lake
+    remains the source of truth and a rerun of maintain_layouts rebuilds
+    cleanly); it can never serve a half-swapped table because discovery
+    requires the committer's _SUCCESS under the canonical path."""
+    from vectra_player_spark.session import prep_session
+
+    prep_session(spark)
+    table_name = _events_table_name(sf_dir, buckets)
+    if not _locations_live(spark, sf_dir, buckets, [table_name]):
+        return {"mode": "absent"}
+    _ensure_events_table_registered(spark, table_name, buckets)
+    root = _bucketed_root(spark)
+    location = f"{root}/{table_name}"
+    tmp_table = f"{table_name}_compact"
+    tmp_location = f"{root}/{tmp_table}"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path(tmp_location)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(fs_path):
+        fs.delete(fs_path, True)
+    # A bare table→table write has no operator that REQUIRES the bucket
+    # distribution, so Spark's auto-bucketed-scan would read plain file
+    # splits and the writer would emit one file per (task, bucket) —
+    # re-fragmenting instead of compacting. Forcing the bucketed scan
+    # gives exactly one task per bucket → one output file per bucket,
+    # still with no Exchange.
+    auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", None)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        (
+            spark.table(table_name)
+            .write.mode("overwrite")
+            .option("path", tmp_location)
+            .bucketBy(buckets, "user_id")
+            .sortBy("user_id", "event_id")
+            .format("parquet")
+            .saveAsTable(tmp_table)
+        )
+    finally:
+        if auto is None:
+            spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", auto
+            )
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    old_path = spark._jvm.org.apache.hadoop.fs.Path(location)
+    fs.delete(old_path, True)
+    fs.rename(fs_path, old_path)
+    _ensure_events_table_registered(spark, table_name, buckets)
+    _BUCKETED_EVENTS[(id(spark), sf_dir, buckets)] = (
+        spark.table(table_name),
+        _lake_signature(spark, sf_dir),
+    )
+    return {"mode": "compacted"}

@@ -37,12 +37,23 @@ def duration_histogram(durations: DataFrame, duration_col: str = "duration") -> 
 def km_survival(durations: DataFrame, duration_col: str = "duration") -> DataFrame:
     """M5: Kaplan-Meier curve: t, events, at_risk, survival (survival.py:26-71)."""
     hist = duration_histogram(durations, duration_col)
-    # Partition-less windows BY DESIGN: they run over the duration
+    # Single-partition windows BY DESIGN: they run over the duration
     # HISTOGRAM (|distinct t| rows, ~2k for real feeds — bounded by the
     # value domain, not the lake), never over raw episodes. The single
-    # task sorts a broadcast-sized relation.
-    w_rev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
-    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # task sorts a broadcast-sized relation. single_group() keeps the
+    # spec non-empty so WindowExec's warning stays meaningful elsewhere.
+    from vectra_player_spark.operators.windows import single_group
+
+    w_rev = (
+        Window.partitionBy(single_group("t"))
+        .orderBy("t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    w_cum = (
+        Window.partitionBy(single_group("t"))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cond = 1.0 - F.col("events") / F.col("at_risk")
     term = F.when(F.col("events") < F.col("at_risk"), F.log(cond))
     return (
@@ -66,15 +77,25 @@ def hazard_rate(
 ) -> DataFrame:
     """M6: raw hazard events/at_risk + convolve-'same' smoothing (survival.py:74-125)."""
     hist = duration_histogram(durations, duration_col)
-    # Partition-less by design: histogram-sized relation (see km_survival).
-    w_rev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    # Single-partition by design: histogram-sized relation (see km_survival).
+    from vectra_player_spark.operators.windows import single_group
+
+    w_rev = (
+        Window.partitionBy(single_group("t"))
+        .orderBy("t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
     # np.convolve(mode='same') with an even kernel w: out[i] averages
     # a[i-w/2 .. i+w/2-1] with truncated edges keeping the /w divisor —
     # verified against numpy impulse response in tests/test_semantics.py.
     # (Only valid for signals at least w long; numpy swaps operands below
     # that, which real hazard curves never hit.)
     half = bandwidth // 2
-    w_smooth = Window.orderBy("t").rowsBetween(-half, bandwidth - half - 1)
+    w_smooth = (
+        Window.partitionBy(single_group("t"))
+        .orderBy("t")
+        .rowsBetween(-half, bandwidth - half - 1)
+    )
     return (
         hist.withColumn("at_risk", F.sum("events").over(w_rev))
         .withColumn("hazard", F.col("events") / F.col("at_risk"))

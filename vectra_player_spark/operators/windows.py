@@ -23,6 +23,23 @@ def episode_window(episode_key: str, order_key: str) -> Window:
     return Window.partitionBy(episode_key).orderBy(order_key)
 
 
+def single_group(col_name: str) -> Column:
+    """Non-foldable constant partition key for windows that are
+    single-partition BY DESIGN (they run over reduced, domain-bounded
+    relations — a duration histogram, a bucket rollup — never over raw
+    rows). Semantics are identical to an empty partition spec: every row
+    shares the one value. The point is operational: WindowExec logs 'No
+    Partition Defined' for an EMPTY spec regardless of input size, and a
+    bench log full of justified warnings is a log where a real
+    accidental global window can hide. A plain ``lit(0)`` gets
+    constant-folded out of the spec, and ``hash(col) * 0`` simplifies to
+    0 (hash is non-nullable) with the same outcome; ``pmod(hash(col), 1)``
+    — literally "one bucket" — has no simplification rule, so the
+    justified sites go quiet and any remaining WindowExec warning is a
+    genuine alarm."""
+    return F.pmod(F.hash(F.col(col_name)), F.lit(1))
+
+
 def tick_features(
     df: DataFrame,
     episode_key: str = "game_id",

@@ -930,13 +930,20 @@ def interval_concurrency_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_event).over(per_user).cast("bigint").alias("u_count"),
     )
     # Cumulative events per bucket over the (tiny) bucket relation: the
-    # single-partition window runs over |buckets| rows, never over events.
+    # single-partition window runs over |buckets| rows, never over events
+    # (single_group keeps WindowExec's no-partition warning meaningful).
+    from vectra_player_spark.operators.windows import single_group
+
     bucket_tot = pts.groupBy("bucket").agg(
         F.sum(is_event).cast("bigint").alias("n_ev")
     )
     prior = (
         F.sum("n_ev")
-        .over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1))
+        .over(
+            Window.partitionBy(single_group("bucket"))
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
     )
     bucket_prior = bucket_tot.select(
         "bucket", F.coalesce(prior, F.lit(0)).cast("bigint").alias("g_prior")

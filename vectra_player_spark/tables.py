@@ -82,6 +82,16 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 t = load
 
 
+def invalidate_lake(sf_dir: str) -> None:
+    """Drop every cached plan for a lake whose FILES changed (daily
+    ingest appended a partition): a DataFrame's file listing snapshots at
+    analysis, so cached plans would silently miss the new files. Called
+    by the layout refresh path (operators/skew); a static lake never
+    needs it."""
+    for key in [k for k in _PLAN_CACHE if k[2] == sf_dir]:
+        del _PLAN_CACHE[key]
+
+
 def events_for_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table, self-routed onto the window-family bucketed
     layout when one exists for this lake (bucketed by user_id, sorted by
