@@ -97,13 +97,22 @@ def read_sketch_store(spark, store_dir: str) -> DataFrame | None:
 
 
 def maintain_daily_sketches(
-    events: DataFrame, store_dir: str, checkpoint_dir: str
+    events: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "user_id",
 ) -> StreamingQuery:
-    """Start the maintenance stream over a streaming events DataFrame
-    (needs event_type/ts/user_id columns)."""
+    """Start the maintenance stream over a streaming events DataFrame.
+    Column names are configurable so the same maintenance job can ride
+    any event-time lake (the ingest spine feeds it the phase-annotated
+    tick lake: group=phase, id=game_id)."""
     return (
         events.writeStream.foreachBatch(
-            lambda b, _i: merge_batch_into_store(b, store_dir)
+            lambda b, _i: merge_batch_into_store(
+                b, store_dir, group_col, ts_col, id_col
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

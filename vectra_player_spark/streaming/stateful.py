@@ -72,6 +72,10 @@ PHASE_OUTPUT_SCHEMA = T.StructType(
         T.StructField("seed_revealed", T.BooleanType()),
         T.StructField("gap_ms", T.LongType()),
         T.StructField("gap_lr", T.DoubleType()),
+        # event time of the tick (round-6): a lake sink without event
+        # time cannot feed (group, day) rollups — the sketch-maintenance
+        # spine keys its daily HLL table on this
+        T.StructField("ts_ms", T.LongType()),
     ]
 )
 
@@ -182,6 +186,7 @@ def _replay_phase(key_val, st, batch: pd.DataFrame):
                 row.server_seed is not None and phase == "RUGGED",
                 gap_ms,
                 _gap_lr(gap_ms),
+                int(row.ts_ms),
             )
         )
         prev_phase = phase
