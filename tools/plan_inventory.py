@@ -61,6 +61,11 @@ def main() -> int:
         "grids — pinned by tests/test_plans.py); Window and Generate/Expand",
         "nodes; Arrow-batched Python stages (row-at-a-time BatchEvalPython is",
         "banned by test); whether the parquet scan has PushedFilters.",
+        "Since round 6 the by-design single-partition windows (duration",
+        "histograms, bucket rollups) partition on a constant column",
+        "(operators/windows.single_group), so their former",
+        "Exchange SinglePartition counts here as one hashpartitioning —",
+        "same physical exchange, now visible to this audit.",
         "",
         "| " + " | ".join(cols) + " |",
         "|" + "---|" * len(cols),

@@ -41,16 +41,20 @@ def km_survival(durations: DataFrame, duration_col: str = "duration") -> DataFra
     # HISTOGRAM (|distinct t| rows, ~2k for real feeds — bounded by the
     # value domain, not the lake), never over raw episodes. The single
     # task sorts a broadcast-sized relation. single_group() keeps the
-    # spec non-empty so WindowExec's warning stays meaningful elsewhere.
+    # spec non-empty so WindowExec's warning stays meaningful elsewhere;
+    # it is materialized as ONE column so every window here shares a
+    # single Exchange+Sort (per-spec expression instances would not
+    # unify under ExtractWindowExpressions).
     from vectra_player_spark.operators.windows import single_group
 
+    hist = hist.withColumn("_one", single_group("t"))
     w_rev = (
-        Window.partitionBy(single_group("t"))
+        Window.partitionBy("_one")
         .orderBy("t")
         .rowsBetween(0, Window.unboundedFollowing)
     )
     w_cum = (
-        Window.partitionBy(single_group("t"))
+        Window.partitionBy("_one")
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -77,11 +81,13 @@ def hazard_rate(
 ) -> DataFrame:
     """M6: raw hazard events/at_risk + convolve-'same' smoothing (survival.py:74-125)."""
     hist = duration_histogram(durations, duration_col)
-    # Single-partition by design: histogram-sized relation (see km_survival).
+    # Single-partition by design: histogram-sized relation (see
+    # km_survival, incl. the shared-column rationale).
     from vectra_player_spark.operators.windows import single_group
 
+    hist = hist.withColumn("_one", single_group("t"))
     w_rev = (
-        Window.partitionBy(single_group("t"))
+        Window.partitionBy("_one")
         .orderBy("t")
         .rowsBetween(0, Window.unboundedFollowing)
     )
@@ -92,7 +98,7 @@ def hazard_rate(
     # that, which real hazard curves never hit.)
     half = bandwidth // 2
     w_smooth = (
-        Window.partitionBy(single_group("t"))
+        Window.partitionBy("_one")
         .orderBy("t")
         .rowsBetween(-half, bandwidth - half - 1)
     )
