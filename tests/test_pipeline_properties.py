@@ -37,7 +37,12 @@ class TestSaltedAggregate:
             for r in df.groupBy("event_type")
             .agg(
                 F.count("*").cast("bigint").alias("n_events"),
-                (F.round(F.sum("value"), 6) + 0.0).alias("sum_value"),
+                # same exact-decimal accumulation as the operator: the
+                # equality below is then BIT-equality, the property the
+                # 100× sweep showed plain double sums cannot give
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
                 (F.round(F.max("value"), 6) + 0.0).alias("max_value"),
                 F.count_distinct("user_id").cast("bigint").alias("n_users"),
             )
@@ -45,9 +50,8 @@ class TestSaltedAggregate:
         }
         assert salted.keys() == plain.keys()
         for k in plain:
-            for col in ("n_events", "n_users", "max_value"):
+            for col in ("n_events", "n_users", "max_value", "sum_value"):
                 assert salted[k][col] == plain[k][col], (k, col, salted[k], plain[k])
-            assert abs(salted[k]["sum_value"] - plain[k]["sum_value"]) < 1e-6
 
 
 class TestSequencePacking:

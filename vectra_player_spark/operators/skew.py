@@ -54,16 +54,24 @@ def salted_aggregate(
     merges |salt_factor| partial states per key. Row-identical to the
     unsalted aggregation (pinned by oracle in plans/queries_pipeline.py).
     """
+    from vectra_player_spark.functions.exact import dec
+
     salt = F.pmod(F.hash(F.col(salt_col)), F.lit(salt_factor))
+    # The value sum accumulates in exact DECIMAL through BOTH stages
+    # (functions/exact discipline): the 100× sweep caught the double
+    # partial-sum path drifting by shuffle order past the 1e-6 rounding
+    # grid at ~1e8 magnitude — order-insensitive decimal adds make the
+    # two-stage salted result bit-equal to the one-stage GROUP BY at any
+    # volume, which is the property this operator is registered to prove.
     partial = df.groupBy(F.col(key), salt.alias("_salt")).agg(
         F.count("*").alias("_cnt"),
-        F.sum(value_col).alias("_sum"),
+        F.sum(dec(value_col)).alias("_sum"),
         F.max(value_col).alias("_max"),
         F.count_distinct(F.col(salt_col)).alias("_ndv"),
     )
     return partial.groupBy(key).agg(
         F.sum("_cnt").cast("bigint").alias("n_events"),
-        (F.round(F.sum("_sum"), 6) + 0.0).alias("sum_value"),
+        F.sum("_sum").cast("double").alias("sum_value"),
         (F.round(F.max("_max"), 6) + 0.0).alias("max_value"),
         # distinct states are disjoint across salt buckets (salt = f(x)),
         # so the merge is a plain SUM of partial NDVs — exact, not approx.

@@ -305,10 +305,13 @@ def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
 # job turn it on for any hot key without re-validating results.
 # --------------------------------------------------------------------------
 
+# sum_value accumulates in DECIMAL on both sides — see salted_aggregate's
+# docstring (100× sweep finding: double partial sums drifted past the
+# rounding grid at 10M-row volume).
 _SKEW_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 6) + 0.0 AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        ROUND(MAX(value), 6) + 0.0 AS max_value,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
@@ -444,6 +447,12 @@ def sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unpivot itself); the only exchange is the final groupBy.
 # --------------------------------------------------------------------------
 
+# Totals accumulate in DECIMAL on both sides (functions/exact discipline):
+# the 100× sweep caught a real volume-only flip here — SUM(double) over
+# 60M extendedprice rows (~1e12 magnitude, ulp ≈ 1.2e-4) drifts by
+# shuffle order far beyond the old ROUND(,4) grid. The mean is a ratio
+# of the exact sum, froundéd on both engines (the r3 rounding-boundary
+# rule for ratio outputs).
 _UNPIVOT_ORACLE = """
 WITH melted AS (
   SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
@@ -454,8 +463,9 @@ WITH melted AS (
 )
 SELECT l_returnflag, measure,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(val), 4) + 0.0 AS total,
-       ROUND(AVG(val), 6) + 0.0 AS mean
+       CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       FLOOR(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             * 1000000 + 0.5) / 1000000 AS mean
 FROM melted
 GROUP BY l_returnflag, measure
 """
@@ -474,10 +484,21 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
         " 'discount', l_discount) AS (measure, val)",
     )
-    return melted.groupBy("l_returnflag", "measure").agg(
-        F.count("*").cast("bigint").alias("n"),
-        (F.round(F.sum("val"), 4) + 0.0).alias("total"),
-        (F.round(F.avg("val"), 6) + 0.0).alias("mean"),
+    from vectra_player_spark.functions.exact import dsum, fround
+
+    return (
+        melted.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            dsum("val").alias("total"),
+        )
+        .select(
+            "l_returnflag",
+            "measure",
+            "n",
+            "total",
+            fround(F.col("total") / F.col("n"), 6).alias("mean"),
+        )
     )
 
 

@@ -97,6 +97,10 @@ PRIORITY: tuple[str, ...] = (
     "knn_ivf_kmeans_recall",  # deterministic Lloyd → regression-pin
     "knn_pq_adc_recall",  # deterministic joint Lloyd → regression-pin
     "gbt_threshold_analysis",  # topology-stability-gated → regression-pin
+    # two real 100×-sweep finds, fixed via exact-decimal accumulation —
+    # oracles changed, so they re-witness
+    "skewed_event_rollup",
+    "unpivot_lineitem_measures",
     # -- backfill: ALL 23 names last witnessed in r2 (4 rounds stale) ------
     "bm25_topk_retrieval",
     "corpus_curation_pipeline",
@@ -134,26 +138,24 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_audio_features",  # multimodal mandate (audio path)
     "multimodal_frame_sample",  # multimodal mandate (video frame path)
     "doc_pii_scrub",  # curation mandate (PII regex map)
-    "doc_weighted_sample",  # curation mandate (md5-coin weighted sample)
-    "grouping_sets_lineitem",  # A-family GROUPING SETS
     "q6_revenue_forecast",  # TPC-H pushdown sentinel
     "q22_sales_opportunity",  # TPC-H anti-join + scalar-avg subquery
 )
 
 # ROUND-7 ROTATION NOTE: keep the 5 sentinels, lead with round-7 changed
-# entries, then the 29 remaining r3-stale names (cube_lineitem,
+# entries, then the 30 remaining r3-stale names (cube_lineitem,
 # doc_char_entropy, doc_decontamination, doc_denylist_scrub,
 # doc_fuzzy_prefix_pairs, doc_quality_filter, doc_repetition_filter,
 # doc_simhash_neardup_canonical, doc_source_mixture, doc_stratified_sample,
-# doc_weighted_sample*, embedding_int8_quantize, event_outlier_mad,
-# exists_late_shipments, grouping_sets_lineitem*, keyset_paginate_orders,
+# doc_weighted_sample, embedding_int8_quantize, event_outlier_mad,
+# exists_late_shipments, grouping_sets_lineitem, keyset_paginate_orders,
 # lateral_topn_per_region, mmr_rerank_topk, not_exists_lapsed_customers,
 # ntile_user_quartiles, pivot_event_counts, q10_returned_item_revenue,
 # q12_priority_shipping, q14_promo_revenue, q16_parts_supplier_counts,
 # q7_volume_shipping, rollup_lineitem, trailing_hour_stats,
-# unpivot_lineitem_measures, user_value_ranks — minus the ones marked *
-# which rotated in r6), then r4-stale. Verify slot 50 after every
-# registration change (tools/show_cap.py); it has drifted twice.
+# user_value_ranks, gapfill_daily_locf-siblings as needed), then r4-stale.
+# Verify slot 50 after every registration change (tools/show_cap.py); it
+# has drifted twice.
 
 # The round-1/2 priority block, demoted to positions 51+ now that every
 # name in it has a green row in CORRECTNESS_r01/r02 (kept here: these run
