@@ -185,3 +185,127 @@ def test_mutated_history_forces_rebuild(spark, growing_lake):
     rows, ex, srt = _window_rows_and_shape(spark, lake)
     assert (ex, srt) == (0, 0)
     assert rows == _plain_rows(spark, lake)
+
+
+def test_facts_ingest_refresh_and_compact(spark, sf_dir, tmp_path):
+    """Facts analog of the events spine: new orders (higher orderkeys)
+    append delta-sized into both bucketed fact tables; the q9-shape
+    fact-fact join stays Exchange-free on the appended layout (sort
+    claim returns until compaction) and value-identical to the plain
+    join throughout."""
+    from vectra_player_spark.operators.skew import (
+        _BUCKETED_FACTS,
+        _fact_table_name,
+        bucketed_facts_if_available,
+        compact_bucketed_facts_layout,
+        refresh_bucketed_facts_layout,
+    )
+    from vectra_player_spark.tables import _read
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cut = orders.agg(F.expr("percentile_approx(o_orderkey, 0.8)")).collect()[0][0]
+    lake = str(tmp_path / "fact_lake")
+    (tmp_path / "fact_lake").mkdir()
+    orders.where(F.col("o_orderkey") <= cut).write.parquet(f"{lake}/orders.parquet")
+    li.where(F.col("l_orderkey") <= cut).write.parquet(f"{lake}/lineitem.parquet")
+    # events must exist for the lake signature probe of OTHER layouts;
+    # symlink is enough (facts functions never read it)
+    import os as _os
+
+    _os.symlink(f"{sf_dir}/events.parquet", f"{lake}/events.parquet")
+    root = f"/tmp/vectra_bucketed_factincr_{id(spark)}"
+    spark.conf.set("spark.vectra.bucketed.location", root)
+    shutil.rmtree(root, ignore_errors=True)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
+    def join_rows_and_shape():
+        pair = bucketed_facts_if_available(spark, lake)
+        li_a, ord_a = pair if pair is not None else (
+            _read(spark, lake, "lineitem"), _read(spark, lake, "orders")
+        )
+        j = (
+            li_a.join(ord_a, li_a.l_orderkey == ord_a.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("qty"),
+            )
+        )
+        j.write.format("noop").mode("overwrite").save()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("+- == Initial Plan ==")[0]
+        ex = sum(
+            1
+            for line in final.splitlines()
+            if "Exchange hashpartitioning" in line
+            and ("l_orderkey" in line or "o_orderkey" in line)
+        )
+        srt = sum(
+            1
+            for line in final.splitlines()
+            if "Sort [l_orderkey" in line or "Sort [o_orderkey" in line
+        )
+        return sorted(map(tuple, j.collect())), ex, srt
+
+    def plain_rows():
+        li_p, ord_p = _read(spark, lake, "lineitem"), _read(spark, lake, "orders")
+        return sorted(
+            map(
+                tuple,
+                li_p.join(ord_p, li_p.l_orderkey == ord_p.o_orderkey)
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                    .cast("double")
+                    .alias("qty"),
+                )
+                .collect(),
+            )
+        )
+
+    try:
+        assert refresh_bucketed_facts_layout(spark, lake)["mode"] == "built"
+        rows1, ex1, srt1 = join_rows_and_shape()
+        assert (ex1, srt1) == (0, 0)
+        assert rows1 == plain_rows()
+
+        # a day of new orders lands in BOTH raw fact tables
+        orders.where(F.col("o_orderkey") > cut).write.mode("append").parquet(
+            f"{lake}/orders.parquet"
+        )
+        li.where(F.col("l_orderkey") > cut).write.mode("append").parquet(
+            f"{lake}/lineitem.parquet"
+        )
+        invalidate_lake(lake)
+        assert bucketed_facts_if_available(spark, lake) is None  # stale
+        stats = refresh_bucketed_facts_layout(spark, lake)
+        assert stats["mode"] == "appended" and stats["delta_rows"] > 0
+
+        rows2, ex2, srt2 = join_rows_and_shape()
+        assert ex2 == 0 and srt2 >= 1  # appended: exchange-free, sorts back
+        assert rows2 == plain_rows()
+
+        assert refresh_bucketed_facts_layout(spark, lake)["mode"] == "noop"
+        assert compact_bucketed_facts_layout(spark, lake)["mode"] == "compacted"
+        rows3, ex3, srt3 = join_rows_and_shape()
+        assert (ex3, srt3) == (0, 0)
+        assert rows3 == plain_rows()
+    finally:
+        spark.conf.unset("spark.vectra.bucketed.location")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        _BUCKETED_FACTS.clear()
+        for name in ("lineitem", "orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {_fact_table_name(name, lake, 32)}")
+            spark.sql(
+                f"DROP TABLE IF EXISTS {_fact_table_name(name, lake, 32)}_compact"
+            )
+        shutil.rmtree(root, ignore_errors=True)
+        invalidate_lake(lake)

@@ -10,16 +10,15 @@ at ingest/compaction time:
 
     python tools/maintain_layouts.py [--compact] [sf_dir ...]
 
-The events layout is maintained INCREMENTALLY (round-6): a fresh layout
-is a noop, a lake that grew a day of new events gets a delta-sized
-per-bucket append (refresh_bucketed_events_layout — history is never
-rewritten), and only a mutated history forces a full rebuild. Appends
-fragment buckets (>1 file per bucket drops the scan's sort claim, so
-window queries regain a SortExec while staying Exchange-free);
-``--compact`` rewrites fragmented buckets back to one file each —
-Exchange-free per-bucket work, run it on the compaction cadence, not
-per ingest. The fact pair rebuilds wholesale when stale (TPC-H facts
-have no monotone watermark column contract).
+Both layouts are maintained INCREMENTALLY (round-6): a fresh layout is
+a noop, a lake that grew a day of new rows gets a delta-sized
+per-bucket append (refresh_bucketed_{events,facts}_layout — history is
+never rewritten; the watermark is the monotone episode/order key), and
+only a mutated history forces a full rebuild. Appends fragment buckets
+(>1 file per bucket drops the scan's sort claim, so windows/SMJs regain
+a SortExec while staying Exchange-free); ``--compact`` rewrites
+fragmented buckets back to one file each — Exchange-free per-bucket
+work, run it on the compaction cadence, not per ingest.
 
 Default lake: /root/testdata/sf0.1. Honors
 spark.vectra.bucketed.location via SPARK_VECTRA_BUCKETED_LOCATION.
@@ -44,10 +43,10 @@ def main() -> int:
 
     from vectra_player_spark.operators.skew import (
         BUCKETED_LOCATION_CONF,
-        bucketed_facts_if_available,
         compact_bucketed_events_layout,
-        materialize_bucketed_facts,
+        compact_bucketed_facts_layout,
         refresh_bucketed_events_layout,
+        refresh_bucketed_facts_layout,
     )
     from vectra_player_spark.session import get_spark
 
@@ -57,29 +56,25 @@ def main() -> int:
     if loc:
         spark.conf.set(BUCKETED_LOCATION_CONF, loc)
 
+    jobs = (
+        ("facts_by_orderkey", refresh_bucketed_facts_layout,
+         compact_bucketed_facts_layout),
+        ("events_by_user_window", refresh_bucketed_events_layout,
+         compact_bucketed_events_layout),
+    )
     for lake in lakes:
-        # fact pair: wholesale build/rebuild when absent or stale
-        t0 = time.perf_counter()
-        if bucketed_facts_if_available(spark, lake) is not None:
-            print(json.dumps({"lake": lake, "layout": "facts_by_orderkey",
-                              "status": "present"}))
-        else:
-            materialize_bucketed_facts(spark, lake)
-            print(json.dumps({"lake": lake, "layout": "facts_by_orderkey",
-                              "status": "built",
-                              "sec": round(time.perf_counter() - t0, 1)}))
-        # events layout: incremental refresh (built/noop/appended/rebuilt)
-        t0 = time.perf_counter()
-        stats = refresh_bucketed_events_layout(spark, lake)
-        stats.update({"lake": lake, "layout": "events_by_user_window",
-                      "sec": round(time.perf_counter() - t0, 1)})
-        print(json.dumps(stats))
-        if compact:
+        for name, refresh, compact_fn in jobs:
             t0 = time.perf_counter()
-            cstats = compact_bucketed_events_layout(spark, lake)
-            cstats.update({"lake": lake, "layout": "events_by_user_window",
-                           "sec": round(time.perf_counter() - t0, 1)})
-            print(json.dumps(cstats))
+            stats = refresh(spark, lake)
+            stats.update({"lake": lake, "layout": name,
+                          "sec": round(time.perf_counter() - t0, 1)})
+            print(json.dumps(stats))
+            if compact:
+                t0 = time.perf_counter()
+                cstats = compact_fn(spark, lake)
+                cstats.update({"lake": lake, "layout": name,
+                               "sec": round(time.perf_counter() - t0, 1)})
+                print(json.dumps(cstats))
     spark.stop()
     return 0
 

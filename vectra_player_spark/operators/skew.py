@@ -368,6 +368,147 @@ def bucketed_facts_if_available(
     return result
 
 
+def _ensure_fact_table_registered(
+    spark: SparkSession, table_name: str, bucket_key: str, buckets: int
+) -> None:
+    """Facts analog of _ensure_events_table_registered."""
+    if not spark.catalog.tableExists(table_name):
+        location = f"{_bucketed_root(spark)}/{table_name}"
+        schema_ddl = spark.read.parquet(location).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE {table_name} ({schema_ddl}) USING parquet "
+            f"CLUSTERED BY ({bucket_key}) SORTED BY ({bucket_key}) "
+            f"INTO {buckets} BUCKETS LOCATION '{location}'"
+        )
+
+
+def refresh_bucketed_facts_layout(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> dict:
+    """Incremental maintenance for the orderkey fact pair — the same
+    watermark-append contract as refresh_bucketed_events_layout, applied
+    per table: new orders/lineitems arrive with HIGHER order keys (the
+    TPC-H order lifecycle and the reference's per-date append cadence),
+    so rows above each layout's MAX(orderkey) shuffle delta-sized into
+    appended per-bucket files. Appended buckets (>1 file) keep the
+    hashpartitioning claim — the q9/q18 fact-fact SMJ stays
+    Exchange-free — and lose only the scan's sort claim until
+    compact_bucketed_facts_layout restores it. A count mismatch after
+    the append (history mutated below the watermark) falls back to the
+    wholesale rebuild from raw. Returns per-table modes."""
+    from vectra_player_spark.session import prep_session
+    from vectra_player_spark.tables import _read, invalidate_lake
+
+    prep_session(spark)
+    table_names = [_fact_table_name(t, sf_dir, buckets) for t, _ in _FACT_SPECS]
+    if not _locations_live(spark, sf_dir, buckets, table_names):
+        materialize_bucketed_facts(spark, sf_dir, buckets)
+        return {"mode": "built", "delta_rows": None}
+    total_delta, rebuilt = 0, False
+    for (raw_name, bucket_key), table_name in zip(_FACT_SPECS, table_names):
+        _ensure_fact_table_registered(spark, table_name, bucket_key, buckets)
+        raw = _read(spark, sf_dir, raw_name)
+        wm = spark.table(table_name).agg(F.max(bucket_key)).collect()[0][0]
+        delta = raw.where(F.col(bucket_key) > wm) if wm is not None else raw
+        n_delta = delta.count()
+        if n_delta:
+            (
+                delta.repartition(buckets, F.col(bucket_key))
+                .sortWithinPartitions(bucket_key)
+                .write.mode("append")
+                .bucketBy(buckets, bucket_key)
+                .sortBy(bucket_key)
+                .format("parquet")
+                .saveAsTable(table_name)
+            )
+            spark.catalog.refreshTable(table_name)
+            total_delta += n_delta
+        if spark.table(table_name).count() != raw.count():
+            rebuilt = True
+    if rebuilt:
+        materialize_bucketed_facts(spark, sf_dir, buckets)
+        mode = "rebuilt"
+    else:
+        mode = "appended" if total_delta else "noop"
+    invalidate_lake(sf_dir)
+    _BUCKETED_FACTS[(id(spark), sf_dir, buckets)] = (
+        tuple(spark.table(n) for n in table_names),
+        _lake_signature(spark, sf_dir, ("lineitem", "orders")),
+    )
+    return {"mode": mode, "delta_rows": total_delta}
+
+
+def _compact_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    bucket_key: str,
+    sort_cols: tuple[str, ...],
+    buckets: int,
+) -> None:
+    """Rewrite one bucketed table to ONE file per bucket via a side
+    location + drop-rename-reregister swap (crash analysis in
+    compact_bucketed_events_layout's docstring). The bucketed scan is
+    forced on so each task holds exactly one bucket and the writer emits
+    one file per bucket with no Exchange."""
+    root = _bucketed_root(spark)
+    location = f"{root}/{table_name}"
+    tmp_table = f"{table_name}_compact"
+    tmp_location = f"{root}/{tmp_table}"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path(tmp_location)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(fs_path):
+        fs.delete(fs_path, True)
+    auto = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", None
+    )
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        (
+            spark.table(table_name)
+            .write.mode("overwrite")
+            .option("path", tmp_location)
+            .bucketBy(buckets, bucket_key)
+            .sortBy(*sort_cols)
+            .format("parquet")
+            .saveAsTable(tmp_table)
+        )
+    finally:
+        if auto is None:
+            spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", auto
+            )
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    old_path = spark._jvm.org.apache.hadoop.fs.Path(location)
+    fs.delete(old_path, True)
+    fs.rename(fs_path, old_path)
+
+
+def compact_bucketed_facts_layout(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> dict:
+    """One-file-per-bucket compaction for both fact tables (restores the
+    SMJ's sort-free scan claim that appends forfeit)."""
+    from vectra_player_spark.session import prep_session
+
+    prep_session(spark)
+    table_names = [_fact_table_name(t, sf_dir, buckets) for t, _ in _FACT_SPECS]
+    if not _locations_live(spark, sf_dir, buckets, table_names):
+        return {"mode": "absent"}
+    for (raw_name, bucket_key), table_name in zip(_FACT_SPECS, table_names):
+        _ensure_fact_table_registered(spark, table_name, bucket_key, buckets)
+        _compact_bucketed_table(spark, table_name, bucket_key, (bucket_key,), buckets)
+        _ensure_fact_table_registered(spark, table_name, bucket_key, buckets)
+    _BUCKETED_FACTS[(id(spark), sf_dir, buckets)] = (
+        tuple(spark.table(n) for n in table_names),
+        _lake_signature(spark, sf_dir, ("lineitem", "orders")),
+    )
+    return {"mode": "compacted"}
+
+
 def materialize_bucketed_events(
     spark: SparkSession,
     sf_dir: str,
@@ -625,45 +766,9 @@ def compact_bucketed_events_layout(
     if not _locations_live(spark, sf_dir, buckets, [table_name]):
         return {"mode": "absent"}
     _ensure_events_table_registered(spark, table_name, buckets)
-    root = _bucketed_root(spark)
-    location = f"{root}/{table_name}"
-    tmp_table = f"{table_name}_compact"
-    tmp_location = f"{root}/{tmp_table}"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-    fs_path = spark._jvm.org.apache.hadoop.fs.Path(tmp_location)
-    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(fs_path):
-        fs.delete(fs_path, True)
-    # A bare table→table write has no operator that REQUIRES the bucket
-    # distribution, so Spark's auto-bucketed-scan would read plain file
-    # splits and the writer would emit one file per (task, bucket) —
-    # re-fragmenting instead of compacting. Forcing the bucketed scan
-    # gives exactly one task per bucket → one output file per bucket,
-    # still with no Exchange.
-    auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", None)
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    try:
-        (
-            spark.table(table_name)
-            .write.mode("overwrite")
-            .option("path", tmp_location)
-            .bucketBy(buckets, "user_id")
-            .sortBy("user_id", "event_id")
-            .format("parquet")
-            .saveAsTable(tmp_table)
-        )
-    finally:
-        if auto is None:
-            spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
-        else:
-            spark.conf.set(
-                "spark.sql.sources.bucketing.autoBucketedScan.enabled", auto
-            )
-    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    old_path = spark._jvm.org.apache.hadoop.fs.Path(location)
-    fs.delete(old_path, True)
-    fs.rename(fs_path, old_path)
+    _compact_bucketed_table(
+        spark, table_name, "user_id", ("user_id", "event_id"), buckets
+    )
     _ensure_events_table_registered(spark, table_name, buckets)
     _BUCKETED_EVENTS[(id(spark), sf_dir, buckets)] = (
         spark.table(table_name),
