@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from vectra_player_spark.functions.exact import dec, dsum, fixed, r6d
 from vectra_player_spark.plans.registry import register
-from vectra_player_spark.tables import t
+from vectra_player_spark.tables import facts_for_orderkey, t
 
 # --------------------------------------------------------------------------
 # q1_pricing_summary — TPC-H Q1 shape: scan + filter + groupBy + 8 aggregates.
@@ -104,10 +104,11 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the map-side combine compresses the fact shuffle and the post-join
     re-aggregation disappears (the semi-join only filters, never fans
     out). Measured at the 6 GB lake: 8.5 s → 3.2 s vs the join-first
-    plan, rows identical."""
+    plan, rows identical. Self-routes onto the bucketed fact pair when
+    present: the per-order pre-aggregate AND the semi-join then read
+    pre-clustered orderkey buckets (layout-only; oracle unchanged)."""
     cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
+    li, orders = facts_for_orderkey(spark, sf_dir)
     rev = fixed("l_extendedprice") * fixed(F.lit(1.0) - F.col("l_discount"))
     rev_per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("rev4"))
     # No broadcast hint: customer is SF-scaled (not a dimension) — a
@@ -147,13 +148,20 @@ GROUP BY r.r_name
 """
 
 
-@register("q5_region_revenue", oracle=_Q5_ORACLE, tags=("relational", "bench"), survey_ref="J1,A3,A11")
+@register(
+    "q5_region_revenue",
+    oracle=_Q5_ORACLE,
+    tags=("relational", "bench", "routed"),
+    survey_ref="J1,A3,A11 (self-routing onto the bucketed fact layout)",
+)
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = t(spark, sf_dir, "region")
     nation = t(spark, sf_dir, "nation")
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
+    # The dominant shuffle is the lineitem⋈orders orderkey SMJ — the same
+    # join q9/q18 shed by self-routing onto the bucketed fact pair
+    # (tables.facts_for_orderkey; layout-only routing, oracle unchanged).
+    li, orders = facts_for_orderkey(spark, sf_dir)
     rev = fixed("l_extendedprice") * fixed(F.lit(1.0) - F.col("l_discount"))
     dims = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -658,11 +666,17 @@ GROUP BY 1, 2, 3
     survey_ref="J1 self-aliased dim joins + cross-pair predicate (TPC-H Q7 shape)",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT routed onto the bucketed pair — A/B'd at 10× (0.08 s plain vs
+    # 0.16 s routed): the shipdate filter is selective enough that AQE
+    # broadcasts the small side and the plain scan's size-based splits
+    # beat the 32-bucket read; co-location only pays when both join
+    # sides stay fact-sized (q3/q4/q5/q8/q12/q21). orderkey join still
+    # goes FIRST so the plan keeps one fact shuffle at most.
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
-    sup = t(spark, sf_dir, "supplier")
     orders = t(spark, sf_dir, "orders")
+    sup = t(spark, sf_dir, "supplier")
     cust = t(spark, sf_dir, "customer")
     n1 = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -674,8 +688,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
     ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
     return (
-        li.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))

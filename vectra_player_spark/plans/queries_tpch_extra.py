@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from vectra_player_spark.functions.exact import fixed, r6d
 from vectra_player_spark.plans.registry import register
-from vectra_player_spark.tables import t
+from vectra_player_spark.tables import facts_for_orderkey, t
 
 # --------------------------------------------------------------------------
 # q6 — forecast-revenue-change: single scan, three pushed range predicates,
@@ -110,6 +110,10 @@ LIMIT 20
 )
 def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
+    # NOT routed onto the bucketed pair — A/B'd at 10× (0.40 s plain vs
+    # 0.57 s routed): the 3-month orders window collapses to broadcast
+    # size, so AQE's BHJ (zero fact shuffle, zero sort) beats the
+    # bucketed SMJ; co-location pays only for fact-sized join sides.
     orders = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
@@ -159,8 +163,10 @@ GROUP BY l.l_linestatus
     survey_ref="J1,P9,A9 (cross-table residual predicate + conditional counts)",
 )
 def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem").where(
+    # self-routes: equi-key is the order key, the residual date predicate
+    # rides the co-located SMJ (layout-only; oracle unchanged)
+    li_raw, orders = facts_for_orderkey(spark, sf_dir)
+    li = li_raw.where(
         F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -468,11 +474,13 @@ GROUP BY o.o_orderpriority
     survey_ref="J2 (correlated EXISTS semi-join with residual date predicate)",
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders").where(
+    # self-routes: the EXISTS semi-join keys on the order key, so the
+    # bucketed pair makes it exchange-free (layout-only; oracle unchanged)
+    li, orders_raw = facts_for_orderkey(spark, sf_dir)
+    orders = orders_raw.where(
         (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
     )
-    li = t(spark, sf_dir, "lineitem")
     return (
         orders.join(
             li,
@@ -525,8 +533,9 @@ FROM sales GROUP BY o_year
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectra_player_spark.functions.exact import fround
 
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
+    # self-routes: the first (and biggest) join keys on the order key —
+    # it comes first in the chain so the bucketed distribution feeds it
+    li, orders = facts_for_orderkey(spark, sf_dir)
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
@@ -907,8 +916,12 @@ GROUP BY s.s_name
     survey_ref="J2,J6,A9 (EXISTS/NOT-EXISTS pair as per-order culprit agg)",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    # The whole spine keys on the order key (the li⋈orders join, the
+    # per-(order,supp) aggregate, the per-order aggregate, the culprit
+    # self-join) — the bucketed pair removes every one of those
+    # exchanges at once (layout-only; oracle unchanged).
+    li, orders_raw = facts_for_orderkey(spark, sf_dir)
+    orders = orders_raw.where(F.col("o_orderstatus") == "F")
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
     late = F.when(

@@ -143,7 +143,9 @@ PRIORITY: tuple[str, ...] = (
 )
 
 # ROUND-7 ROTATION NOTE: keep the 5 sentinels, lead with round-7 changed
-# entries, then the 30 remaining r3-stale names (cube_lineitem,
+# entries — include q5_region_revenue (routing arm added r6, oracle
+# unchanged; locally verified on both arms but the driver should witness
+# the routed form) — then the 30 remaining r3-stale names (cube_lineitem,
 # doc_char_entropy, doc_decontamination, doc_denylist_scrub,
 # doc_fuzzy_prefix_pairs, doc_quality_filter, doc_repetition_filter,
 # doc_simhash_neardup_canonical, doc_source_mixture, doc_stratified_sample,

@@ -92,6 +92,27 @@ def invalidate_lake(sf_dir: str) -> None:
         del _PLAN_CACHE[key]
 
 
+def facts_for_orderkey(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(lineitem, orders) self-routed onto the orderkey-bucketed fact
+    pair when the layout exists for this lake — the fact-side analog of
+    events_for_windows. The TPC-H queries whose orderkey join keeps BOTH
+    sides fact-sized ride it (q3/q4/q5/q8/q9/q12/q18/q21 — measured
+    1.2-1.9× at the 10× lake): the SMJ plans with no Exchange on either
+    fact side, and with the bucketed-scan ordering conf no per-task Sort
+    either. Queries whose filters collapse one side to broadcast size
+    (q7, q10) deliberately do NOT route — AQE's BHJ over size-based
+    splits beats the 32-bucket read there (A/B'd in their docstrings).
+    Layout-only routing — values are identical on both arms, so every
+    routed query keeps its original oracle. Discovery never builds the
+    layout; absent/stale layout → the plain parquet scans."""
+    from vectra_player_spark.operators.skew import bucketed_facts_if_available
+
+    pair = bucketed_facts_if_available(spark, sf_dir)
+    if pair is not None:
+        return pair
+    return load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+
+
 def events_for_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table, self-routed onto the window-family bucketed
     layout when one exists for this lake (bucketed by user_id, sorted by
