@@ -415,3 +415,55 @@ def test_discovery_refuses_uncommitted_layout(spark, sf_dir):
         _BUCKETED_EVENTS.clear()
         spark.sql(f"DROP TABLE IF EXISTS {_events_table_name(sf_dir, 32)}")
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_q21_spine_self_routing(spark, sf_dir):
+    """Round-6: q21's entire spine keys on the order key (li⋈orders
+    join, per-(order,supp) agg, per-order agg, culprit self-join) — on
+    the bucketed pair every one of those orderkey exchanges disappears;
+    values identical on both arms."""
+    import shutil
+
+    from vectra_player_spark.operators.skew import (
+        _BUCKETED_FACTS,
+        _fact_table_name,
+        materialize_bucketed_facts,
+    )
+    from vectra_player_spark.plans.queries_tpch_extra import q21_waiting_suppliers
+
+    root = f"/tmp/vectra_bucketed_q21_{id(spark)}"
+    spark.conf.set("spark.vectra.bucketed.location", root)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+
+    def orderkey_exchanges(df):
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("+- == Initial Plan ==")[0]
+        return sum(
+            1
+            for line in final.splitlines()
+            if "Exchange hashpartitioning" in line
+            and ("l_orderkey" in line or "o_orderkey" in line or "po_orderkey" in line)
+        )
+
+    try:
+        shutil.rmtree(root, ignore_errors=True)
+        # fresh DataFrame per measurement: a collect() finalizes AQE and
+        # the reused query stages stop printing their Exchange lines
+        n_plain = orderkey_exchanges(q21_waiting_suppliers(spark, sf_dir))
+        plain_rows = sorted(map(tuple, q21_waiting_suppliers(spark, sf_dir).collect()))
+        assert n_plain >= 2  # join + aggregates shuffle on the plain arm
+
+        materialize_bucketed_facts(spark, sf_dir)
+        assert orderkey_exchanges(q21_waiting_suppliers(spark, sf_dir)) == 0
+        routed_rows = sorted(
+            map(tuple, q21_waiting_suppliers(spark, sf_dir).collect())
+        )
+        assert routed_rows == plain_rows
+    finally:
+        spark.conf.unset("spark.vectra.bucketed.location")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        _BUCKETED_FACTS.clear()
+        for name in ("lineitem", "orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {_fact_table_name(name, sf_dir, 32)}")
+        shutil.rmtree(root, ignore_errors=True)
