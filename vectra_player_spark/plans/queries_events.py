@@ -135,7 +135,7 @@ GROUP BY user_id
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop_duplicates(keep='first') made deterministic: 'first' under the
     # episode ordering = min(event_id) per key (SURVEY §7 hard-part 4).
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: rides the bucketed layout
     return ev.groupBy("user_id").agg(F.min("event_id").alias("first_event_id"))
 
 
@@ -303,7 +303,7 @@ FROM daily
 
 @register("rolling_daily_stats", oracle=_ROLLING_ORACLE, tags=("events",), survey_ref="W11")
 def rolling_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: rides the bucketed layout
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("day")
     ).agg(
@@ -408,7 +408,7 @@ GROUP BY user_id
 
 @register("vol_of_vol", oracle=_VOLVOL_ORACLE, tags=("events",), survey_ref="W6")
 def vol_of_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: rides the bucketed layout
     w = Window.partitionBy("user_id").orderBy("event_id")
     rets = ev.select(
         "user_id",
@@ -801,7 +801,7 @@ _RANGE_BUCKET_US = 3_600_000_000  # 1 h in microseconds
     survey_ref="range/interval join (bucketed equi-join scale path)",
 )
 def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: rides the bucketed layout
     w = Window.partitionBy("user_id").orderBy("event_id")
     prev_ts = F.lag("ts").over(w)
     new_session = (
@@ -868,7 +868,7 @@ def interval_concurrency_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix (per-time-bucket running sums + a cumulative over the tiny
     bucket-count relation) so no window ever sees a single global
     partition; the per-user count is an ordinary per-user window."""
-    ev = t(spark, sf_dir, "events")
+    ev = events_for_windows(spark, sf_dir)  # user_id-keyed: rides the bucketed layout
     w = Window.partitionBy("user_id").orderBy("event_id")
     prev_ts = F.lag("ts").over(w)
     new_session = (
