@@ -36,6 +36,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Appends fragment buckets; past this many files in the worst bucket the
+# tool compacts even without --compact (the sort-claim loss starts to
+# matter and the listing itself grows). Daily 1%-delta appends hit this
+# roughly weekly — the compaction cadence falls out of the data rate.
+AUTO_COMPACT_FILES_PER_BUCKET = 8
+
+
 def main() -> int:
     args = sys.argv[1:]
     compact = "--compact" in args
@@ -69,7 +76,8 @@ def main() -> int:
             stats.update({"lake": lake, "layout": name,
                           "sec": round(time.perf_counter() - t0, 1)})
             print(json.dumps(stats))
-            if compact:
+            frag = stats.get("max_files_per_bucket") or 0
+            if compact or frag > AUTO_COMPACT_FILES_PER_BUCKET:
                 t0 = time.perf_counter()
                 cstats = compact_fn(spark, lake)
                 cstats.update({"lake": lake, "layout": name,

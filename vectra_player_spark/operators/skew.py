@@ -368,6 +368,29 @@ def bucketed_facts_if_available(
     return result
 
 
+def max_files_per_bucket(spark: SparkSession, table_name: str) -> int:
+    """Fragmentation probe (listing-only): the worst bucket's file count.
+    1 = fully compacted (scan claims its sort order); >1 = appends have
+    accumulated (Exchange-free but sorted reads). maintain_layouts uses
+    this to trigger compaction on a threshold instead of a blind cadence."""
+    import re as _re
+
+    location = f"{_bucketed_root(spark)}/{table_name}"
+    path = spark._jvm.org.apache.hadoop.fs.Path(location)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return 0
+    counts: dict[int, int] = {}
+    it = fs.listFiles(path, False)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        m = _re.search(r"_(\d{5})(?:\.|_)", name)
+        if m:
+            b = int(m.group(1))
+            counts[b] = counts.get(b, 0) + 1
+    return max(counts.values(), default=0)
+
+
 def _ensure_fact_table_registered(
     spark: SparkSession, table_name: str, bucket_key: str, buckets: int
 ) -> None:
@@ -435,7 +458,8 @@ def refresh_bucketed_facts_layout(
         tuple(spark.table(n) for n in table_names),
         _lake_signature(spark, sf_dir, ("lineitem", "orders")),
     )
-    return {"mode": mode, "delta_rows": total_delta}
+    frag = max(max_files_per_bucket(spark, n) for n in table_names)
+    return {"mode": mode, "delta_rows": total_delta, "max_files_per_bucket": frag}
 
 
 def _compact_bucketed_table(
@@ -737,7 +761,11 @@ def refresh_bucketed_events_layout(
         spark.table(table_name),
         _lake_signature(spark, sf_dir),
     )
-    return {"mode": mode, "delta_rows": n_delta}
+    return {
+        "mode": mode,
+        "delta_rows": n_delta,
+        "max_files_per_bucket": max_files_per_bucket(spark, table_name),
+    }
 
 
 def compact_bucketed_events_layout(
