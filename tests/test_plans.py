@@ -1,13 +1,34 @@
 """Plan-regression tests: the physical plans the engine is designed around
 must not silently degrade. These assert the properties SURVEY §4 calls out
 — pushdown, broadcast joins, partial aggregation, top-k via
-TakeOrderedAndProject, and single-Window fusion for the feature matrix."""
+TakeOrderedAndProject, and single-Window fusion for the feature matrix.
+
+Every assertion here pins the LAYOUT-ABSENT default shape (the module
+fixture points layout discovery at an empty scratch root): self-routing
+onto bucketed layouts makes plans strictly better (fewer exchanges), and
+the routed shapes have their own tests (test_skew_bucketing,
+test_layout_incremental) — letting whatever layouts happen to sit in the
+shared /tmp root leak in here made these assertions depend on which
+maintenance command ran last."""
 
 from __future__ import annotations
 
 import pytest
 
 from vectra_player_spark import plans
+
+
+@pytest.fixture(autouse=True)
+def _layout_free(spark, tmp_path):
+    from vectra_player_spark.operators.skew import _BUCKETED_EVENTS, _BUCKETED_FACTS
+
+    spark.conf.set("spark.vectra.bucketed.location", str(tmp_path / "no_layouts"))
+    _BUCKETED_EVENTS.clear()
+    _BUCKETED_FACTS.clear()
+    yield
+    spark.conf.unset("spark.vectra.bucketed.location")
+    _BUCKETED_EVENTS.clear()
+    _BUCKETED_FACTS.clear()
 
 
 def _physical(spark, sf_dir, name):

@@ -43,6 +43,16 @@ def main() -> int:
     from vectra_player_spark.session import get_spark
 
     spark = get_spark("plan-inventory")
+    # PLANS.md documents the LAYOUT-ABSENT default shapes: point layout
+    # discovery at an empty scratch root so whatever bucketed layouts sit
+    # in the shared /tmp root can't leak into the audit (routed shapes
+    # are pinned by test_skew_bucketing/test_layout_incremental instead).
+    import tempfile
+
+    spark.conf.set(
+        "spark.vectra.bucketed.location",
+        tempfile.mkdtemp(prefix="plan_inventory_no_layouts_"),
+    )
     rows = []
     for name, spec in sorted(plans.QUERIES.items()):
         try:
