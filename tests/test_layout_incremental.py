@@ -48,6 +48,9 @@ def growing_lake(spark, sf_dir, tmp_path):
     yield lake, day2
     spark.conf.unset("spark.vectra.bucketed.location")
     _BUCKETED_EVENTS.clear()
+    from vectra_player_spark.operators.skew import _STALE_LAYOUTS
+
+    _STALE_LAYOUTS.clear()
     spark.sql(f"DROP TABLE IF EXISTS {_events_table_name(lake, BUCKETS)}")
     spark.sql(f"DROP TABLE IF EXISTS {_events_table_name(lake, BUCKETS)}_compact")
     shutil.rmtree(root, ignore_errors=True)
@@ -158,6 +161,91 @@ def test_ingest_day_refresh_route_and_compact(spark, growing_lake):
     rows3, ex3, srt3 = _window_rows_and_shape(spark, lake)
     assert (ex3, srt3) == (0, 0)
     assert rows3 == _plain_rows(spark, lake)
+
+
+def test_refresh_invalidates_plan_cache_itself(spark, growing_lake):
+    """Round-7 ADVICE (high): refresh must NOT depend on the caller having
+    run invalidate_lake first. Sequence that used to bake a wrong layout:
+    (1) t() caches the raw plan (listing snapshots at analysis), (2) the
+    lake grows, (3) refresh's 'built' path materializes THROUGH the stale
+    cached listing → a layout missing the new files, memoized against the
+    FRESH signature — discovery then routes queries onto incomplete data
+    with every guard already spent. The fix (invalidate at the top of
+    refresh + fresh _read inside materialize + post-build count assert)
+    makes this sequence safe."""
+    lake, day2 = growing_lake
+
+    # (1) cache the raw-events plan on the DAY-1 listing
+    n_day1 = t(spark, lake, "events").count()
+
+    # (2) the lake grows — and the caller does NOT invalidate
+    day2.coalesce(1).write.mode("append").parquet(f"{lake}/events.parquet")
+
+    # (3) first-ever refresh takes the 'built' path
+    stats = refresh_bucketed_events_layout(spark, lake, BUCKETS)
+    assert stats["mode"] == "built"
+
+    # the layout must cover the WHOLE lake, not the cached day-1 listing
+    layout = bucketed_events_if_available(spark, lake, BUCKETS)
+    assert layout is not None
+    assert layout.count() == n_day1 + day2.count()
+
+
+def test_stale_discovery_memoizes_negative_verdict(spark, growing_lake):
+    """Round-7 ADVICE (low): once discovery finds the layout stale, repeat
+    calls under the unchanged (lake, layout) state must skip the count
+    jobs — and a refresh must clear the memo so routing resumes."""
+    from vectra_player_spark.operators import skew as _skew
+
+    lake, day2 = growing_lake
+    assert refresh_bucketed_events_layout(spark, lake, BUCKETS)["mode"] == "built"
+    day2.coalesce(1).write.mode("append").parquet(f"{lake}/events.parquet")
+    invalidate_lake(lake)
+
+    assert bucketed_events_if_available(spark, lake, BUCKETS) is None
+    stale_key = (id(spark), lake, BUCKETS, "events")
+    assert stale_key in _skew._STALE_LAYOUTS  # verdict memoized
+
+    # second call: served from the memo (no count jobs). Proven by
+    # poisoning _raw_rowcount — a memo miss would have to call it.
+    orig = _skew._raw_rowcount
+    _skew._raw_rowcount = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("stale verdict should skip the count jobs")
+    )
+    try:
+        assert bucketed_events_if_available(spark, lake, BUCKETS) is None
+    finally:
+        _skew._raw_rowcount = orig
+
+    # refresh clears the memo and discovery routes again
+    assert refresh_bucketed_events_layout(spark, lake, BUCKETS)["mode"] == "appended"
+    assert stale_key not in _skew._STALE_LAYOUTS
+    assert bucketed_events_if_available(spark, lake, BUCKETS) is not None
+
+
+def test_none_signature_never_validates_memo(spark, growing_lake):
+    """Round-7 ADVICE (low): a lake whose signature probe FAILS (None)
+    must not satisfy the memo's staleness comparison (None == None used to
+    pass) — discovery falls through to the count re-validation instead."""
+    from unittest import mock
+
+    from vectra_player_spark.operators import skew as _skew
+
+    lake, _ = growing_lake
+    assert refresh_bucketed_events_layout(spark, lake, BUCKETS)["mode"] == "built"
+    # memoize with a BROKEN signature probe: the cached entry carries None
+    key = (id(spark), lake, BUCKETS)
+    df_cached, _sig = _skew._BUCKETED_EVENTS[key]
+    _skew._BUCKETED_EVENTS[key] = (df_cached, None)
+
+    with mock.patch.object(_skew, "_lake_signature", return_value=None):
+        with mock.patch.object(
+            _skew, "_raw_rowcount", wraps=_skew._raw_rowcount
+        ) as counted:
+            out = bucketed_events_if_available(spark, lake, BUCKETS)
+            # memo hit was REFUSED: the count check re-validated the layout
+            assert counted.called
+    assert out is not None  # layout is in fact fine — just re-proven
 
 
 def test_mutated_history_forces_rebuild(spark, growing_lake):

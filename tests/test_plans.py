@@ -368,3 +368,33 @@ def test_zorder_box_rollup_pushes_box_predicate(spark, sf_dir):
     # skipping is the entire point of the z-layout)
     pushed = plan.split("PushedFilters:")[1][:300]
     assert "user_id" in pushed and "value" in pushed, pushed
+
+
+def test_topology_sensitive_pin_gate():
+    """Round-7 ADVICE: the gbt pin must drop to rows-only (oracle=None)
+    under VECTRA_TOPOLOGY_SENSITIVE_PINS, and keep its VALUES pin by
+    default. Checked in a fresh subprocess because registration happens
+    at plans import."""
+    import os
+    import subprocess
+    import sys
+
+    child = (
+        "from vectra_player_spark import plans;"
+        "q = plans.QUERIES['gbt_threshold_analysis'];"
+        "print('ORACLE_IS_NONE' if q.oracle is None else 'ORACLE_PINNED')"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for env_val, expect in ((None, "ORACLE_PINNED"), ("rows-only", "ORACLE_IS_NONE")):
+        env = dict(os.environ, PYTHONPATH=repo)
+        env.pop("VECTRA_TOPOLOGY_SENSITIVE_PINS", None)
+        if env_val is not None:
+            env["VECTRA_TOPOLOGY_SENSITIVE_PINS"] = env_val
+        out = subprocess.run(
+            [sys.executable, "-c", child],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=120,
+        )
+        assert expect in out.stdout, (env_val, out.stdout[-500:], out.stderr[-500:])

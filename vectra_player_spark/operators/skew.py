@@ -103,6 +103,16 @@ def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
 # no longer covers it.
 _BUCKETED_FACTS: dict[tuple[int, str, int], tuple] = {}
 
+# Negative-discovery memo (round-7 ADVICE): (session id, sf_dir, buckets,
+# kind) → (raw lake signature, layout _SUCCESS token) observed when the
+# count check found the layout STALE. While BOTH tokens are unchanged the
+# verdict cannot have changed either — discovery skips straight to the
+# plain scan instead of re-paying two count jobs per query exactly while
+# the lake is stale. The layout token is part of the key so a refresh
+# from ANOTHER session (which rewrites _SUCCESS) invalidates the memo;
+# a refresh in THIS session pops it explicitly. None tokens never match.
+_STALE_LAYOUTS: dict[tuple[int, str, int, str], tuple] = {}
+
 # Root directory for the external bucketed layout. Configurable so
 # concurrent deployments can point at distinct scratch areas (a
 # drop-and-rewrite in one session must not clobber a location another
@@ -219,6 +229,27 @@ def _locations_live(
         return False
 
 
+def _layout_success_token(
+    spark: SparkSession, table_names: list[str]
+) -> tuple | None:
+    """Modification times of each layout table's _SUCCESS marker — every
+    (re)commit of the layout, including one from ANOTHER session, rewrites
+    the marker, so an unchanged token means the layout itself is unchanged.
+    None (probe failure / marker absent) must never be treated as a match."""
+    from py4j.protocol import Py4JError
+
+    root = _bucketed_root(spark)
+    token = []
+    try:
+        for table_name in table_names:
+            p = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/{table_name}/_SUCCESS")
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            token.append(fs.getFileStatus(p).getModificationTime())
+        return tuple(token)
+    except (Py4JError, AttributeError, RuntimeError):
+        return None
+
+
 def materialize_bucketed_facts(
     spark: SparkSession,
     sf_dir: str,
@@ -249,7 +280,7 @@ def materialize_bucketed_facts(
     scale.
     """
     from vectra_player_spark.session import prep_session
-    from vectra_player_spark.tables import t
+    from vectra_player_spark.tables import _read
 
     prep_session(spark)  # normalize tz before reading/persisting (see events)
 
@@ -261,10 +292,16 @@ def materialize_bucketed_facts(
         # stale hit would fail mid-query with FileNotFound instead. BOTH
         # locations are probed (round-5 ADVICE: an orders-only wipe used
         # to return a half-dead pair). The raw-lake signature must also
-        # be unchanged (round-6): a grown lake invalidates the layout.
+        # be unchanged (round-6): a grown lake invalidates the layout. A
+        # None signature is UNKNOWN, not unchanged (round-7 ADVICE): a
+        # lake whose listing probe fails must never validate a memo —
+        # None == None would trust the layout indefinitely.
         pair_cached, sig_cached = cached
-        if _locations_live(spark, sf_dir, buckets) and sig_cached == _lake_signature(
-            spark, sf_dir, ("lineitem", "orders")
+        sig_now = _lake_signature(spark, sf_dir, ("lineitem", "orders"))
+        if (
+            _locations_live(spark, sf_dir, buckets)
+            and sig_cached is not None
+            and sig_cached == sig_now
         ):
             return pair_cached
         del _BUCKETED_FACTS[key]
@@ -292,7 +329,12 @@ def materialize_bucketed_facts(
         fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(loc):
             fs.delete(loc, True)
-        df = t(spark, sf_dir, name)
+        # FRESH read, not the t() plan cache (round-7 ADVICE high): a
+        # cached plan's file listing snapshots at first analysis, so a
+        # materialize after the lake grew would bake an INCOMPLETE layout
+        # yet memoize it against the fresh signature — discovery would
+        # then route onto missing data with no guard left to notice.
+        df = _read(spark, sf_dir, name)
         (
             df.repartition(buckets, F.col(bucket_key))
             .sortWithinPartitions(bucket_key)
@@ -303,8 +345,18 @@ def materialize_bucketed_facts(
             .format("parquet")
             .saveAsTable(table_name)
         )
-        pair.append(spark.table(table_name))
+        layout = spark.table(table_name)
+        # belt-and-suspenders before memoizing: the layout must cover the
+        # raw table NOW (footer-count jobs — cheap next to the write)
+        n_layout, n_raw = layout.count(), _read(spark, sf_dir, name).count()
+        if n_layout != n_raw:
+            raise RuntimeError(
+                f"bucketed layout {table_name} wrote {n_layout} rows but raw "
+                f"{name} holds {n_raw} — lake changed mid-build; rerun"
+            )
+        pair.append(layout)
     result = (pair[0], pair[1])
+    _STALE_LAYOUTS.pop(key + ("facts",), None)
     _BUCKETED_FACTS[key] = (
         result,
         _lake_signature(spark, sf_dir, ("lineitem", "orders")),
@@ -343,15 +395,29 @@ def bucketed_facts_if_available(
     cached = _BUCKETED_FACTS.get(key)
     if cached is not None:
         pair_cached, sig_cached = cached
-        if _locations_live(spark, sf_dir, buckets) and sig_cached == sig:
+        # None signatures are UNKNOWN, never a match (round-7 ADVICE):
+        # a persistently failing listing probe must force re-validation
+        # via the count check below, not silently trust the layout.
+        if (
+            _locations_live(spark, sf_dir, buckets)
+            and sig is not None
+            and sig_cached == sig
+        ):
             return pair_cached
         _BUCKETED_FACTS.pop(key, None)
     if not _locations_live(spark, sf_dir, buckets):
         return None
+    table_names = [_fact_table_name(t, sf_dir, buckets) for t, _ in _FACT_SPECS]
+    token = _layout_success_token(spark, table_names)
+    stale_key = key + ("facts",)
+    if sig is not None and token is not None and _STALE_LAYOUTS.get(stale_key) == (
+        sig,
+        token,
+    ):
+        return None  # known-stale under this exact (lake, layout) state
     root = _bucketed_root(spark)
     pair = []
-    for name, bucket_key in _FACT_SPECS:
-        table_name = _fact_table_name(name, sf_dir, buckets)
+    for (name, bucket_key), table_name in zip(_FACT_SPECS, table_names):
         if not spark.catalog.tableExists(table_name):
             location = f"{root}/{table_name}"
             schema_ddl = spark.read.parquet(location).schema.toDDL()
@@ -361,9 +427,16 @@ def bucketed_facts_if_available(
                 f"INTO {buckets} BUCKETS LOCATION '{location}'"
             )
         if spark.table(table_name).count() != _raw_rowcount(spark, sf_dir, name):
-            return None  # layout no longer covers the lake — refresh needed
+            # layout no longer covers the lake — refresh needed. Memoize
+            # the NEGATIVE verdict (round-7 ADVICE): while neither the raw
+            # listing nor the layout commit changes, later calls skip the
+            # two count jobs and go straight to the plain scan.
+            if sig is not None and token is not None:
+                _STALE_LAYOUTS[stale_key] = (sig, token)
+            return None
         pair.append(spark.table(table_name))
     result = (pair[0], pair[1])
+    _STALE_LAYOUTS.pop(stale_key, None)
     _BUCKETED_FACTS[key] = (result, sig)
     return result
 
@@ -423,6 +496,12 @@ def refresh_bucketed_facts_layout(
     from vectra_player_spark.tables import _read, invalidate_lake
 
     prep_session(spark)
+    # Invalidate BEFORE any read or build (round-7 ADVICE high): refresh
+    # runs precisely because the lake may have grown, and every cached
+    # plan's file listing snapshots at first analysis — a build through a
+    # stale plan would bake an incomplete layout yet memoize it fresh.
+    invalidate_lake(sf_dir)
+    _STALE_LAYOUTS.pop((id(spark), sf_dir, buckets, "facts"), None)
     table_names = [_fact_table_name(t, sf_dir, buckets) for t, _ in _FACT_SPECS]
     if not _locations_live(spark, sf_dir, buckets, table_names):
         materialize_bucketed_facts(spark, sf_dir, buckets)
@@ -526,6 +605,7 @@ def compact_bucketed_facts_layout(
         _ensure_fact_table_registered(spark, table_name, bucket_key, buckets)
         _compact_bucketed_table(spark, table_name, bucket_key, (bucket_key,), buckets)
         _ensure_fact_table_registered(spark, table_name, bucket_key, buckets)
+    _STALE_LAYOUTS.pop((id(spark), sf_dir, buckets, "facts"), None)
     _BUCKETED_FACTS[(id(spark), sf_dir, buckets)] = (
         tuple(spark.table(n) for n in table_names),
         _lake_signature(spark, sf_dir, ("lineitem", "orders")),
@@ -558,9 +638,9 @@ def materialize_bucketed_events(
 
     Returns the bucketed table's DataFrame.
     """
-    from vectra_player_spark.tables import t
+    from vectra_player_spark.tables import _read
 
-    ev = t(spark, sf_dir, "events")
+    ev = _read(spark, sf_dir, "events")  # fresh listing — never a cached plan
     # one file per bucket => FileSourceScanExec reports both partitioning
     # AND ordering (multi-file buckets lose the ordering claim)
     writer = (
@@ -605,7 +685,7 @@ def materialize_bucketed_events_lake(
     see `bucketed_events_if_available` for the read side.
     """
     from vectra_player_spark.session import prep_session
-    from vectra_player_spark.tables import t
+    from vectra_player_spark.tables import _read
 
     # The layout write PERSISTS ts instants; normalize the session first
     # (UTC, same contract every registered query gets via the registry
@@ -619,9 +699,13 @@ def materialize_bucketed_events_lake(
     table_name = _events_table_name(sf_dir, buckets)
     if cached is not None:
         df_cached, sig_cached = cached
-        if _locations_live(
-            spark, sf_dir, buckets, [table_name]
-        ) and sig_cached == _lake_signature(spark, sf_dir):
+        sig_now = _lake_signature(spark, sf_dir)
+        # None = unknown, never a match (round-7 ADVICE) — see facts memo
+        if (
+            _locations_live(spark, sf_dir, buckets, [table_name])
+            and sig_cached is not None
+            and sig_cached == sig_now
+        ):
             return df_cached
         del _BUCKETED_EVENTS[key]
     root = _bucketed_root(spark)
@@ -631,7 +715,10 @@ def materialize_bucketed_events_lake(
     fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(loc):
         fs.delete(loc, True)
-    ev = t(spark, sf_dir, "events")
+    # FRESH read, not the t() plan cache (round-7 ADVICE high): a cached
+    # listing would bake a layout missing any files the lake grew since
+    # first analysis, then memoize it against the fresh signature.
+    ev = _read(spark, sf_dir, "events")
     (
         ev.repartition(buckets, F.col("user_id"))  # one file per bucket
         .sortWithinPartitions("user_id", "event_id")
@@ -643,6 +730,13 @@ def materialize_bucketed_events_lake(
         .saveAsTable(table_name)
     )
     out = spark.table(table_name)
+    n_layout, n_raw = out.count(), _read(spark, sf_dir, "events").count()
+    if n_layout != n_raw:
+        raise RuntimeError(
+            f"bucketed layout {table_name} wrote {n_layout} rows but raw "
+            f"events holds {n_raw} — lake changed mid-build; rerun"
+        )
+    _STALE_LAYOUTS.pop(key + ("events",), None)
     _BUCKETED_EVENTS[key] = (out, _lake_signature(spark, sf_dir))
     return out
 
@@ -681,18 +775,34 @@ def bucketed_events_if_available(
     cached = _BUCKETED_EVENTS.get(key)
     if cached is not None:
         df_cached, sig_cached = cached
+        # None = unknown, never a match (round-7 ADVICE): a failing
+        # listing probe forces re-validation via the count check below.
         if (
             _locations_live(spark, sf_dir, buckets, [table_name])
+            and sig is not None
             and sig_cached == sig
         ):
             return df_cached
         _BUCKETED_EVENTS.pop(key, None)
     if not _locations_live(spark, sf_dir, buckets, [table_name]):
         return None
+    token = _layout_success_token(spark, [table_name])
+    stale_key = key + ("events",)
+    if sig is not None and token is not None and _STALE_LAYOUTS.get(stale_key) == (
+        sig,
+        token,
+    ):
+        return None  # known-stale under this exact (lake, layout) state
     _ensure_events_table_registered(spark, table_name, buckets)
     out = spark.table(table_name)
     if out.count() != _raw_rowcount(spark, sf_dir, "events"):
-        return None  # layout no longer covers the lake — refresh needed
+        # memoize the negative verdict (round-7 ADVICE): repeat discovery
+        # calls while the lake is stale skip straight to the plain scan
+        # instead of re-paying both count jobs per query.
+        if sig is not None and token is not None:
+            _STALE_LAYOUTS[stale_key] = (sig, token)
+        return None
+    _STALE_LAYOUTS.pop(stale_key, None)
     _BUCKETED_EVENTS[key] = (out, sig)
     return out
 
@@ -727,6 +837,11 @@ def refresh_bucketed_events_layout(
     from vectra_player_spark.tables import _read, invalidate_lake
 
     prep_session(spark)
+    # Invalidate BEFORE any read or build (round-7 ADVICE high): the
+    # 'built' path below must not materialize through a cached listing
+    # that predates the very files this refresh exists to absorb.
+    invalidate_lake(sf_dir)
+    _STALE_LAYOUTS.pop((id(spark), sf_dir, buckets, "events"), None)
     table_name = _events_table_name(sf_dir, buckets)
     if not _locations_live(spark, sf_dir, buckets, [table_name]):
         materialize_bucketed_events_lake(spark, sf_dir, buckets)
@@ -798,6 +913,7 @@ def compact_bucketed_events_layout(
         spark, table_name, "user_id", ("user_id", "event_id"), buckets
     )
     _ensure_events_table_registered(spark, table_name, buckets)
+    _STALE_LAYOUTS.pop((id(spark), sf_dir, buckets, "events"), None)
     _BUCKETED_EVENTS[(id(spark), sf_dir, buckets)] = (
         spark.table(table_name),
         _lake_signature(spark, sf_dir),

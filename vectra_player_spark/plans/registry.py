@@ -90,74 +90,72 @@ PRIORITY: tuple[str, ...] = (
     "km_survival_curve",
     "doc_minhash_lsh_pairs",
     "strategy_grid_sweep_2100",
-    # -- round-6 changed entries (re-witness the new VALUES pins) ----------
-    "daily_uniques_sketch_rollup",  # HLL rollup: rows-only → regression-pin
-    "token_heavy_hitters_cms",  # CMS report: rows-only → regression-pin
-    "knn_ivf_cosine",  # decimal-exact centroids → regression-pin
-    "knn_ivf_kmeans_recall",  # deterministic Lloyd → regression-pin
-    "knn_pq_adc_recall",  # deterministic joint Lloyd → regression-pin
-    "gbt_threshold_analysis",  # topology-stability-gated → regression-pin
-    # two real 100×-sweep finds, fixed via exact-decimal accumulation —
-    # oracles changed, so they re-witness
-    "skewed_event_rollup",
-    "unpivot_lineitem_measures",
-    # -- backfill: ALL 23 names last witnessed in r2 (4 rounds stale) ------
-    "bm25_topk_retrieval",
-    "corpus_curation_pipeline",
-    "doc_sequence_packing",
-    "doc_train_split",
-    "event_rate_buckets",
-    "event_value_percentiles",
-    "hazard_rate_smoothed",
-    "kelly_entry_table",
-    "max_drop_per_user",
-    "multimodal_image_features",
-    "novel_event_detection",
-    "ohlc_bars",
-    "props_variant_stats",
-    "q13_customer_distribution",
-    "q19_disjunctive_revenue",
-    "q3_top_revenue_orders",
-    "recursive_hierarchy_rollup",
-    "rolling_daily_stats",
-    "scalar_subquery_small_qty",
-    "scd2_user_type_history",
-    "union_by_name_orders",
-    "user_trend_regression",
-    "volatility_per_user",
-    # -- r3-stale picks (16 slots; family diversity over the 45-name pool) -
-    "trailing_hour_uniques",  # exact arm behind the rows-only routed entry
-    "native_session_windows",  # T2 native session_window aggregation
-    "hybrid_rrf_retrieval",  # sparse+dense fusion
-    "rag_retrieval_context",  # RAG composition end-to-end
-    "gapfill_daily_locf",  # calendar densify + LOCF
-    "incremental_daily_rollup",  # incremental maintenance (round-6 theme)
-    "interval_concurrency_prefix",  # enumeration-free range-join scale path
-    "doc_dedup_canonical",  # CC canonicalization (dedup mandate)
-    "doc_lsh_recall_report",  # LSH accuracy self-report
-    "multimodal_audio_features",  # multimodal mandate (audio path)
-    "multimodal_frame_sample",  # multimodal mandate (video frame path)
-    "doc_pii_scrub",  # curation mandate (PII regex map)
-    "q6_revenue_forecast",  # TPC-H pushdown sentinel
-    "q22_sales_opportunity",  # TPC-H anti-join + scalar-avg subquery
+    # -- round-7 changed entry: routing arm added r6 (oracle unchanged;
+    # locally verified on both arms, the driver witnesses the routed form)
+    "q5_region_revenue",
+    # -- backfill: ALL 30 names last witnessed in r3 (4 rounds stale) ------
+    "cube_lineitem",
+    "doc_char_entropy",
+    "doc_decontamination",
+    "doc_denylist_scrub",
+    "doc_fuzzy_prefix_pairs",
+    "doc_quality_filter",
+    "doc_repetition_filter",
+    "doc_simhash_neardup_canonical",
+    "doc_source_mixture",
+    "doc_stratified_sample",
+    "doc_weighted_sample",
+    "embedding_int8_quantize",
+    "event_outlier_mad",
+    "exists_late_shipments",
+    "grouping_sets_lineitem",
+    "keyset_paginate_orders",
+    "lateral_topn_per_region",
+    "mmr_rerank_topk",
+    "not_exists_lapsed_customers",
+    "ntile_user_quartiles",
+    "pivot_event_counts",
+    "q10_returned_item_revenue",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q16_parts_supplier_counts",
+    "q18_large_volume_orders",
+    "q7_volume_shipping",
+    "rollup_lineitem",
+    "trailing_hour_stats",
+    "user_value_ranks",
+    # -- r4-stale picks (14 slots; family diversity over the 34-name pool) -
+    "asof_join_grid",  # F9 as-of join
+    "bayesian_gap_signal",  # M10, rides the routed events layout
+    "doc_simhash_neardup_pairs",  # dedup mandate: banded hamming pairs
+    "embedding_neardup_lsh",  # embedding dedup scale path
+    "ewma_features",  # W-family exact EWMA convolution
+    "feature_matrix",  # M2 16-feature vector
+    "funnel_conversion",  # ordered sequential-pattern funnel
+    "interval_range_join",  # no-equi-key range join
+    "knn_bruteforce_cosine",  # V4 exact ANN baseline
+    "q2_min_cost_supplier",  # TPC-H correlated-subquery shape
+    "q21_waiting_suppliers",  # TPC-H multi semi/anti self-join (routed)
+    "q9_product_profit_bucketed",  # bucketed fact layout witness
+    "training_set_builder",  # M4 training-set composition
+    "zorder_box_rollup",  # Morton-curve footer-stats pruning
 )
 
-# ROUND-7 ROTATION NOTE: keep the 5 sentinels, lead with round-7 changed
-# entries — include q5_region_revenue (routing arm added r6, oracle
-# unchanged; locally verified on both arms but the driver should witness
-# the routed form) — then the 30 remaining r3-stale names (cube_lineitem,
-# doc_char_entropy, doc_decontamination, doc_denylist_scrub,
-# doc_fuzzy_prefix_pairs, doc_quality_filter, doc_repetition_filter,
-# doc_simhash_neardup_canonical, doc_source_mixture, doc_stratified_sample,
-# doc_weighted_sample, embedding_int8_quantize, event_outlier_mad,
-# exists_late_shipments, grouping_sets_lineitem, keyset_paginate_orders,
-# lateral_topn_per_region, mmr_rerank_topk, not_exists_lapsed_customers,
-# ntile_user_quartiles, pivot_event_counts, q10_returned_item_revenue,
-# q12_priority_shipping, q14_promo_revenue, q16_parts_supplier_counts,
-# q7_volume_shipping, rollup_lineitem, trailing_hour_stats,
-# user_value_ranks, gapfill_daily_locf-siblings as needed), then r4-stale.
-# Verify slot 50 after every registration change (tools/show_cap.py); it
-# has drifted twice.
+# ROUND-8 ROTATION NOTE: keep the 5 sentinels, lead with round-8 changed
+# entries, then the 20 remaining r4-stale names (cohort_retention,
+# doc_chunk_dedup, doc_tfidf_topterms, embedding_neardup_components,
+# episode_batch_fetch, episode_price_arrays, event_transition_matrix,
+# event_value_percentiles_approx*, interval_range_join_routed*,
+# lake_summary_stats, nth_tick_anchors, q11_important_parts,
+# q15_top_supplier, q17_small_quantity_revenue, q20_part_promotion,
+# q4_order_priority, q8_market_share, sketch_accuracy_report*,
+# trailing_hour_uniques_hll*, volatility_sizing_tiers; * = rows-only, the
+# driver records them regardless of cap position so spend the slots on
+# oracle-backed names first), then r5-stale (42-name pool — prefer the
+# family heads: backtest_replay, monte_carlo_summary, gap_sessionization,
+# rl_observation_set, stateful_feature_extract, decision_pipeline_replay,
+# data_quality_report, q9_product_profit). Verify slot 50 after every
+# registration change (tools/show_cap.py); it has drifted twice.
 
 # The round-1/2 priority block, demoted to positions 51+ now that every
 # name in it has a green row in CORRECTNESS_r01/r02 (kept here: these run
