@@ -152,16 +152,37 @@ def _ensure_window_layout(spark, sf_dir: str) -> float:
             materialize_bucketed_events_lake,
         )
 
+        from vectra_player_spark.operators.sigstore import (
+            doc_signatures_if_available,
+            emb_signatures_if_available,
+            materialize_signature_store,
+        )
+
+        sec = 0.0
         if bucketed_events_if_available(spark, sf_dir) is None:
             t0 = _time.perf_counter()
             materialize_bucketed_events_lake(spark, sf_dir)
-            sec = round(_time.perf_counter() - t0, 3)
+            sec += round(_time.perf_counter() - t0, 3)
             print(
                 f"events window layout built for {sf_dir} in {sec:.1f}s",
                 file=sys.stderr,
             )
-            return sec
-        return 0.0
+        # dedup signature store (round-7): the near-dup bench queries ride
+        # precomputed minhash/simhash/hyperplane signatures — same
+        # ingest-time footing as the bucketed layouts
+        if (
+            doc_signatures_if_available(spark, sf_dir) is None
+            or emb_signatures_if_available(spark, sf_dir) is None
+        ):
+            t0 = _time.perf_counter()
+            materialize_signature_store(spark, sf_dir)
+            s = round(_time.perf_counter() - t0, 3)
+            sec += s
+            print(
+                f"signature store built for {sf_dir} in {s:.1f}s",
+                file=sys.stderr,
+            )
+        return round(sec, 3)
     except Exception as e:  # noqa: BLE001 — layout is an optimization only
         print(f"window layout unavailable for {sf_dir}: {e}", file=sys.stderr)
         return -1.0

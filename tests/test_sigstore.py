@@ -1,0 +1,190 @@
+"""Persisted dedup signature store (round-7): routed arms must be
+value-identical to the direct computations, discovery must refuse a store
+the lake outgrew, incremental refresh must absorb the delta without
+recomputing history, and mutated history must force a rebuild — the same
+contract as the bucketed layouts (test_layout_incremental), applied to
+the near-dup family's serving structure."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectra_player_spark.operators import sigstore
+from vectra_player_spark.tables import invalidate_lake, t
+
+
+@pytest.fixture()
+def sig_lake(spark, sf_dir, tmp_path):
+    """A temp lake holding the lower half of documents/embeddings by id
+    (as parquet DIRECTORIES, appendable), plus the day-2 deltas."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    cut_d = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    cut_e = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+    lake = str(tmp_path / "lake")
+    (tmp_path / "lake").mkdir()
+    docs.where(F.col("doc_id") <= cut_d).coalesce(2).write.parquet(
+        f"{lake}/documents.parquet"
+    )
+    emb.where(F.col("vec_id") <= cut_e).coalesce(2).write.parquet(
+        f"{lake}/embeddings.parquet"
+    )
+    delta_docs = docs.where(F.col("doc_id") > cut_d)
+    delta_emb = emb.where(F.col("vec_id") > cut_e)
+    root = f"/tmp/vectra_sigstore_test_{id(spark)}"
+    spark.conf.set("spark.vectra.bucketed.location", root)
+    shutil.rmtree(root, ignore_errors=True)
+    yield lake, delta_docs, delta_emb
+    spark.conf.unset("spark.vectra.bucketed.location")
+    sigstore._SIG_STORES.clear()
+    sigstore._STALE_STORES.clear()
+    shutil.rmtree(root, ignore_errors=True)
+    invalidate_lake(lake)
+
+
+ROUTED = (
+    "doc_exact_dedup",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "doc_simhash_neardup_pairs",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
+    "embedding_neardup_components",
+)
+
+
+def _run(spark, lake, name):
+    from vectra_player_spark.plans import QUERIES
+
+    return sorted(map(tuple, QUERIES[name].spark_fn(spark, lake).collect()))
+
+
+def _direct(spark, lake, name):
+    """The unrouted arm: force discovery to see no store."""
+    saved = spark.conf.get("spark.vectra.bucketed.location")
+    spark.conf.set("spark.vectra.bucketed.location", "/nonexistent_sigstore")
+    try:
+        return _run(spark, lake, name)
+    finally:
+        spark.conf.set("spark.vectra.bucketed.location", saved)
+
+
+def test_store_build_route_refresh_cycle(spark, sig_lake):
+    lake, delta_docs, delta_emb = sig_lake
+
+    # day 1: build; every routed query matches its direct arm
+    stats = sigstore.refresh_signature_store(spark, lake)
+    assert stats["doc"]["mode"] == "built" and stats["emb"]["mode"] == "built"
+    assert sigstore.doc_signatures_if_available(spark, lake) is not None
+    for name in ROUTED:
+        assert _run(spark, lake, name) == _direct(spark, lake, name), name
+
+    # day 2 lands in the raw lake — discovery must refuse the stale store
+    delta_docs.coalesce(1).write.mode("append").parquet(f"{lake}/documents.parquet")
+    delta_emb.coalesce(1).write.mode("append").parquet(f"{lake}/embeddings.parquet")
+    invalidate_lake(lake)
+    assert sigstore.doc_signatures_if_available(spark, lake) is None
+    assert sigstore.emb_signatures_if_available(spark, lake) is None
+    # unrouted arm still answers correctly on the grown lake
+    assert _run(spark, lake, "doc_simhash") == _direct(spark, lake, "doc_simhash")
+
+    # incremental refresh: delta-sized append, then routing resumes and
+    # every routed query matches the direct arm on the GROWN lake
+    stats = sigstore.refresh_signature_store(spark, lake)
+    assert stats["doc"]["mode"] == "appended"
+    assert stats["doc"]["delta_rows"] == delta_docs.count()
+    assert stats["emb"]["mode"] == "appended"
+    assert sigstore.doc_signatures_if_available(spark, lake) is not None
+    for name in ROUTED:
+        assert _run(spark, lake, name) == _direct(spark, lake, name), name
+
+    # idempotent
+    stats = sigstore.refresh_signature_store(spark, lake)
+    assert stats["doc"]["mode"] == "noop" and stats["emb"]["mode"] == "noop"
+
+
+def test_incremental_refresh_reassigns_known_texts(spark, sig_lake):
+    """A delta doc whose text already exists below the watermark must
+    join the EXISTING rep group (fingerprint join), not found a new one —
+    exact dedup group counts prove it."""
+    lake, _, _ = sig_lake
+    sigstore.refresh_signature_store(spark, lake)
+
+    # append a copy of an existing doc's text with a new higher id
+    from vectra_player_spark.tables import _read
+
+    docs = _read(spark, lake, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    dup = docs.orderBy("doc_id").limit(1).select(
+        (F.col("doc_id") + max_id + 1).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    dup.write.mode("append").parquet(f"{lake}/documents.parquet")
+    invalidate_lake(lake)
+
+    stats = sigstore.refresh_signature_store(spark, lake)
+    assert stats["doc"]["mode"] == "appended" and stats["doc"]["delta_rows"] == 1
+
+    # direct recomputes groups from scratch: if the refresh had founded a
+    # NEW rep group for the already-seen text (instead of joining the
+    # existing one), the routed group counts would differ
+    routed = _run(spark, lake, "doc_exact_dedup")
+    direct = _direct(spark, lake, "doc_exact_dedup")
+    assert routed == direct
+    # and the duplicated text's group really did grow to >= 2 members
+    assert any(n_dups >= 2 for _, n_dups, _ in routed)
+
+
+def test_mutated_history_forces_store_rebuild(spark, sig_lake):
+    lake, _, _ = sig_lake
+    sigstore.refresh_signature_store(spark, lake)
+
+    from vectra_player_spark.tables import _read
+
+    rows = _read(spark, lake, "documents").collect()
+    shutil.rmtree(f"{lake}/documents.parquet")
+    spark.createDataFrame(rows[:-3]).coalesce(2).write.parquet(
+        f"{lake}/documents.parquet"
+    )
+    invalidate_lake(lake)
+
+    assert sigstore.doc_signatures_if_available(spark, lake) is None
+    stats = sigstore.refresh_signature_store(spark, lake)
+    assert stats["doc"]["mode"] == "rebuilt"
+    assert _run(spark, lake, "doc_minhash_lsh_pairs") == _direct(
+        spark, lake, "doc_minhash_lsh_pairs"
+    )
+
+
+def test_stale_store_verdict_is_memoized(spark, sig_lake):
+    """Same negative-memo discipline as the layouts (round-7 ADVICE):
+    while the (lake, store) state is unchanged, repeat discovery skips
+    the count jobs."""
+    lake, delta_docs, _ = sig_lake
+    sigstore.refresh_signature_store(spark, lake)
+    delta_docs.coalesce(1).write.mode("append").parquet(f"{lake}/documents.parquet")
+    invalidate_lake(lake)
+
+    assert sigstore.doc_signatures_if_available(spark, lake) is None
+    key = (id(spark), lake, "doc")
+    assert key in sigstore._STALE_STORES
+
+    orig = sigstore._read_store
+    def _boom(*a, **k):
+        raise AssertionError("stale verdict should skip the store read")
+    sigstore._read_store = _boom
+    try:
+        assert sigstore.doc_signatures_if_available(spark, lake) is None
+    finally:
+        sigstore._read_store = orig
+
+    stats = sigstore.refresh_signature_store(spark, lake)
+    assert stats["doc"]["mode"] == "appended"
+    assert key not in sigstore._STALE_STORES
+    assert sigstore.doc_signatures_if_available(spark, lake) is not None

@@ -48,6 +48,7 @@ def main() -> int:
     compact = "--compact" in args
     lakes = [a for a in args if a != "--compact"] or ["/root/testdata/sf0.1"]
 
+    from vectra_player_spark.operators.sigstore import refresh_signature_store
     from vectra_player_spark.operators.skew import (
         BUCKETED_LOCATION_CONF,
         compact_bucketed_events_layout,
@@ -83,6 +84,13 @@ def main() -> int:
                 cstats.update({"lake": lake, "layout": name,
                                "sec": round(time.perf_counter() - t0, 1)})
                 print(json.dumps(cstats))
+        # dedup signature store (round-7): minhash/simhash/embedding-LSH
+        # signatures computed once per lake, ridden by the near-dup family
+        t0 = time.perf_counter()
+        sstats = refresh_signature_store(spark, lake)
+        sstats.update({"lake": lake, "layout": "signature_store",
+                       "sec": round(time.perf_counter() - t0, 1)})
+        print(json.dumps(sstats))
     spark.stop()
     return 0
 

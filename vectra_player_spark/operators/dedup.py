@@ -213,6 +213,24 @@ def minhash_lsh_pairs(
     # dominant CPU) runs twice. One rep-space materialization (|distinct
     # texts| rows) halves it: measured 2.2 s → 1.45 s at sf0.1.
     sig = pin(minhash_signatures(reps, id_col, text_col, w, k))
+    return minhash_pairs_from_signatures(sig, members, id_col, k, bands)
+
+
+def minhash_pairs_from_signatures(
+    sig: DataFrame,
+    members: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Band join + member expansion over a PRECOMPUTED rep signature
+    relation (id_col, h0..h{k-1}) — the stage the persisted signature
+    store (operators/sigstore) rides: at 100 TB the signatures are an
+    ingest-time artifact, so the per-query cost collapses to this banded
+    equi-join. ``sig`` must hold only reps WITH signatures (shingle-less
+    docs excluded, as minhash_signatures produces); ``members`` maps every
+    doc to its rep (_rep, _member). Identical output to minhash_lsh_pairs
+    by construction — signatures are pure functions of text."""
     rows_per_band = k // bands
     band_cols = [
         F.concat_ws(
@@ -396,6 +414,23 @@ def simhash_neardup_pairs(
     # minhash_lsh_pairs) — pin the rep-space fingerprints so the
     # token→md5→bit-vote chain runs once.
     fp = pin(simhash_fingerprints(reps, id_col, text_col))
+    return simhash_pairs_from_fingerprints(fp, members, id_col, k, bands)
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame,
+    members: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Byte-banded hamming<=k pairs + member expansion over PRECOMPUTED
+    rep fingerprints (id_col, simhash) — the signature-store stage (see
+    minhash_pairs_from_signatures). Every rep has a fingerprint (empty
+    text folds to 0), so intra pairs cover all groups, matching
+    simhash_neardup_pairs exactly."""
+    if k >= bands:
+        raise ValueError(f"exact recall needs k < bands (got k={k}, bands={bands})")
     band_width = 32 // bands
     mask = (1 << band_width) - 1
     stack_expr = ", ".join(

