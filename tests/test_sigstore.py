@@ -50,6 +50,9 @@ ROUTED = (
     "doc_minhash_lsh_pairs",
     "doc_simhash",
     "doc_simhash_neardup_pairs",
+    "doc_dedup_canonical",
+    "doc_simhash_neardup_canonical",
+    "doc_lsh_recall_report",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "embedding_neardup_components",

@@ -462,6 +462,45 @@ def doc_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectra_player_spark.functions.text import fingerprint, tokens
     from vectra_player_spark.operators.dedup import connected_components
 
+    store = doc_signatures_if_available(spark, sf_dir)
+    if store is not None:
+        # Store arm: rep signatures + the member map are ingest-time
+        # parquet, so the whole canonicalization touches NO raw text.
+        # Shingled-ness is uniform per fingerprint group (token count is
+        # a function of the normalized text), so the store's h0-null
+        # split is exactly the direct arm's tokens>=3 split, and the
+        # store's min-id rep is the direct arm's rep.
+        sigs, members = store
+        sh_sigs = sigs.where(F.col("h0").isNotNull())
+        identity = sh_sigs.select(
+            F.col("doc_id").alias("_rep"), F.col("doc_id").alias("_member")
+        )
+        pairs = minhash_pairs_from_signatures(
+            sh_sigs.select("doc_id", *[f"h{i}" for i in range(8)]), identity
+        )
+        labels = connected_components(pairs, "doc_a", "doc_b")
+        doc_rep = members.join(
+            sh_sigs.select(F.col("doc_id").alias("_rep")), "_rep"
+        ).select(F.col("_member").alias("doc_id"), F.col("_rep").alias("rep_id"))
+        main = doc_rep.join(
+            labels, doc_rep["rep_id"] == labels["node_id"], "left"
+        ).select(
+            "doc_id",
+            F.coalesce("component", "rep_id").cast("bigint").alias("canonical_id"),
+            (F.coalesce("component", "rep_id") == F.col("doc_id")).alias(
+                "is_keeper"
+            ),
+        )
+        short = members.join(
+            sigs.where(F.col("h0").isNull()).select(F.col("doc_id").alias("_rep")),
+            "_rep",
+        ).select(
+            F.col("_member").alias("doc_id"),
+            F.col("_member").cast("bigint").alias("canonical_id"),
+            F.lit(True).alias("is_keeper"),
+        )
+        return main.unionByName(short)
+
     docs = t(spark, sf_dir, "documents")
     # Docs with < 3 tokens have no shingles, so the LSH stage never pairs
     # them — the oracle leaves them as singletons even when their text is
@@ -654,6 +693,28 @@ LEFT JOIN comp c ON c.node = r.rep_id
 def doc_simhash_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectra_player_spark.functions.text import fingerprint
     from vectra_player_spark.operators.dedup import connected_components
+
+    store = doc_signatures_if_available(spark, sf_dir)
+    if store is not None:
+        # Store arm (see doc_dedup_canonical): rep fingerprints + member
+        # map off parquet, zero raw-text work per query.
+        sigs, members = store
+        identity = sigs.select(
+            F.col("doc_id").alias("_rep"), F.col("doc_id").alias("_member")
+        )
+        pairs = simhash_pairs_from_fingerprints(
+            sigs.select("doc_id", "simhash"), identity, k=3, bands=4
+        )
+        labels = connected_components(pairs, "doc_a", "doc_b")
+        return members.join(
+            labels, members["_rep"] == labels["node_id"], "left"
+        ).select(
+            F.col("_member").alias("doc_id"),
+            F.coalesce("component", "_rep").cast("bigint").alias("canonical_id"),
+            (F.coalesce("component", "_rep") == F.col("_member")).alias(
+                "is_keeper"
+            ),
+        )
 
     docs = t(spark, sf_dir, "documents")
     fpm = docs.select("doc_id", fingerprint("text").alias("fp"))
@@ -1023,13 +1084,31 @@ def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectra_player_spark.operators.dedup import rep_members
     from vectra_player_spark.session import pin
 
-    base = docs.select(F.col("doc_id"), F.col("text"))
-    reps, members = rep_members(base, "doc_id", [fingerprint("text")])
-    shared = (pin(reps), pin(members))
-    exact = ngram_jaccard_pairs(docs, threshold=0.2, prepared=shared).select(
-        "doc_a", "doc_b"
-    )
-    lsh = minhash_lsh_pairs(docs, prepared=shared).withColumn("_hit", F.lit(1))
+    store = doc_signatures_if_available(spark, sf_dir)
+    if store is not None:
+        # Store arm: the rep collapse and minhash chain come off the
+        # query; the exact-Jaccard side still shingles the rep TEXTS
+        # (shingle sets are deliberately not persisted — corpus-sized),
+        # fetched by a rep-id semi-join instead of a full-corpus window.
+        sigs, members = store
+        reps = docs.join(sigs.select("doc_id"), "doc_id")
+        exact = ngram_jaccard_pairs(
+            docs, threshold=0.2, prepared=(pin(reps), members)
+        ).select("doc_a", "doc_b")
+        lsh = minhash_pairs_from_signatures(
+            sigs.where(F.col("h0").isNotNull()).select(
+                "doc_id", *[f"h{i}" for i in range(8)]
+            ),
+            members,
+        ).withColumn("_hit", F.lit(1))
+    else:
+        base = docs.select(F.col("doc_id"), F.col("text"))
+        reps, members = rep_members(base, "doc_id", [fingerprint("text")])
+        shared = (pin(reps), pin(members))
+        exact = ngram_jaccard_pairs(docs, threshold=0.2, prepared=shared).select(
+            "doc_a", "doc_b"
+        )
+        lsh = minhash_lsh_pairs(docs, prepared=shared).withColumn("_hit", F.lit(1))
     joined = exact.join(lsh, ["doc_a", "doc_b"], "left")
     return joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact"),
