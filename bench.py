@@ -155,7 +155,8 @@ def _ensure_window_layout(spark, sf_dir: str) -> float:
         from vectra_player_spark.operators.sigstore import (
             doc_signatures_if_available,
             emb_signatures_if_available,
-            materialize_signature_store,
+            refresh_signature_store,
+            text_index_if_available,
         )
 
         sec = 0.0
@@ -167,19 +168,22 @@ def _ensure_window_layout(spark, sf_dir: str) -> float:
                 f"events window layout built for {sf_dir} in {sec:.1f}s",
                 file=sys.stderr,
             )
-        # dedup signature store (round-7): the near-dup bench queries ride
-        # precomputed minhash/simhash/hyperplane signatures — same
-        # ingest-time footing as the bucketed layouts
+        # dedup signature store + lexical index (round-7): the near-dup
+        # bench queries ride precomputed minhash/simhash/hyperplane
+        # signatures — same ingest-time footing as the bucketed layouts.
+        # refresh (not materialize) so a present store is a noop and a
+        # missing kind builds without rewriting the others.
         if (
             doc_signatures_if_available(spark, sf_dir) is None
             or emb_signatures_if_available(spark, sf_dir) is None
+            or text_index_if_available(spark, sf_dir) is None
         ):
             t0 = _time.perf_counter()
-            materialize_signature_store(spark, sf_dir)
+            refresh_signature_store(spark, sf_dir)
             s = round(_time.perf_counter() - t0, 3)
             sec += s
             print(
-                f"signature store built for {sf_dir} in {s:.1f}s",
+                f"signature store refreshed for {sf_dir} in {s:.1f}s",
                 file=sys.stderr,
             )
         return round(sec, 3)

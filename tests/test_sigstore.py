@@ -56,6 +56,7 @@ ROUTED = (
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "embedding_neardup_components",
+    "bm25_topk_retrieval",
 )
 
 
@@ -100,6 +101,7 @@ def test_store_build_route_refresh_cycle(spark, sig_lake):
     assert stats["doc"]["mode"] == "appended"
     assert stats["doc"]["delta_rows"] == delta_docs.count()
     assert stats["emb"]["mode"] == "appended"
+    assert stats["idx"]["mode"] == "appended"
     assert sigstore.doc_signatures_if_available(spark, lake) is not None
     for name in ROUTED:
         assert _run(spark, lake, name) == _direct(spark, lake, name), name

@@ -34,6 +34,13 @@ Store layout (external parquet dirs under the shared bucketed root,
     buckets ``bk0..bk2`` (functions/emb_lsh).
 ``emb_members_{tag}``
     ``(_rep, _member)`` for the embedding table.
+``idx_sigs_{tag}`` / ``idx_members_{tag}``
+    The lexical inverted index: postings ``(term, doc_id, tf)``
+    partitioned by ``tb`` (16 md5 hash buckets of the term — a literal
+    term set prunes to its partitions at the directory level, the
+    100 TB retrieval read shape) and the per-doc length table
+    ``(doc_id, dl)``. BM25's corpus tokenize+explode then never runs at
+    query time; N/avgdl aggregate off the narrow doclen table.
 
 Correctness contract: every stored column is a deterministic function of
 row content, so a routed query is value-IDENTICAL to the direct
@@ -76,7 +83,22 @@ _SIG_STORES: dict[tuple[int, str, str], tuple] = {}
 # stale — same discipline as skew._STALE_LAYOUTS.
 _STALE_STORES: dict[tuple[int, str, str], tuple] = {}
 
-_KIND_TABLES = {"doc": ("documents",), "emb": ("embeddings",)}
+_KIND_TABLES = {"doc": ("documents",), "emb": ("embeddings",), "idx": ("documents",)}
+
+# term → 16-way md5 hash bucket, identically computable driver-side (for
+# literal query-term pruning) and executor-side (for the partition column)
+IDX_BUCKETS = 16
+
+
+def term_bucket(term: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % IDX_BUCKETS
+
+
+_TB_EXPR = (
+    f"CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) % {IDX_BUCKETS}"
+)
 
 
 def _store_tag(sf_dir: str) -> str:
@@ -222,8 +244,41 @@ def _build_emb_store(spark: SparkSession, sf_dir: str) -> None:
         )
 
 
-_BUILDERS = {"doc": _build_doc_store, "emb": _build_emb_store}
-_RAW_TABLE = {"doc": "documents", "emb": "embeddings"}
+def _idx_tokens(docs: DataFrame) -> DataFrame:
+    """BM25's exact tokenization (lowercase whitespace split) — build and
+    query arms must agree to the token."""
+    return docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+
+
+def _build_text_index(spark: SparkSession, sf_dir: str) -> None:
+    from vectra_player_spark.tables import _read
+
+    postings_path, doclen_path = _paths(spark, sf_dir, "idx")
+    _wipe(spark, postings_path)
+    _wipe(spark, doclen_path)
+    base = _idx_tokens(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    dls = base.withColumn("dl", F.size("toks").cast("bigint"))
+    postings = (
+        dls.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", F.expr(_TB_EXPR))
+    )
+    postings.write.partitionBy("tb").parquet(postings_path)
+    dls.select("doc_id", "dl").write.parquet(doclen_path)
+    n_store = spark.read.parquet(doclen_path).count()
+    n_raw = _read(spark, sf_dir, "documents").count()
+    if n_store != n_raw:
+        raise RuntimeError(
+            f"text index wrote {n_store} doclen rows but raw documents "
+            f"holds {n_raw} — lake changed mid-build; rerun"
+        )
+
+
+_BUILDERS = {"doc": _build_doc_store, "emb": _build_emb_store, "idx": _build_text_index}
+_RAW_TABLE = {"doc": "documents", "emb": "embeddings", "idx": "documents"}
 
 
 def _read_store(
@@ -283,13 +338,20 @@ def emb_signatures_if_available(
     return _signatures_if_available(spark, sf_dir, "emb")
 
 
+def text_index_if_available(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """(postings, doclen) — the persisted lexical inverted index."""
+    return _signatures_if_available(spark, sf_dir, "idx")
+
+
 def materialize_signature_store(spark: SparkSession, sf_dir: str) -> None:
-    """Full build of both stores (ingest-time; used by
+    """Full build of all stores (ingest-time; used by
     tools/maintain_layouts.py and as the refresh fallback)."""
     from vectra_player_spark.session import prep_session
 
     prep_session(spark)
-    for kind in ("doc", "emb"):
+    for kind in ("doc", "emb", "idx"):
         _BUILDERS[kind](spark, sf_dir)
         _finish(spark, sf_dir, kind)
 
@@ -399,6 +461,40 @@ def _refresh_emb(spark: SparkSession, sf_dir: str) -> dict:
     return {"mode": mode, "delta_rows": n_delta}
 
 
+def _refresh_idx(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-doc artifact (no rep groups), so the watermark append is
+    direct: delta docs' postings and lengths shuffle delta-sized into
+    the partitioned index."""
+    from vectra_player_spark.tables import _read
+
+    postings_path, doclen_path = _paths(spark, sf_dir, "idx")
+    if not _live(spark, (postings_path, doclen_path)):
+        _build_text_index(spark, sf_dir)
+        return {"mode": "built", "delta_rows": None}
+    doclen = spark.read.parquet(doclen_path)
+    raw = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    wm = doclen.agg(F.max("doc_id")).collect()[0][0]
+    delta = raw.where(F.col("doc_id") > wm) if wm is not None else raw
+    n_delta = delta.count()
+    if n_delta:
+        dls = _idx_tokens(delta).withColumn("dl", F.size("toks").cast("bigint"))
+        (
+            dls.select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("tb", F.expr(_TB_EXPR))
+            .write.mode("append")
+            .partitionBy("tb")
+            .parquet(postings_path)
+        )
+        dls.select("doc_id", "dl").write.mode("append").parquet(doclen_path)
+    mode = "appended" if n_delta else "noop"
+    if spark.read.parquet(doclen_path).count() != raw.count():
+        _build_text_index(spark, sf_dir)
+        mode = "rebuilt"
+    return {"mode": mode, "delta_rows": n_delta}
+
+
 def refresh_signature_store(spark: SparkSession, sf_dir: str) -> dict:
     """Incremental maintenance for both stores: absorb the lake's new
     rows delta-sized; 'built' when absent, 'noop' when fresh, 'rebuilt'
@@ -410,7 +506,11 @@ def refresh_signature_store(spark: SparkSession, sf_dir: str) -> dict:
     prep_session(spark)
     invalidate_lake(sf_dir)
     out: dict = {}
-    for kind, fn in (("doc", _refresh_doc), ("emb", _refresh_emb)):
+    for kind, fn in (
+        ("doc", _refresh_doc),
+        ("emb", _refresh_emb),
+        ("idx", _refresh_idx),
+    ):
         _STALE_STORES.pop((id(spark), sf_dir, kind), None)
         out[kind] = fn(spark, sf_dir)
         _finish(spark, sf_dir, kind)

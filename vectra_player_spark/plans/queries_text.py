@@ -1288,22 +1288,49 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode), NOT a partition-less Window — at 100 TB the old global
     row_number sorted every doc matching any query term in one task."""
     from vectra_player_spark.operators.rank import ranked_topk
+    from vectra_player_spark.operators.sigstore import (
+        term_bucket,
+        text_index_if_available,
+    )
 
-    docs = t(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
-    )
-    dls = base.withColumn("dl", F.size("toks").cast("bigint"))
-    stats = dls.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    term_list = ", ".join(f"'{t_}'" for t_ in _BM25_TERMS)
-    hits = dls.select(
-        "doc_id",
-        "dl",
-        F.explode(F.expr(f"filter(toks, x -> x IN ({term_list}))")).alias("tok"),
-    )
-    tf = hits.groupBy("doc_id", "dl", "tok").agg(F.count("*").alias("tf"))
+    store = text_index_if_available(spark, sf_dir)
+    if store is not None:
+        # Persisted inverted index (operators/sigstore): the corpus
+        # tokenize+explode never runs at query time. The literal term
+        # set prunes the postings scan at the DIRECTORY level (tb hash
+        # partitions) before the row-level term filter — at 100 TB the
+        # read is a few index partitions, not the corpus. tf/dl/N/avgdl
+        # are deterministic functions of text, so the scores (and the
+        # oracle) are unchanged.
+        postings, doclen = store
+        terms = list(_BM25_TERMS)
+        tbs = sorted({term_bucket(x) for x in terms})
+        hits_idx = postings.where(
+            F.col("tb").isin(tbs) & F.col("term").isin(terms)
+        )
+        tf = (
+            hits_idx.join(doclen, "doc_id")
+            .select("doc_id", "dl", F.col("term").alias("tok"), "tf")
+        )
+        stats = doclen.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+    else:
+        docs = t(spark, sf_dir, "documents")
+        base = docs.select(
+            "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+        )
+        dls = base.withColumn("dl", F.size("toks").cast("bigint"))
+        stats = dls.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        term_list = ", ".join(f"'{t_}'" for t_ in _BM25_TERMS)
+        hits = dls.select(
+            "doc_id",
+            "dl",
+            F.explode(F.expr(f"filter(toks, x -> x IN ({term_list}))")).alias("tok"),
+        )
+        tf = hits.groupBy("doc_id", "dl", "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     k1, b = _BM25_K1, _BM25_B
     idf = F.log(
