@@ -193,3 +193,108 @@ def test_stale_store_verdict_is_memoized(spark, sig_lake):
     assert stats["doc"]["mode"] == "appended"
     assert key not in sigstore._STALE_STORES
     assert sigstore.doc_signatures_if_available(spark, lake) is not None
+
+
+def test_bm25_routed_plan_prunes_partitions(spark, sig_lake):
+    """The routed BM25 scan must carry directory-level PartitionFilters
+    on the term bucket AND a pushed row-level term filter — the index
+    read is a few partitions, never the corpus."""
+    lake, _, _ = sig_lake
+    sigstore.refresh_signature_store(spark, lake)
+    from vectra_player_spark.plans import QUERIES
+
+    df = QUERIES["bm25_topk_retrieval"].spark_fn(spark, lake)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        line for line in plan.splitlines() if "idx_sigs" in line and "FileScan" in line
+    ]
+    assert scan_lines, "routed bm25 must scan the postings store"
+    line = scan_lines[0]
+    assert "PartitionFilters: [tb" in line.replace("#", "").replace(" ", " ") or (
+        "PartitionFilters" in line and "tb" in line.split("PartitionFilters")[1]
+    ), line
+    assert "In(term" in line, line
+
+
+def test_streaming_docs_lake_feeds_signature_store(spark, sf_dir, tmp_path):
+    """Ingest-spine extension (round-7): documents arrive by STREAM into
+    the lake (native parquet sink — exactly-once via its metadata log),
+    the watermark refresh absorbs each ingest step delta-sized, and the
+    routed dedup queries stay value-identical to direct recomputation —
+    across a mid-stream stop/restart. Crash-safety needs no extra
+    machinery here: the lake is the source of truth, so a store left
+    stale by a crash merely unroutes until the next refresh."""
+    import shutil as _sh
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "stream_lake")
+    ckpt = str(tmp_path / "ckpt")
+    (tmp_path / "stream_lake").mkdir()
+    emb.write.parquet(f"{lake}/embeddings.parquet")
+    # two ingest waves, ascending doc_id (the lake's append cadence) —
+    # each wave lands as new files in ONE source dir (the restart resumes
+    # the same source; its checkpoint skips already-ingested files)
+    import glob as _glob
+    import os as _os
+
+    (tmp_path / "src").mkdir()
+
+    def land(wave: str, df) -> None:
+        stage = str(tmp_path / f"stage_{wave}")
+        df.coalesce(1).write.parquet(stage)
+        for i, f in enumerate(sorted(_glob.glob(f"{stage}/part-*.parquet"))):
+            _os.rename(f, f"{src}/{wave}_{i}.parquet")
+
+    land("wave1", docs.where(F.col("doc_id") <= cut))
+
+    root = f"/tmp/vectra_sigstream_{id(spark)}"
+    spark.conf.set("spark.vectra.bucketed.location", root)
+    _sh.rmtree(root, ignore_errors=True)
+    try:
+        schema = docs.schema
+
+        def ingest() -> None:
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", f"{lake}/documents.parquet")
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()  # mid-spine stop between waves = the crash point
+
+        ingest()
+        stats = sigstore.refresh_signature_store(spark, lake)
+        assert stats["doc"]["mode"] == "built"
+        assert _run(spark, lake, "doc_minhash_lsh_pairs") == _direct(
+            spark, lake, "doc_minhash_lsh_pairs"
+        )
+
+        # second wave arrives after the restart; the store is stale until
+        # the refresh catches up (unrouted reads stay correct meanwhile)
+        land("wave2", docs.where(F.col("doc_id") > cut))
+        ingest()
+        invalidate_lake(lake)
+        assert sigstore.doc_signatures_if_available(spark, lake) is None
+        stats = sigstore.refresh_signature_store(spark, lake)
+        assert stats["doc"]["mode"] == "appended"
+        assert stats["idx"]["mode"] == "appended"
+        for name in ("doc_exact_dedup", "doc_minhash_lsh_pairs", "bm25_topk_retrieval"):
+            assert _run(spark, lake, name) == _direct(spark, lake, name), name
+        # and the streamed lake really holds the whole corpus
+        from vectra_player_spark.tables import _read
+
+        assert _read(spark, lake, "documents").count() == docs.count()
+    finally:
+        spark.conf.unset("spark.vectra.bucketed.location")
+        sigstore._SIG_STORES.clear()
+        sigstore._STALE_STORES.clear()
+        _sh.rmtree(root, ignore_errors=True)
+        invalidate_lake(lake)
