@@ -57,6 +57,11 @@ ROUTED = (
     "embedding_neardup_lsh",
     "embedding_neardup_components",
     "bm25_topk_retrieval",
+    # corpus-statistic stores (deterministic quantizers): routed arms are
+    # bit-equal to direct refits at ANY lake state because refresh
+    # rebuilds rather than appending (sigstore module docstring)
+    "knn_ivf_kmeans_recall",
+    "knn_pq_adc_recall",
 )
 
 
@@ -102,6 +107,9 @@ def test_store_build_route_refresh_cycle(spark, sig_lake):
     assert stats["doc"]["delta_rows"] == delta_docs.count()
     assert stats["emb"]["mode"] == "appended"
     assert stats["idx"]["mode"] == "appended"
+    # quantizer stores rebuild (corpus statistics — appends would diverge)
+    assert stats["ivf"]["mode"] == "rebuilt"
+    assert stats["pq"]["mode"] == "rebuilt"
     assert sigstore.doc_signatures_if_available(spark, lake) is not None
     for name in ROUTED:
         assert _run(spark, lake, name) == _direct(spark, lake, name), name

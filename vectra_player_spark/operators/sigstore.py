@@ -41,6 +41,29 @@ Store layout (external parquet dirs under the shared bucketed root,
     100 TB retrieval read shape) and the per-doc length table
     ``(doc_id, dl)``. BM25's corpus tokenize+explode then never runs at
     query time; N/avgdl aggregate off the narrow doclen table.
+``ivf_sigs_{tag}`` / ``ivf_members_{tag}``
+    The IVF coarse quantizer: deterministic-Lloyd centroids
+    ``(cell_id, centroid)`` and the cell assignment ``(vec_id,
+    cell_id)`` (NULL cell for NULL embeddings). Fit at ingest, searched
+    at query time — the classic vector-index economics.
+``pq_sigs_{tag}`` / ``pq_members_{tag}``
+    Product quantization: codebooks ``(subspace, code, codeword)`` from
+    the deterministic joint Lloyd, and the 32×-compressed code table
+    ``(vec_id, codes, vhat_norm)``. ADC search reads codes only.
+
+Two refresh regimes, by what the artifact IS:
+
+- CONTENT-PURE stores (doc/emb signatures, the inverted index) append
+  under the id watermark — a row's stored value never depends on other
+  rows, so the refreshed store equals a from-scratch rebuild exactly.
+- CORPUS-STATISTIC stores (ivf/pq quantizers) REBUILD when stale: the
+  centroids/codebooks are functions of the whole corpus, so a
+  frozen-model append would diverge from direct recomputation and break
+  the bit-equal routing contract (and the VALUES pins riding it). A
+  production deployment that prefers ingest cheapness can absorb new
+  vectors under frozen centroids and retrain on a cadence — that trades
+  bit-reproducibility for cost, so this engine keeps the rebuild
+  default and the oracle-exact contract.
 
 Correctness contract: every stored column is a deterministic function of
 row content, so a routed query is value-IDENTICAL to the direct
@@ -83,7 +106,21 @@ _SIG_STORES: dict[tuple[int, str, str], tuple] = {}
 # stale — same discipline as skew._STALE_LAYOUTS.
 _STALE_STORES: dict[tuple[int, str, str], tuple] = {}
 
-_KIND_TABLES = {"doc": ("documents",), "emb": ("embeddings",), "idx": ("documents",)}
+_KIND_TABLES = {
+    "doc": ("documents",),
+    "emb": ("embeddings",),
+    "idx": ("documents",),
+    "ivf": ("embeddings",),
+    "pq": ("embeddings",),
+}
+
+# The ANN index hyper-parameters are part of the store contract: the
+# routed queries embed the same literals, so a store built with these
+# reproduces their direct arms bit-for-bit.
+IVF_CELLS = 16
+PQ_M = 8
+PQ_CODES = 64
+PQ_TRAIN_CAP = 20_000
 
 # term → 16-way md5 hash bucket, identically computable driver-side (for
 # literal query-term pruning) and executor-side (for the partition column)
@@ -277,8 +314,119 @@ def _build_text_index(spark: SparkSession, sf_dir: str) -> None:
         )
 
 
-_BUILDERS = {"doc": _build_doc_store, "emb": _build_emb_store, "idx": _build_text_index}
-_RAW_TABLE = {"doc": "documents", "emb": "embeddings", "idx": "documents"}
+def _build_ivf_store(spark: SparkSession, sf_dir: str) -> None:
+    from vectra_player_spark.operators.knn import assign_cells, kmeans_deterministic
+    from vectra_player_spark.tables import _read
+
+    sigs_path, members_path = _paths(spark, sf_dir, "ivf")
+    _wipe(spark, sigs_path)
+    _wipe(spark, members_path)
+    raw = _read(spark, sf_dir, "embeddings")
+    emb = raw.where(F.col("embedding").isNotNull())
+    if emb.isEmpty():  # k-means cannot fit on zero vectors — empty store
+        centroids = spark.createDataFrame([], "cell_id int, centroid array<double>")
+        members = raw.select("vec_id", F.lit(None).cast("int").alias("cell_id"))
+    else:
+        centroids = kmeans_deterministic(emb, n_cells=IVF_CELLS)
+        members = assign_cells(emb, centroids).select("vec_id", "cell_id").unionByName(
+            raw.where(F.col("embedding").isNull()).select(
+                "vec_id", F.lit(None).cast("int").alias("cell_id")
+            )
+        )
+    centroids.write.parquet(sigs_path)
+    members.write.parquet(members_path)
+    n_store = spark.read.parquet(members_path).count()
+    n_raw = _read(spark, sf_dir, "embeddings").count()
+    if n_store != n_raw:
+        raise RuntimeError(
+            f"IVF index wrote {n_store} assignment rows but raw embeddings "
+            f"holds {n_raw} — lake changed mid-build; rerun"
+        )
+
+
+def _build_pq_store(spark: SparkSession, sf_dir: str) -> None:
+    from vectra_player_spark.operators.knn import pq_encode, pq_train_deterministic
+    from vectra_player_spark.tables import _read
+
+    sigs_path, members_path = _paths(spark, sf_dir, "pq")
+    _wipe(spark, sigs_path)
+    _wipe(spark, members_path)
+    raw = _read(spark, sf_dir, "embeddings")
+    emb = raw.where(F.col("embedding").isNotNull())
+    if emb.isEmpty():
+        cb_df = spark.createDataFrame(
+            [], "subspace int, code int, codeword array<double>"
+        )
+        members = raw.select(
+            "vec_id",
+            F.lit(None).cast("array<int>").alias("codes"),
+            F.lit(None).cast("double").alias("vhat_norm"),
+        )
+    else:
+        # the SAME sampling rule the direct query arm applies, so the
+        # codebooks (and therefore every routed score) are bit-identical
+        n = emb.count()
+        frac = min(1.0, PQ_TRAIN_CAP / max(n, 1))
+        cb = pq_train_deterministic(
+            emb, m=PQ_M, n_codes=PQ_CODES, max_iter=8,
+            sample_fraction=None if frac >= 1.0 else frac,
+        )
+        cb_df = spark.createDataFrame(
+            [
+                (j, c, list(map(float, w)))
+                for j, book in enumerate(cb)
+                for c, w in enumerate(book)
+            ],
+            "subspace int, code int, codeword array<double>",
+        )
+        members = pq_encode(emb, cb).unionByName(
+            raw.where(F.col("embedding").isNull()).select(
+                "vec_id",
+                F.lit(None).cast("array<int>").alias("codes"),
+                F.lit(None).cast("double").alias("vhat_norm"),
+            )
+        )
+    cb_df.write.parquet(sigs_path)
+    members.write.parquet(members_path)
+    n_store = spark.read.parquet(members_path).count()
+    n_raw = _read(spark, sf_dir, "embeddings").count()
+    if n_store != n_raw:
+        raise RuntimeError(
+            f"PQ index wrote {n_store} code rows but raw embeddings "
+            f"holds {n_raw} — lake changed mid-build; rerun"
+        )
+
+
+def load_pq_codebook(sigs: DataFrame) -> list[list[list[float]]]:
+    """Materialize the stored codebook back into the nested-list form the
+    ADC/encode kernels inline as literals (driver-side model fetch — the
+    same pattern as the broadcast survival curves). Parquet round-trips
+    doubles exactly, so the loaded codebook is bit-identical to the fit."""
+    rows = sigs.collect()
+    if not rows:
+        return []
+    m = 1 + max(r["subspace"] for r in rows)
+    n = 1 + max(r["code"] for r in rows)
+    cb: list[list[list[float]]] = [[[] for _ in range(n)] for _ in range(m)]
+    for r in rows:
+        cb[r["subspace"]][r["code"]] = list(r["codeword"])
+    return cb
+
+
+_BUILDERS = {
+    "doc": _build_doc_store,
+    "emb": _build_emb_store,
+    "idx": _build_text_index,
+    "ivf": _build_ivf_store,
+    "pq": _build_pq_store,
+}
+_RAW_TABLE = {
+    "doc": "documents",
+    "emb": "embeddings",
+    "idx": "documents",
+    "ivf": "embeddings",
+    "pq": "embeddings",
+}
 
 
 def _read_store(
@@ -345,13 +493,30 @@ def text_index_if_available(
     return _signatures_if_available(spark, sf_dir, "idx")
 
 
+def ivf_index_if_available(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """(centroids, assignments) — the persisted IVF coarse quantizer."""
+    return _signatures_if_available(spark, sf_dir, "ivf")
+
+
+def pq_index_if_available(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """(codebooks, codes) — the persisted product-quantization index."""
+    return _signatures_if_available(spark, sf_dir, "pq")
+
+
+_ALL_KINDS = ("doc", "emb", "idx", "ivf", "pq")
+
+
 def materialize_signature_store(spark: SparkSession, sf_dir: str) -> None:
     """Full build of all stores (ingest-time; used by
     tools/maintain_layouts.py and as the refresh fallback)."""
     from vectra_player_spark.session import prep_session
 
     prep_session(spark)
-    for kind in ("doc", "emb", "idx"):
+    for kind in _ALL_KINDS:
         _BUILDERS[kind](spark, sf_dir)
         _finish(spark, sf_dir, kind)
 
@@ -495,11 +660,35 @@ def _refresh_idx(spark: SparkSession, sf_dir: str) -> dict:
     return {"mode": mode, "delta_rows": n_delta}
 
 
+def _refresh_rebuild(kind: str):
+    """Refresh for the corpus-statistic stores (ivf/pq): rebuild when the
+    lake changed — a frozen-quantizer append would diverge from direct
+    recomputation (module docstring, 'two refresh regimes')."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> dict:
+        from vectra_player_spark.tables import _read
+
+        paths = _paths(spark, sf_dir, kind)
+        if not _live(spark, paths):
+            _BUILDERS[kind](spark, sf_dir)
+            return {"mode": "built", "delta_rows": None}
+        n_store = spark.read.parquet(paths[1]).count()
+        n_raw = _read(spark, sf_dir, _RAW_TABLE[kind]).count()
+        if n_store == n_raw:
+            return {"mode": "noop", "delta_rows": 0}
+        _BUILDERS[kind](spark, sf_dir)
+        return {"mode": "rebuilt", "delta_rows": n_raw - n_store}
+
+    return fn
+
+
 def refresh_signature_store(spark: SparkSession, sf_dir: str) -> dict:
-    """Incremental maintenance for both stores: absorb the lake's new
-    rows delta-sized; 'built' when absent, 'noop' when fresh, 'rebuilt'
-    when history below the watermark changed. Invalidate-first and
-    re-memoize-after, per the round-7 refresh discipline."""
+    """Incremental maintenance for every store: content-pure stores
+    absorb the lake's new rows delta-sized (watermark append);
+    corpus-statistic stores rebuild; 'built' when absent, 'noop' when
+    fresh, 'rebuilt' when history below the watermark changed.
+    Invalidate-first and re-memoize-after, per the round-7 refresh
+    discipline."""
     from vectra_player_spark.session import prep_session
     from vectra_player_spark.tables import invalidate_lake
 
@@ -510,6 +699,8 @@ def refresh_signature_store(spark: SparkSession, sf_dir: str) -> dict:
         ("doc", _refresh_doc),
         ("emb", _refresh_emb),
         ("idx", _refresh_idx),
+        ("ivf", _refresh_rebuild("ivf")),
+        ("pq", _refresh_rebuild("pq")),
     ):
         _STALE_STORES.pop((id(spark), sf_dir, kind), None)
         out[kind] = fn(spark, sf_dir)

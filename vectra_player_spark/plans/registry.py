@@ -90,9 +90,23 @@ PRIORITY: tuple[str, ...] = (
     "km_survival_curve",
     "doc_minhash_lsh_pairs",
     "strategy_grid_sweep_2100",
-    # -- round-7 changed entry: routing arm added r6 (oracle unchanged;
-    # locally verified on both arms, the driver witnesses the routed form)
-    "q5_region_revenue",
+    # -- round-7 changed entries: the signature/index-store routing wave
+    # (oracles unchanged — store arms are value-identical by construction
+    # and verified routed==direct==oracle locally; the driver must witness
+    # the ROUTED forms, which is what it will execute with stores present)
+    "q5_region_revenue",  # r6 fact-routing arm, carried per the r6 note
+    "doc_exact_dedup",
+    "doc_simhash",
+    "doc_simhash_neardup_pairs",
+    "doc_dedup_canonical",
+    "doc_simhash_neardup_canonical",
+    "doc_lsh_recall_report",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
+    "embedding_neardup_components",
+    "bm25_topk_retrieval",
+    "knn_ivf_kmeans_recall",  # persisted-IVF arm reproduces the pin
+    "knn_pq_adc_recall",  # persisted-PQ arm reproduces the pin
     # -- backfill: ALL 30 names last witnessed in r3 (4 rounds stale) ------
     "cube_lineitem",
     "doc_char_entropy",
@@ -101,7 +115,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_fuzzy_prefix_pairs",
     "doc_quality_filter",
     "doc_repetition_filter",
-    "doc_simhash_neardup_canonical",
+    # (doc_simhash_neardup_canonical sits in the r7-changed block above)
     "doc_source_mixture",
     "doc_stratified_sample",
     "doc_weighted_sample",
@@ -124,38 +138,31 @@ PRIORITY: tuple[str, ...] = (
     "rollup_lineitem",
     "trailing_hour_stats",
     "user_value_ranks",
-    # -- r4-stale picks (14 slots; family diversity over the 34-name pool) -
+    # -- r4-stale picks (2 slots left after the r7-changed block; family
+    # diversity over the 34-name pool — the rest ride the round-8 note) --
     "asof_join_grid",  # F9 as-of join
-    "bayesian_gap_signal",  # M10, rides the routed events layout
-    "doc_simhash_neardup_pairs",  # dedup mandate: banded hamming pairs
-    "embedding_neardup_lsh",  # embedding dedup scale path
-    "ewma_features",  # W-family exact EWMA convolution
-    "feature_matrix",  # M2 16-feature vector
     "funnel_conversion",  # ordered sequential-pattern funnel
     "interval_range_join",  # no-equi-key range join
-    "knn_bruteforce_cosine",  # V4 exact ANN baseline
-    "q2_min_cost_supplier",  # TPC-H correlated-subquery shape
-    "q21_waiting_suppliers",  # TPC-H multi semi/anti self-join (routed)
-    "q9_product_profit_bucketed",  # bucketed fact layout witness
-    "training_set_builder",  # M4 training-set composition
-    "zorder_box_rollup",  # Morton-curve footer-stats pruning
 )
 
 # ROUND-8 ROTATION NOTE: keep the 5 sentinels, lead with round-8 changed
-# entries, then the 20 remaining r4-stale names (cohort_retention,
-# doc_chunk_dedup, doc_tfidf_topterms, embedding_neardup_components,
+# entries, then the remaining r4-stale names (bayesian_gap_signal,
+# cohort_retention, doc_chunk_dedup, doc_tfidf_topterms,
 # episode_batch_fetch, episode_price_arrays, event_transition_matrix,
-# event_value_percentiles_approx*, interval_range_join_routed*,
+# event_value_percentiles_approx*, ewma_features, feature_matrix,
+# interval_range_join_routed*, knn_bruteforce_cosine,
 # lake_summary_stats, nth_tick_anchors, q11_important_parts,
 # q15_top_supplier, q17_small_quantity_revenue, q20_part_promotion,
-# q4_order_priority, q8_market_share, sketch_accuracy_report*,
-# trailing_hour_uniques_hll*, volatility_sizing_tiers; * = rows-only, the
-# driver records them regardless of cap position so spend the slots on
-# oracle-backed names first), then r5-stale (42-name pool — prefer the
-# family heads: backtest_replay, monte_carlo_summary, gap_sessionization,
-# rl_observation_set, stateful_feature_extract, decision_pipeline_replay,
-# data_quality_report, q9_product_profit). Verify slot 50 after every
-# registration change (tools/show_cap.py); it has drifted twice.
+# q21_waiting_suppliers, q2_min_cost_supplier, q4_order_priority,
+# q8_market_share, q9_product_profit_bucketed, sketch_accuracy_report*,
+# trailing_hour_uniques_hll*, training_set_builder, volatility_sizing_tiers,
+# zorder_box_rollup; * = rows-only, the driver records them regardless of
+# cap position so spend the slots on oracle-backed names first), then
+# r5-stale (42-name pool — prefer the family heads: backtest_replay,
+# monte_carlo_summary, gap_sessionization, rl_observation_set,
+# stateful_feature_extract, decision_pipeline_replay, data_quality_report,
+# q9_product_profit). Verify slot 50 after every registration change
+# (tools/show_cap.py); it has drifted twice.
 
 # The round-1/2 priority block, demoted to positions 51+ now that every
 # name in it has a green row in CORRECTNESS_r01/r02 (kept here: these run
