@@ -73,8 +73,11 @@ def rep_members(
     Why this exists: every pairwise near-dup operator below generates
     candidates quadratically WITHIN a bucket (posting list, simhash band
     bucket, LSH bucket). On a duplication-heavy corpus (the reference
-    documents 12.5× duplication; the 100× scale corpus has 100 verbatim
-    copies per doc) bucket population scales with the duplication factor d,
+    documents a 12.5× dedup ratio — 11,130 raw → 888 unique, "Machine
+    Learning/models/sidebet-v1/training_data/README.md":162 — and ships a
+    DeduplicationTracker at ingest, services/recording/src/dedup.py; the
+    100× scale corpus has 100 verbatim copies per doc) bucket population
+    scales with the duplication factor d,
     so candidate volume grows d² — a 100× corpus produced tens of GB of
     shuffle and ran out of disk. Since every score below is a pure function
     of content, scoring in representative space is EXACTLY equivalent:
@@ -395,9 +398,11 @@ def simhash_neardup_pairs(
     bucket, then popcount(xor) <= k filters precision. The same banded
     shape as minhash_lsh_pairs: 100 TB-safe, shuffle on the band key only.
 
-    Catches the reference corpus's near-identical re-broadcasts
-    (training_data/README.md:162 documents 12.5x duplication) that exact
-    fingerprint equality misses at hamming 1-3.
+    Catches the reference stream's near-identical re-broadcasts (12.5×
+    dedup ratio, "Machine Learning/models/sidebet-v1/training_data/
+    README.md":162; its DeduplicationTracker handles only exact-gameId
+    repeats, services/recording/src/dedup.py) that exact fingerprint
+    equality misses at hamming 1-3.
     """
     if k >= bands:
         raise ValueError(f"exact recall needs k < bands (got k={k}, bands={bands})")

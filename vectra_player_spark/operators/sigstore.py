@@ -11,10 +11,15 @@ ingest-time artifact, exactly like the bucketed layouts
 incrementally as new documents arrive, discovered (never built) by the
 read path, with the raw table remaining the source of truth.
 
-Reference analog: the reference persists derived per-document artifacts
-next to the corpus rather than recomputing them per query (its dedup
-tooling writes signature sidecars during ingest); here the same economics
-are expressed as parquet relations any Spark job can scan.
+Reference analog: the reference pays its dedup bookkeeping at INGEST,
+not per query — the recorder's DeduplicationTracker suppresses repeat
+games as data arrives (services/recording/src/dedup.py; "gameId-based
+tracking prevents duplicates", services/recording/README.md:15), and the
+event-store service keeps a recorded-id set for the same purpose
+(src/services/event_store/service.py:83). At lake scale the same
+economics demand the derived artifacts (signatures, postings,
+quantizers) be persisted relations any Spark job can scan, not
+per-query recomputation.
 
 Store layout (external parquet dirs under the shared bucketed root,
 ``spark.vectra.bucketed.location``):
