@@ -57,6 +57,7 @@ ROUTED = (
     "embedding_neardup_lsh",
     "embedding_neardup_components",
     "bm25_topk_retrieval",
+    "doc_tfidf_topterms",
     # corpus-statistic stores (deterministic quantizers): routed arms are
     # bit-equal to direct refits at ANY lake state because refresh
     # rebuilds rather than appending (sigstore module docstring)

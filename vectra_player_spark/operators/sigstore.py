@@ -39,13 +39,20 @@ Store layout (external parquet dirs under the shared bucketed root,
     buckets ``bk0..bk2`` (functions/emb_lsh).
 ``emb_members_{tag}``
     ``(_rep, _member)`` for the embedding table.
-``idx_sigs_{tag}`` / ``idx_members_{tag}``
-    The lexical inverted index: postings ``(term, doc_id, tf)``
-    partitioned by ``tb`` (16 md5 hash buckets of the term — a literal
-    term set prunes to its partitions at the directory level, the
-    100 TB retrieval read shape) and the per-doc length table
-    ``(doc_id, dl)``. BM25's corpus tokenize+explode then never runs at
-    query time; N/avgdl aggregate off the narrow doclen table.
+``idx_sigs_{tag}_v2`` / ``idx_members_{tag}_v2``
+    The lexical inverted index: CASE-SENSITIVE postings ``(term,
+    term_lc, doc_id, tf)`` partitioned by ``tb`` (16 md5 hash buckets of
+    the LOWERCASED term — a literal query-term set prunes to its
+    partitions at the directory level, the 100 TB retrieval read shape)
+    and the per-doc length table ``(doc_id, dl)``. One table serves the
+    whole lexical family: TF-IDF consumes the case-sensitive rows
+    as-is, BM25 sums ``tf`` per ``(doc_id, term_lc)`` — lowercasing
+    commutes with whitespace splitting, so the lowercase token count is
+    exactly the sum over case variants, and ``dl`` is case-invariant.
+    Neither query tokenizes the corpus at read time; N/avgdl aggregate
+    off the narrow doclen table. (v2 suffix: the v1 layout lacked
+    ``term_lc``; versioned paths make an old on-disk store read as
+    absent instead of schema-breaking the routed arms.)
 ``ivf_sigs_{tag}`` / ``ivf_members_{tag}``
     The IVF coarse quantizer: deterministic-Lloyd centroids
     ``(cell_id, centroid)`` and the cell assignment ``(vec_id,
@@ -138,8 +145,11 @@ def term_bucket(term: str) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % IDX_BUCKETS
 
 
+# bucket on the LOWERCASED term: the pruning consumers (BM25) filter by
+# lowercase literals, and term_bucket() above hashes what it is given
 _TB_EXPR = (
-    f"CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) % {IDX_BUCKETS}"
+    f"CAST(conv(substring(md5(lower(term)), 1, 8), 16, 10) AS BIGINT)"
+    f" % {IDX_BUCKETS}"
 )
 
 
@@ -149,10 +159,17 @@ def _store_tag(sf_dir: str) -> str:
     return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
 
 
+# schema-version suffix per kind: bumping it makes every store of the
+# OLD layout read as absent (unrouted until the next maintain run
+# rebuilds) instead of feeding the routed arms a missing column
+_KIND_VERSION = {"idx": "_v2"}
+
+
 def _paths(spark: SparkSession, sf_dir: str, kind: str) -> tuple[str, str]:
     root = _bucketed_root(spark)
     tag = _store_tag(sf_dir)
-    return f"{root}/{kind}_sigs_{tag}", f"{root}/{kind}_members_{tag}"
+    v = _KIND_VERSION.get(kind, "")
+    return f"{root}/{kind}_sigs_{tag}{v}", f"{root}/{kind}_members_{tag}{v}"
 
 
 def _success_token(spark: SparkSession, paths: tuple[str, ...]) -> tuple | None:
@@ -287,10 +304,13 @@ def _build_emb_store(spark: SparkSession, sf_dir: str) -> None:
 
 
 def _idx_tokens(docs: DataFrame) -> DataFrame:
-    """BM25's exact tokenization (lowercase whitespace split) — build and
-    query arms must agree to the token."""
+    """The lexical family's shared tokenization (whitespace split,
+    CASE-SENSITIVE — functions/text.tokens). The case-insensitive
+    consumers (BM25) derive their view by summing tf per lowercased
+    term, which is exactly the lowercase tokenization's count because
+    lowercasing never creates or removes whitespace."""
     return docs.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
 
 
@@ -306,6 +326,7 @@ def _build_text_index(spark: SparkSession, sf_dir: str) -> None:
         dls.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_lc", F.lower(F.col("term")))
         .withColumn("tb", F.expr(_TB_EXPR))
     )
     postings.write.partitionBy("tb").parquet(postings_path)
@@ -652,7 +673,9 @@ def _refresh_idx(spark: SparkSession, sf_dir: str) -> dict:
             dls.select("doc_id", F.explode("toks").alias("term"))
             .groupBy("term", "doc_id")
             .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("term_lc", F.lower(F.col("term")))
             .withColumn("tb", F.expr(_TB_EXPR))
+            .select(*spark.read.parquet(postings_path).columns)
             .write.mode("append")
             .partitionBy("tb")
             .parquet(postings_path)

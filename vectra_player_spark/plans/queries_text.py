@@ -956,14 +956,29 @@ FROM ranked WHERE rn <= 3
 def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from vectra_player_spark.operators.sigstore import text_index_if_available
+
+    store = text_index_if_available(spark, sf_dir)
+    if store is not None:
+        # Persisted inverted index (operators/sigstore): the tf relation
+        # IS the postings table (case-sensitive rows, exactly this
+        # query's tokenization), df is one narrow aggregate over it, and
+        # n_docs comes off the doclen table — the full-corpus
+        # explode+groupBy never runs at query time. Values identical;
+        # oracle unchanged.
+        postings, doclen = store
+        tf = postings.select("doc_id", "term", "tf")
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        n = doclen.agg(F.count(F.lit(1)).alias("n_docs"))
+    else:
+        docs = t(spark, sf_dir, "documents")
+        tf = (
+            docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
@@ -1305,13 +1320,16 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings, doclen = store
         terms = list(_BM25_TERMS)
         tbs = sorted({term_bucket(x) for x in terms})
-        hits_idx = postings.where(
-            F.col("tb").isin(tbs) & F.col("term").isin(terms)
+        # the index is case-sensitive (shared with TF-IDF); BM25's
+        # lowercase view sums tf per (doc_id, term_lc) — exactly the
+        # lowercase tokenization's count, since lowercasing commutes
+        # with whitespace splitting
+        hits_idx = (
+            postings.where(F.col("tb").isin(tbs) & F.col("term_lc").isin(terms))
+            .groupBy("doc_id", F.col("term_lc").alias("tok"))
+            .agg(F.sum("tf").cast("bigint").alias("tf"))
         )
-        tf = (
-            hits_idx.join(doclen, "doc_id")
-            .select("doc_id", "dl", F.col("term").alias("tok"), "tf")
-        )
+        tf = hits_idx.join(doclen, "doc_id").select("doc_id", "dl", "tok", "tf")
         stats = doclen.agg(
             F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
         )

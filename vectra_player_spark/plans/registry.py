@@ -105,6 +105,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_neardup_lsh",
     "embedding_neardup_components",
     "bm25_topk_retrieval",
+    "doc_tfidf_topterms",  # rides the shared case-sensitive postings
     "knn_ivf_kmeans_recall",  # persisted-IVF arm reproduces the pin
     "knn_pq_adc_recall",  # persisted-PQ arm reproduces the pin
     # -- backfill: ALL 30 names last witnessed in r3 (4 rounds stale) ------
@@ -142,19 +143,19 @@ PRIORITY: tuple[str, ...] = (
     # diversity over the 34-name pool — the rest ride the round-8 note) --
     "asof_join_grid",  # F9 as-of join
     "funnel_conversion",  # ordered sequential-pattern funnel
-    "interval_range_join",  # no-equi-key range join
 )
 
 # ROUND-8 ROTATION NOTE: keep the 5 sentinels, lead with round-8 changed
 # entries, then the remaining r4-stale names (bayesian_gap_signal,
-# cohort_retention, doc_chunk_dedup, doc_tfidf_topterms,
+# cohort_retention, doc_chunk_dedup,
 # episode_batch_fetch, episode_price_arrays, event_transition_matrix,
 # event_value_percentiles_approx*, ewma_features, feature_matrix,
 # interval_range_join_routed*, knn_bruteforce_cosine,
 # lake_summary_stats, nth_tick_anchors, q11_important_parts,
 # q15_top_supplier, q17_small_quantity_revenue, q20_part_promotion,
 # q21_waiting_suppliers, q2_min_cost_supplier, q4_order_priority,
-# q8_market_share, q9_product_profit_bucketed, sketch_accuracy_report*,
+# q8_market_share, q9_product_profit_bucketed, interval_range_join,
+# sketch_accuracy_report*,
 # trailing_hour_uniques_hll*, training_set_builder, volatility_sizing_tiers,
 # zorder_box_rollup; * = rows-only, the driver records them regardless of
 # cap position so spend the slots on oracle-backed names first), then
