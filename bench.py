@@ -127,6 +127,33 @@ def main() -> None:
                     t10[name] = -1.0
             out["total_10x_sec"] = round(sum(v for v in t10.values() if v >= 0), 3)
             out["queries_10x"] = t10
+            # Serving-structure tier (round-7), reported SEPARATELY so the
+            # headline stays comparable round-over-round: these queries
+            # ride the persisted signature/index stores when present
+            # (their direct arms cost 5-30x more; SCALE.md §round-7).
+            store10: dict[str, float] = {}
+            from vectra_player_spark import plans as _plans
+
+            for name in (
+                "bm25_topk_retrieval",
+                "doc_tfidf_topterms",
+                "knn_ivf_kmeans_recall",
+                "knn_pq_adc_recall",
+                "doc_exact_dedup",
+                "doc_dedup_canonical",
+            ):
+                try:
+                    runs10 = []
+                    for _ in range(2):
+                        df = _plans.QUERIES[name].spark_fn(spark, dir_10x)
+                        start = time.perf_counter()
+                        df.write.format("noop").mode("overwrite").save()
+                        runs10.append(time.perf_counter() - start)
+                    store10[name] = round(min(runs10), 3)
+                except Exception as e:  # noqa: BLE001
+                    print(f"store bench query {name} failed: {e}", file=sys.stderr)
+                    store10[name] = -1.0
+            out["store_queries_10x"] = store10
         except Exception as e:  # noqa: BLE001 — the sf0.1 headline must survive
             print(f"10x section skipped: {e}", file=sys.stderr)
 
@@ -155,6 +182,8 @@ def _ensure_window_layout(spark, sf_dir: str) -> float:
         from vectra_player_spark.operators.sigstore import (
             doc_signatures_if_available,
             emb_signatures_if_available,
+            ivf_index_if_available,
+            pq_index_if_available,
             refresh_signature_store,
             text_index_if_available,
         )
@@ -177,6 +206,8 @@ def _ensure_window_layout(spark, sf_dir: str) -> float:
             doc_signatures_if_available(spark, sf_dir) is None
             or emb_signatures_if_available(spark, sf_dir) is None
             or text_index_if_available(spark, sf_dir) is None
+            or ivf_index_if_available(spark, sf_dir) is None
+            or pq_index_if_available(spark, sf_dir) is None
         ):
             t0 = _time.perf_counter()
             refresh_signature_store(spark, sf_dir)
