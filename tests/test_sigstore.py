@@ -53,6 +53,7 @@ ROUTED = (
     "doc_dedup_canonical",
     "doc_simhash_neardup_canonical",
     "doc_lsh_recall_report",
+    "doc_ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "embedding_neardup_components",

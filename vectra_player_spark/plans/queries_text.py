@@ -232,6 +232,19 @@ WHERE c.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - c.n_common) >= 0.2
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Threshold check on the unrounded ratio, like the oracle's WHERE.
     docs = t(spark, sf_dir, "documents")
+    store = doc_signatures_if_available(spark, sf_dir)
+    if store is not None:
+        # The rep collapse comes off the store (same fingerprint key);
+        # rep TEXTS arrive by semi-join — shingle sets are deliberately
+        # not persisted (corpus-sized), so the inverted index still
+        # builds per query, but never over a full-corpus window.
+        from vectra_player_spark.session import pin
+
+        sigs, members = store
+        reps = docs.join(sigs.select("doc_id"), "doc_id")
+        return ngram_jaccard_pairs(
+            docs, threshold=0.2, prepared=(pin(reps), members)
+        )
     return ngram_jaccard_pairs(docs, threshold=0.2)
 
 

@@ -101,6 +101,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_dedup_canonical",
     "doc_simhash_neardup_canonical",
     "doc_lsh_recall_report",
+    "doc_ngram_jaccard_pairs",  # rep collapse off the store
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "embedding_neardup_components",
@@ -139,15 +140,13 @@ PRIORITY: tuple[str, ...] = (
     "rollup_lineitem",
     "trailing_hour_stats",
     "user_value_ranks",
-    # -- r4-stale picks (2 slots left after the r7-changed block; family
-    # diversity over the 34-name pool — the rest ride the round-8 note) --
-    "asof_join_grid",  # F9 as-of join
+    # -- one r4-stale slot survives the r7-changed routing wave ------------
     "funnel_conversion",  # ordered sequential-pattern funnel
 )
 
 # ROUND-8 ROTATION NOTE: keep the 5 sentinels, lead with round-8 changed
-# entries, then the remaining r4-stale names (bayesian_gap_signal,
-# cohort_retention, doc_chunk_dedup,
+# entries, then the remaining r4-stale names (asof_join_grid,
+# bayesian_gap_signal, cohort_retention, doc_chunk_dedup,
 # episode_batch_fetch, episode_price_arrays, event_transition_matrix,
 # event_value_percentiles_approx*, ewma_features, feature_matrix,
 # interval_range_join_routed*, knn_bruteforce_cosine,
