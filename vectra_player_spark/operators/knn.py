@@ -154,6 +154,14 @@ def _lloyd_deterministic(
         base = base.where(
             coin.cast("bigint") % 1_000_000 < int(sample_fraction * 1_000_000)
         )
+    # The training set is read max_iter+1 times (init + one assignment pass
+    # per iteration). Materialize it ONCE — with a sample cap the refit
+    # cost is then bounded by the cap, not by lake size (the round-8
+    # quantizer-refresh contract): localCheckpoint both cuts the lineage
+    # back to the lake scan and caches the sampled rows, so iterations 2..N
+    # never touch lake files. Values are unchanged — checkpointing is pure
+    # materialization.
+    base = base.localCheckpoint(eager=True)
     first = sorted(
         base.orderBy("_id").limit(n_codes).collect(), key=lambda r: r["_id"]
     )
@@ -220,12 +228,22 @@ def kmeans_deterministic(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_iter: int = 8,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Coarse quantizer for IVF with reproducible output (see
     _lloyd_deterministic): same (cell_id, centroid) frame under any
     partitioning/core count — the property that makes the ANN recall
-    queries VALUES-pinnable for the driver's hash compare."""
-    books = _lloyd_deterministic(vectors, 1, n_cells, vec_col, id_col, max_iter)
+    queries VALUES-pinnable for the driver's hash compare.
+
+    ``sample_fraction`` caps the TRAINING set (md5-coin on the id, so the
+    sample itself is partition-invariant): at lake scale the quantizer is
+    a corpus statistic whose rebuild-on-change contract (sigstore) would
+    otherwise refit on the full lake — 16 centroids converge on a bounded
+    sample long before the corpus is seen. Assignment stays full-corpus;
+    only the model fit is sampled (the PQ codebook discipline)."""
+    books = _lloyd_deterministic(
+        vectors, 1, n_cells, vec_col, id_col, max_iter, sample_fraction
+    )
     return vectors.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(books[0])],
         "cell_id int, centroid array<double>",

@@ -132,6 +132,14 @@ _KIND_TABLES = {
 IVF_CELLS = 16
 PQ_M = 8
 PQ_CODES = 64
+# Quantizer TRAINING caps (round-8): the ivf/pq stores still REBUILD on
+# any lake change (quantizers are corpus statistics — module docstring),
+# but the Lloyd fit itself trains on a deterministic md5-coin sample of
+# at most this many vectors, so the refit cost is bounded by the cap
+# instead of linear in lake size. Assignment/encode remain full-corpus.
+# Both the store builders and the direct query arms apply the identical
+# rule, so routed == direct stays bit-exact at every lake size.
+IVF_TRAIN_CAP = 20_000
 PQ_TRAIN_CAP = 20_000
 
 # term → 16-way md5 hash bucket, identically computable driver-side (for
@@ -353,7 +361,15 @@ def _build_ivf_store(spark: SparkSession, sf_dir: str) -> None:
         centroids = spark.createDataFrame([], "cell_id int, centroid array<double>")
         members = raw.select("vec_id", F.lit(None).cast("int").alias("cell_id"))
     else:
-        centroids = kmeans_deterministic(emb, n_cells=IVF_CELLS)
+        # the SAME sampling rule the direct query arm applies (see
+        # IVF_TRAIN_CAP note above), so routed centroids are bit-identical
+        n = emb.count()
+        frac = min(1.0, IVF_TRAIN_CAP / max(n, 1))
+        centroids = kmeans_deterministic(
+            emb,
+            n_cells=IVF_CELLS,
+            sample_fraction=None if frac >= 1.0 else frac,
+        )
         members = assign_cells(emb, centroids).select("vec_id", "cell_id").unionByName(
             raw.where(F.col("embedding").isNull()).select(
                 "vec_id", F.lit(None).cast("int").alias("cell_id")
