@@ -222,3 +222,102 @@ def test_collapse_first_canonical_equals_direct(spark, tmp_path):
     oracle_pdf = con.execute(spec.oracle).df()
     problems = compare(spec.spark_fn(spark, sf), oracle_pdf)
     assert not problems, problems
+
+
+def test_ngram_jaccard_posting_cap_binds_and_logs(spark, caplog):
+    """max_doc_freq drop semantics where the cap actually BINDS (the
+    test lakes never reach NGRAM_MAX_DOC_FREQ, so the registered query
+    witnesses only the non-binding delta=0 case): raw document frequency
+    counts every duplicate copy (rep shingles weighted by group size),
+    dropped shingles stop contributing to pair scores, and the drop is
+    logged — the no-silent-caps accounting. Checked against a plain
+    per-doc Python reference of the same capped semantics."""
+    import itertools
+    import logging
+
+    from vectra_player_spark.operators.dedup import ngram_jaccard_pairs
+
+    t0 = "a b c d e f"          # shingles: abc bcd cde def
+    t4 = "a b c x y z"          # shares only 'a b c' with t0
+    t5 = "p q r s t u"          # unrelated
+    rows = [(0, t0), (1, t0), (2, t0), (3, t0), (4, t4), (5, t5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def reference(cap):
+        sh = {
+            i: {" ".join(txt.split()[j : j + 3]) for j in range(len(txt.split()) - 2)}
+            for i, txt in rows
+        }
+        df = {}
+        for s in set().union(*sh.values()):
+            df[s] = sum(1 for v in sh.values() if s in v)
+        kept = {
+            i: {s for s in v if cap is None or df[s] <= cap}
+            for i, v in sh.items()
+        }
+        out = set()
+        for a, b in itertools.combinations(sorted(kept), 2):
+            if not kept[a] and not kept[b]:
+                continue
+            inter = len(kept[a] & kept[b])
+            union = len(kept[a] | kept[b])
+            if union and inter / union >= 0.1:
+                out.add((a, b, round(inter / union, 6)))
+        return out
+
+    for cap in (None, 4):
+        with caplog.at_level(logging.WARNING, "vectra_player_spark.dedup"):
+            caplog.clear()
+            got = {
+                (r.doc_a, r.doc_b, r.jaccard)
+                for r in ngram_jaccard_pairs(
+                    docs, threshold=0.1, max_doc_freq=cap
+                ).collect()
+            }
+        assert got == reference(cap), (cap, got, reference(cap))
+        dropped_logged = any("dropped" in m for m in caplog.messages)
+        assert dropped_logged == (cap == 4)
+    # raw-df weighting: 'a b c' appears in 4 dup copies + doc 4 → df 5 > 4,
+    # so the capped run must lose exactly the (t0-group × doc 4) pairs
+    assert {(p[0], p[1]) for p in reference(None)} - {
+        (p[0], p[1]) for p in reference(4)
+    } == {(0, 4), (1, 4), (2, 4), (3, 4)}
+
+
+def test_simhash_stats_equals_aggregated_enumeration(spark):
+    """The enumeration-free (hamming, n_pairs, sum_ids) form must equal
+    aggregating the pair LISTING, on a corpus with real duplication so
+    the group algebra (s_a*s_b pairs, s_b*m_a + s_a*m_b id sums, C(s,2)
+    intra pairs) is exercised — the 100× consumer-arm contract."""
+    from collections import defaultdict
+
+    from vectra_player_spark.operators.dedup import (
+        rep_members,
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+        simhash_neardup_stats,
+    )
+    from vectra_player_spark.functions.text import fingerprint
+
+    t0 = "alpha beta gamma delta"
+    t1 = "alpha beta gamma zeta"     # near t0 in simhash space (maybe)
+    t2 = "totally different words here"
+    rows = [(10, t0), (11, t0), (12, t0), (20, t1), (21, t1), (30, t2), (31, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    listed = simhash_neardup_pairs(docs, k=3, bands=4).collect()
+    want = defaultdict(lambda: [0, 0])
+    for r in listed:
+        want[r.hamming][0] += 1
+        want[r.hamming][1] += r.doc_a + r.doc_b
+    reps, members = rep_members(
+        docs.select("doc_id", "text"), "doc_id", [fingerprint("text")]
+    )
+    got = {
+        r.hamming: (r.n_pairs, int(r.sum_ids))
+        for r in simhash_neardup_stats(
+            simhash_fingerprints(reps), members, k=3, bands=4
+        ).collect()
+    }
+    assert got == {h: tuple(v) for h, v in want.items()}
+    assert sum(v[0] for v in want.values()) >= 4  # dup groups did pair

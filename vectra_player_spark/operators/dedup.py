@@ -270,13 +270,29 @@ def minhash_pairs_from_signatures(
     )
 
 
+# Measured posting-list cap default (round-8). Distribution at the 100×
+# lake (500k docs, duplication factor d=100): max RAW shingle df = 2,500,
+# p99.99 = 2,400 — the raw tail is pure duplication (rep-space posting
+# lists top out at 25, total in-list pair work 1.26M pairs, because
+# collapse-first already divides the quadratic stage by d²). The default
+# is 2× the observed 100× maximum: it drops NOTHING on any tested lake
+# (delta = 0, so the oracle-backed queries keep exact semantics), while
+# at a real 100 TB corpus it clips the stopword-shingle tail whose
+# posting lists would otherwise make in-list pairing quadratic. Dropped
+# shingles are COUNTED AND LOGGED whenever the cap binds (no silent
+# caps); pass ``max_doc_freq=None`` for the exact uncapped form.
+NGRAM_MAX_DOC_FREQ = 5_000
+
+_LOG = __import__("logging").getLogger("vectra_player_spark.dedup")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     w: int = 3,
     threshold: float = 0.2,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = NGRAM_MAX_DOC_FREQ,
     prepared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup pairs by w-gram Jaccard >= threshold via inverted index.
@@ -289,8 +305,11 @@ def ngram_jaccard_pairs(
     pairs inherit the rep pair's score; intra-group pairs score exactly 1.0
     and exist only for groups with ≥1 (post-cap) shingle, matching the
     direct computation (shingle-less docs never pair). ``max_doc_freq``
-    still counts RAW document frequency — each rep's shingle contributes
-    its group size — so capped shingles are dropped identically.
+    (default ``NGRAM_MAX_DOC_FREQ`` — see the measured note above)
+    counts RAW document frequency — each rep's shingle contributes
+    its group size — so capped shingles are dropped identically to an
+    uncollapsed computation; when the cap binds, the dropped-shingle
+    count is logged (no-silent-caps discipline).
     ``prepared``: see minhash_lsh_pairs — shared rep collapse for
     multi-operator compositions."""
     base = docs.select(F.col(id_col), F.col(text_col))
@@ -300,6 +319,9 @@ def ngram_jaccard_pairs(
         reps, members = rep_members(base, id_col, [fingerprint(text_col)])
     sh = doc_shingles(reps, id_col, text_col, w)
     if max_doc_freq is not None:
+        # Pre-cap shingles feed two consumers (the df aggregate and the
+        # capped join below) — pin so the shingle explosion runs once.
+        sh = pin(sh)
         gsize = members.groupBy(F.col("_rep").alias(id_col)).agg(
             F.count(F.lit(1)).alias("_gsize")
         )
@@ -308,6 +330,18 @@ def ngram_jaccard_pairs(
             .groupBy("shingle")
             .agg(F.sum("_gsize").alias("df"))
         )
+        # No-silent-caps: count what the cap drops and say so. One small
+        # aggregate over the pinned shingle relation; at cluster scale
+        # this is the drop-accounting a curation pipeline must emit.
+        n_dropped = freq.where(F.col("df") > max_doc_freq).count()
+        if n_dropped:
+            _LOG.warning(
+                "ngram_jaccard_pairs: max_doc_freq=%d dropped %d shingles "
+                "(posting lists above the cap; pairs sharing ONLY those "
+                "shingles will not be scored)",
+                max_doc_freq,
+                n_dropped,
+            )
         sh = sh.join(freq.where(F.col("df") <= max_doc_freq), "shingle").select(
             id_col, "shingle"
         )
@@ -469,6 +503,111 @@ def simhash_pairs_from_fingerprints(
         rep_pairs, members, "doc_a", "doc_b", ["hamming"],
         intra_reps=fp.select(F.col(id_col).alias("doc_a")),
         intra_scores={"hamming": F.lit(0).cast("bigint")},
+    )
+
+
+def simhash_neardup_stats(
+    fp: DataFrame,
+    members: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Enumeration-free consumer form of simhash_pairs_from_fingerprints:
+    (hamming, n_pairs, sum_ids) per hamming distance — WITHOUT ever
+    materializing a member pair.
+
+    Why it exists (round-8): on the 100× corpus (duplication factor
+    d=100) the pair-ENUMERATION query is output-bound — 15.7B rows exist,
+    so 43.5 s is the listing's floor, not a plan defect. Every consumer
+    that wants volume/accounting (how much near-duplication is in the
+    lake, per distance) gets the same information from group algebra in
+    rep space, the ``interval_concurrency_prefix`` pattern: for a rep
+    pair (A, B) with member counts (s_a, s_b) and member-id sums
+    (m_a, m_b), the expansion contributes s_a·s_b pairs and
+    Σ(a+b) = s_b·m_a + s_a·m_b to the id-sum digest — each member of A
+    pairs with all s_b members of B, so its id appears s_b times (and
+    symmetrically); the digest is orientation-free because every pair
+    contributes doc_a + doc_b. Intra-group: C(s,2) pairs at hamming 0,
+    id-sum (s−1)·m. Cost is the rep-space band join only — O(rep pairs),
+    d² smaller than the enumeration, output |distinct hamming| rows.
+
+    ``fp``: rep fingerprints (id_col, simhash) — every rep (simhash is
+    total: empty text folds to 0), exactly as the signature store holds
+    them. Values equal aggregating the enumeration, verified against the
+    all-pairs SQL oracle. sum_ids accumulates in DECIMAL(38,0) and is
+    emitted as a STRING: the 100× lake's digest is ~4e20 (15.7B pairs ×
+    ~2.6e10 id sums) — past BIGINT — and exact wide integers round-trip
+    engine-portably only as text (the agg-digest tier's HUGEINT→float64
+    pandas finding, SCALE.md round 7).
+    """
+    if k >= bands:
+        raise ValueError(f"exact recall needs k < bands (got k={k}, bands={bands})")
+    gstats = members.groupBy(F.col("_rep").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("_s"),
+        F.sum("_member").alias("_m"),
+    )
+    # rep-space hamming pairs: same byte-band candidate join as the
+    # enumeration form (pigeonhole-exact recall for k < bands)
+    band_width = 32 // bands
+    mask = (1 << band_width) - 1
+    stack_expr = ", ".join(
+        f"{b}, (simhash >> {b * band_width}) & {mask}" for b in range(bands)
+    )
+    long = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.expr(f"stack({bands}, {stack_expr}) AS (band_idx, band_byte)"),
+    )
+    a = long.select(
+        F.col(id_col).alias("_ra"), F.col("simhash").alias("sim_a"),
+        "band_idx", "band_byte",
+    )
+    b = long.select(
+        F.col(id_col).alias("_rb"), F.col("simhash").alias("sim_b"),
+        "band_idx", "band_byte",
+    )
+    rep_pairs = (
+        a.join(b, ["band_idx", "band_byte"])
+        .where(F.col("_ra") < F.col("_rb"))
+        .select("_ra", "_rb", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.expr("sim_a ^ sim_b")).cast("bigint")
+        )
+        .where(F.col("hamming") <= k)
+    )
+    sa = gstats.select(
+        F.col(id_col).alias("_ra"), F.col("_s").alias("_sa"), F.col("_m").alias("_ma")
+    )
+    sb = gstats.select(
+        F.col(id_col).alias("_rb"), F.col("_s").alias("_sb"), F.col("_m").alias("_mb")
+    )
+    inter = (
+        rep_pairs.join(sa, "_ra")
+        .join(sb, "_rb")
+        .select(
+            "hamming",
+            (F.col("_sa") * F.col("_sb")).alias("_n"),
+            (F.col("_sb") * F.col("_ma") + F.col("_sa") * F.col("_mb")).alias("_ids"),
+        )
+    )
+    intra = gstats.select(
+        F.lit(0).cast("bigint").alias("hamming"),
+        (F.col("_s") * (F.col("_s") - 1) / 2).cast("bigint").alias("_n"),
+        ((F.col("_s") - 1) * F.col("_m")).alias("_ids"),
+    ).where(F.col("_n") > 0)
+    return (
+        inter.unionByName(intra)
+        .groupBy("hamming")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_pairs"),
+            # exact association-free accumulation; string output (see above)
+            F.sum(F.col("_ids").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("sum_ids"),
+        )
     )
 
 

@@ -35,6 +35,7 @@ from vectra_player_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_neardup_pairs,
+    simhash_neardup_stats,
     simhash_pairs_from_fingerprints,
 )
 from vectra_player_spark.operators.sigstore import doc_signatures_if_available
@@ -230,6 +231,13 @@ WHERE c.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - c.n_common) >= 0.2
 
 @register("doc_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("text", "dedup"), survey_ref="D1-D2 scale path")
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs with the operator's measured posting-list cap
+    (NGRAM_MAX_DOC_FREQ = 5,000 raw df — operators/dedup): 2× the
+    100×-lake maximum (2,500), so the cap drops zero shingles on every
+    tested lake (delta = 0, logged when it ever binds) and the uncapped
+    oracle stays exact, while a real stopword tail gets clipped at
+    100 TB. The binding-cap semantics are unit-tested against a
+    reference implementation (test_dedup_properties)."""
     # Threshold check on the unrounded ratio, like the oracle's WHERE.
     docs = t(spark, sf_dir, "documents")
     store = doc_signatures_if_available(spark, sf_dir)
@@ -328,6 +336,73 @@ def doc_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             sigs.select("doc_id", "simhash"), members, k=3, bands=4
         )
     return simhash_neardup_pairs(t(spark, sf_dir, "documents"), k=3, bands=4)
+
+
+# --------------------------------------------------------------------------
+# Enumeration-free consumer form: (hamming, n_pairs, sum_ids). The pair
+# LISTING above is output-bound at scale (15.7B rows exist on the 100×
+# corpus — enumeration is its contract); accounting consumers get the same
+# information from rep-space group algebra without materializing a single
+# member pair (operators/dedup.simhash_neardup_stats). The oracle aggregates
+# the all-pairs form — equal by construction, hash-checked.
+# --------------------------------------------------------------------------
+
+_SIMHASH_STATS_ORACLE = (
+    _TOKS_CTE
+    + f"""
+, hashed AS (
+  SELECT doc_id, list_transform(list_distinct(tokens), s -> {DUCKDB_HEX8}) AS hv FROM toks
+),
+fps AS (
+  SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash
+  FROM hashed
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)
+SELECT hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(doc_a + doc_b) AS VARCHAR) AS sum_ids
+FROM pairs
+GROUP BY hamming
+"""
+)
+
+
+@register(
+    "doc_simhash_neardup_stats",
+    oracle=_SIMHASH_STATS_ORACLE,
+    tags=("text", "dedup"),
+    survey_ref="D near-dup scale path (enumeration-free volume/digest consumer)",
+)
+def doc_simhash_neardup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication volume per hamming distance, enumeration-free:
+    where doc_simhash_neardup_pairs LISTS every pair (43.5 s at the 100×
+    lake, output-bound — 15.7B rows exist), this computes the pair count
+    and the Σ(doc_a+doc_b) digest from per-group (size, id-sum) algebra
+    in representative space — O(rep band pairs) work, |hamming| rows out,
+    the default form for lake-scale dedup accounting. Self-routes onto
+    the signature store; the direct arm computes the same rep fingerprints
+    inline. Values equal aggregating the enumeration (oracle does exactly
+    that)."""
+    from vectra_player_spark.operators.dedup import rep_members
+    from vectra_player_spark.session import pin
+
+    store = doc_signatures_if_available(spark, sf_dir)
+    if store is not None:
+        sigs, members = store
+        return simhash_neardup_stats(
+            sigs.select("doc_id", "simhash"), members, k=3, bands=4
+        )
+    from vectra_player_spark.functions.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    reps, members = rep_members(docs, "doc_id", [fingerprint("text")])
+    fp = pin(simhash_fingerprints(reps))
+    return simhash_neardup_stats(fp, members, k=3, bands=4)
 
 
 # --------------------------------------------------------------------------
@@ -1120,8 +1195,10 @@ def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fetched by a rep-id semi-join instead of a full-corpus window.
         sigs, members = store
         reps = docs.join(sigs.select("doc_id"), "doc_id")
+        # max_doc_freq=None: this arm IS the recall report's ground
+        # truth, so it must stay the exact uncapped Jaccard.
         exact = ngram_jaccard_pairs(
-            docs, threshold=0.2, prepared=(pin(reps), members)
+            docs, threshold=0.2, max_doc_freq=None, prepared=(pin(reps), members)
         ).select("doc_a", "doc_b")
         lsh = minhash_pairs_from_signatures(
             sigs.where(F.col("h0").isNotNull()).select(
@@ -1133,9 +1210,9 @@ def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = docs.select(F.col("doc_id"), F.col("text"))
         reps, members = rep_members(base, "doc_id", [fingerprint("text")])
         shared = (pin(reps), pin(members))
-        exact = ngram_jaccard_pairs(docs, threshold=0.2, prepared=shared).select(
-            "doc_a", "doc_b"
-        )
+        exact = ngram_jaccard_pairs(
+            docs, threshold=0.2, max_doc_freq=None, prepared=shared
+        ).select("doc_a", "doc_b")
         lsh = minhash_lsh_pairs(docs, prepared=shared).withColumn("_hit", F.lit(1))
     joined = exact.join(lsh, ["doc_a", "doc_b"], "left")
     return joined.agg(
