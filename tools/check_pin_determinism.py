@@ -27,6 +27,12 @@ CANDIDATES = (
     "knn_ivf_kmeans_recall",
     "knn_pq_adc_recall",
     "gbt_threshold_analysis",
+    # round-8: the last rows-only self-calibration reports. HLL register
+    # state is order-invariant by construction; percentile_approx's
+    # QuantileSummaries merge is the empirical question this gate answers.
+    "sketch_accuracy_report",
+    "trailing_hour_uniques_hll",
+    "event_value_percentiles_approx",
 )
 TOPOLOGIES = (("8", "8"), ("32", "32"), ("16", "64"))  # (cores, shuffle parts)
 
