@@ -75,14 +75,14 @@ def register(
 
 
 # Names the driver's correctness harness should reach FIRST. The driver
-# records exactly the first 50 dict entries (observed rounds 1-5), so
-# entry order is a scarce resource. Round-6 rotation (after r5, cumulative
-# driver witness is 156/156): 5 sentinels + the round-6 CHANGED entries
-# (the newly VALUES-pinned sketch/ANN/GBT tier must witness its new
-# oracles) + the least-recently-witnessed backfill — all 23 names last
-# seen in CORRECTNESS_r02 (four rounds stale) + 16 r3-stale picks chosen
-# for family diversity. Names not listed keep registration order after
-# the priority block.
+# records exactly the first 50 dict entries (observed rounds 1-7), so
+# entry order is a scarce resource. Round-8 rotation (after r7, cumulative
+# driver witness is 156/156 of the r7 registry; doc_simhash_neardup_stats
+# and the three newly pinned reports have never been driver-seen):
+# 5 sentinels + every round-8 CHANGED/NEW entry (the driver must witness
+# the forms it will actually execute) + ALL 26 remaining r4-stale names +
+# 10 r5-stale family heads. Verify slot 50 with tools/show_cap.py after
+# ANY registration change (it has drifted twice).
 PRIORITY: tuple[str, ...] = (
     # -- sentinels (green every prior round; one per family) --------------
     "q1_pricing_summary",
@@ -90,78 +90,67 @@ PRIORITY: tuple[str, ...] = (
     "km_survival_curve",
     "doc_minhash_lsh_pairs",
     "strategy_grid_sweep_2100",
-    # -- round-7 changed entries: the signature/index-store routing wave
-    # (oracles unchanged — store arms are value-identical by construction
-    # and verified routed==direct==oracle locally; the driver must witness
-    # the ROUTED forms, which is what it will execute with stores present)
-    "q5_region_revenue",  # r6 fact-routing arm, carried per the r6 note
-    "doc_exact_dedup",
-    "doc_simhash",
-    "doc_simhash_neardup_pairs",
-    "doc_dedup_canonical",
-    "doc_simhash_neardup_canonical",
-    "doc_lsh_recall_report",
-    "doc_ngram_jaccard_pairs",  # rep collapse off the store
-    "embedding_neardup_pairs",
-    "embedding_neardup_lsh",
-    "embedding_neardup_components",
-    "bm25_topk_retrieval",
-    "doc_tfidf_topterms",  # rides the shared case-sensitive postings
-    "knn_ivf_kmeans_recall",  # persisted-IVF arm reproduces the pin
-    "knn_pq_adc_recall",  # persisted-PQ arm reproduces the pin
-    # -- backfill: ALL 30 names last witnessed in r3 (4 rounds stale) ------
-    "cube_lineitem",
-    "doc_char_entropy",
-    "doc_decontamination",
-    "doc_denylist_scrub",
-    "doc_fuzzy_prefix_pairs",
-    "doc_quality_filter",
-    "doc_repetition_filter",
-    # (doc_simhash_neardup_canonical sits in the r7-changed block above)
-    "doc_source_mixture",
-    "doc_stratified_sample",
-    "doc_weighted_sample",
-    "embedding_int8_quantize",
-    "event_outlier_mad",
-    "exists_late_shipments",
-    "grouping_sets_lineitem",
-    "keyset_paginate_orders",
-    "lateral_topn_per_region",
-    "mmr_rerank_topk",
-    "not_exists_lapsed_customers",
-    "ntile_user_quartiles",
-    "pivot_event_counts",
-    "q10_returned_item_revenue",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q16_parts_supplier_counts",
-    "q18_large_volume_orders",
-    "q7_volume_shipping",
-    "rollup_lineitem",
-    "trailing_hour_stats",
-    "user_value_ranks",
-    # -- one r4-stale slot survives the r7-changed routing wave ------------
-    "funnel_conversion",  # ordered sequential-pattern funnel
+    # -- round-8 changed/new entries --------------------------------------
+    "doc_simhash_neardup_stats",  # NEW: enumeration-free pair stats
+    "event_value_percentiles_approx",  # NEW pin (was rows-only)
+    "sketch_accuracy_report",  # NEW pin (was rows-only)
+    "trailing_hour_uniques_hll",  # NEW pin (was rows-only)
+    "trailing_hour_uniques_routed",  # exact oracle restored (was rows-only)
+    "doc_ngram_jaccard_pairs",  # now runs the measured posting-list cap
+    "doc_lsh_recall_report",  # ground-truth arm explicitly uncapped
+    "knn_ivf_kmeans_recall",  # IVF fit now training-sample-capped
+    "knn_pq_adc_recall",  # Lloyd training set now checkpointed
+    # -- backfill: ALL 26 names last witnessed in r4 (4 rounds stale) -----
+    "asof_join_grid",
+    "bayesian_gap_signal",
+    "cohort_retention",
+    "doc_chunk_dedup",
+    "episode_batch_fetch",
+    "episode_price_arrays",
+    "event_transition_matrix",
+    "ewma_features",
+    "feature_matrix",
+    "interval_range_join",
+    "interval_range_join_routed",
+    "knn_bruteforce_cosine",
+    "lake_summary_stats",
+    "nth_tick_anchors",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit_bucketed",
+    "training_set_builder",
+    "volatility_sizing_tiers",
+    "zorder_box_rollup",
+    # -- r5-stale family heads (the deterministic replay tier + heads) ----
+    "backtest_replay",
+    "monte_carlo_summary",
+    "gap_sessionization",
+    "rl_observation_set",
+    "stateful_feature_extract",
+    "decision_pipeline_replay",
+    "data_quality_report",
+    "q9_product_profit",
+    "momentum_features",
+    "doc_text_quality",  # slot 50
 )
 
-# ROUND-8 ROTATION NOTE: keep the 5 sentinels, lead with round-8 changed
-# entries, then the remaining r4-stale names (asof_join_grid,
-# bayesian_gap_signal, cohort_retention, doc_chunk_dedup,
-# episode_batch_fetch, episode_price_arrays, event_transition_matrix,
-# event_value_percentiles_approx*, ewma_features, feature_matrix,
-# interval_range_join_routed*, knn_bruteforce_cosine,
-# lake_summary_stats, nth_tick_anchors, q11_important_parts,
-# q15_top_supplier, q17_small_quantity_revenue, q20_part_promotion,
-# q21_waiting_suppliers, q2_min_cost_supplier, q4_order_priority,
-# q8_market_share, q9_product_profit_bucketed, interval_range_join,
-# sketch_accuracy_report*,
-# trailing_hour_uniques_hll*, training_set_builder, volatility_sizing_tiers,
-# zorder_box_rollup; * = rows-only, the driver records them regardless of
-# cap position so spend the slots on oracle-backed names first), then
-# r5-stale (42-name pool — prefer the family heads: backtest_replay,
-# monte_carlo_summary, gap_sessionization, rl_observation_set,
-# stateful_feature_extract, decision_pipeline_replay, data_quality_report,
-# q9_product_profit). Verify slot 50 after every registration change
+# ROUND-9 ROTATION NOTE: keep the 5 sentinels, lead with round-9 changed
+# entries, then the remaining r5-stale pool (after this round's 10 heads:
+# agg_having_big_customers, best_row_dedup, conditional_end_prob,
+# corr_lineitem_measures, dedup_keep_first, descriptive_stats,
+# distinct_segments, doc_corpus_stats, doc_fingerprints,
+# embedding_centroids, event_type_counts, histogram_order_totals,
+# join_anti_dormant_customers, join_semi_active_customers,
+# json_props_stats, kelly_fractions_table, optimal_entry_window,
+# order_status_stats, paginate_orders, pre_event_window, ... — recompute
+# the staleness ranking from the CORRECTNESS_r{1..8} files as round 8 did),
+# then r6-stale. Verify slot 50 after every registration change
 # (tools/show_cap.py); it has drifted twice.
 
 # The round-1/2 priority block, demoted to positions 51+ now that every
