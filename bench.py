@@ -141,6 +141,10 @@ def main() -> None:
                 "knn_pq_adc_recall",
                 "doc_exact_dedup",
                 "doc_dedup_canonical",
+                # round-8: capped-posting-list Jaccard and the
+                # enumeration-free simhash stats consumer arm
+                "doc_ngram_jaccard_pairs",
+                "doc_simhash_neardup_stats",
             ):
                 try:
                     runs10 = []
