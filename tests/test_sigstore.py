@@ -50,6 +50,7 @@ ROUTED = (
     "doc_minhash_lsh_pairs",
     "doc_simhash",
     "doc_simhash_neardup_pairs",
+    "doc_simhash_neardup_stats",  # enumeration-free consumer arm (r8)
     "doc_dedup_canonical",
     "doc_simhash_neardup_canonical",
     "doc_lsh_recall_report",

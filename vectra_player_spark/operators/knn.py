@@ -465,9 +465,24 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: search only the nprobe nearest cells per query."""
-    cand_cells = assign_cells(candidates, centroids, id_col, vec_col)
+    """Approximate top-k: search only the nprobe nearest cells per query.
+
+    ``assignments``: optional precomputed (id_col, cell_id) relation —
+    the persisted IVF store's member table (operators/sigstore). The
+    assignment is a pure function of (vector, centroids), so when an
+    ingest-time store built on the SAME centroids provides it, the query
+    replaces the n_cells-cosines-per-candidate + per-id window with one
+    narrow equi-join — the data-sized stage the index exists to remove.
+    Values identical by construction; without it the query assigns
+    inline (the direct arm)."""
+    if assignments is not None:
+        cand_cells = candidates.select(id_col, vec_col).join(
+            assignments.select(id_col, "cell_id"), id_col
+        )
+    else:
+        cand_cells = assign_cells(candidates, centroids, id_col, vec_col)
     q_scored = queries.join(F.broadcast(centroids), F.lit(True)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
