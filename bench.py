@@ -139,6 +139,7 @@ def main() -> None:
                 "doc_tfidf_topterms",
                 "knn_ivf_kmeans_recall",
                 "knn_pq_adc_recall",
+                "knn_ivfpq_adc_recall",
                 "doc_exact_dedup",
                 "doc_dedup_canonical",
                 # round-8: capped-posting-list Jaccard and the

@@ -65,6 +65,7 @@ ROUTED = (
     # rebuilds rather than appending (sigstore module docstring)
     "knn_ivf_kmeans_recall",
     "knn_pq_adc_recall",
+    "knn_ivfpq_adc_recall",  # composed IVF+PQ serving path (r8)
 )
 
 

@@ -93,6 +93,21 @@ def test_ivf_kmeans_recall_meets_target(spark, sf_dir):
     assert row.mean_recall >= 0.65, row
 
 
+def test_ivfpq_composed_recall_and_containment(spark, sf_dir):
+    """V4 serving composition (round-8): IVF routing over PQ codes. The
+    registered recall query beats a floor (0.40 leaves margin under the
+    measured 0.458 — composing the two worst-case approximations
+    multiplies their losses, so the floor sits below both parents') and
+    reports the exact knob set. Routed == direct is covered by
+    test_sigstore's ROUTED cycle."""
+    from vectra_player_spark import plans
+
+    row = plans.QUERIES["knn_ivfpq_adc_recall"].spark_fn(spark, sf_dir).collect()[0]
+    assert row.n_queries == 50
+    assert row.mean_recall >= 0.40, row
+    assert (row.nprobe, row.n_cells, row.m_subspaces, row.n_codes) == (8, 16, 8, 64)
+
+
 def test_pq_adc_recall_and_roundtrip(spark, sf_dir):
     """V4 compression tier: product quantization. Two properties: (1) the
     registered recall query beats a floor (0.30 leaves seed margin under

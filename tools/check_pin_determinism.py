@@ -26,6 +26,7 @@ CANDIDATES = (
     "knn_ivf_cosine",
     "knn_ivf_kmeans_recall",
     "knn_pq_adc_recall",
+    "knn_ivfpq_adc_recall",
     "gbt_threshold_analysis",
     # round-8: the last rows-only self-calibration reports. HLL register
     # state is order-invariant by construction; percentile_approx's

@@ -434,6 +434,90 @@ def pq_topk_adc(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codes: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composed search — the classic inverted-file ADC layout
+    (FAISS IVFPQ; Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): the coarse quantizer routes each
+    query to its ``nprobe`` nearest cells, and ONLY those cells'
+    PQ codes are ADC-scored. The data-sized stage therefore touches
+    ~nprobe/n_cells of a table that is itself 32× compressed — the
+    two stores' savings multiply, which is the shape a 100 TB ANN
+    serving job actually runs.
+
+    All inputs are the persisted index relations (operators/sigstore):
+    ``centroids`` (cell_id, centroid), ``assignments`` (id, cell_id),
+    ``codes`` (id, codes, vhat_norm), plus the loaded ``codebook``.
+    Per-pair scores are identical to pq_topk_adc (same lookup-table
+    expressions); the candidate set is the IVF restriction. Queries
+    stay exact; one broadcast join on cell_id; one window for top-k.
+    Deterministic end to end (both quantizers are the deterministic
+    Lloyd's; ties break to the lowest neighbor id)."""
+    from vectra_player_spark.functions.vectors import norm
+
+    m = len(codebook)
+    d = len(codebook[0][0])
+    qv = "CAST(q_vec AS ARRAY<DOUBLE>)"
+    tbl_cols = [
+        F.expr(
+            f"transform({_arr_lit(codebook[j])}, cc -> "
+            f"aggregate(zip_with(slice({qv}, {j * d + 1}, {d}), cc, "
+            "(x, y) -> x * y), 0.0D, (a, t) -> a + t))"
+        ).alias(f"_t{j}")
+        for j in range(m)
+    ]
+    q_scored = queries.join(F.broadcast(centroids), F.lit(True)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("cell_id"),
+        cosine(vec_col, "centroid").alias("_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell_id"))
+    q_cells = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select(
+            "query_id",
+            F.col("q_vec"),
+            norm("q_vec").alias("q_norm"),
+            "cell_id",
+        )
+        .select("query_id", "q_norm", "cell_id", *tbl_cols)
+    )
+    cand = codes.join(assignments.select(id_col, "cell_id"), id_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes", "vhat_norm", "cell_id"
+    )
+    lookup = " + ".join(
+        f"element_at(_t{j}, element_at(codes, {j + 1}) + 1)" for j in range(m)
+    )
+    sim = F.expr(f"({lookup})") / F.nullif(
+        F.col("q_norm") * F.col("vhat_norm"), F.lit(0.0)
+    )
+    scored = (
+        F.broadcast(q_cells)
+        .join(cand, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,

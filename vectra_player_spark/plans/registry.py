@@ -137,11 +137,15 @@ PRIORITY: tuple[str, ...] = (
     "data_quality_report",
     "q9_product_profit",
     "momentum_features",
-    "doc_text_quality",  # slot 50
+    # slot 50: the new composed IVF+PQ serving query (never witnessed)
+    # takes the last r5-head filler slot; doc_text_quality moves to the
+    # front of the round-9 backfill pool instead.
+    "knn_ivfpq_adc_recall",
 )
 
 # ROUND-9 ROTATION NOTE: keep the 5 sentinels, lead with round-9 changed
-# entries, then the remaining r5-stale pool (after this round's 10 heads:
+# entries, then the remaining r5-stale pool (after this round's 9 heads —
+# doc_text_quality FIRST (displaced from slot 50 by knn_ivfpq_adc_recall):
 # agg_having_big_customers, best_row_dedup, conditional_end_prob,
 # corr_lineitem_measures, dedup_keep_first, descriptive_stats,
 # distinct_segments, doc_corpus_stats, doc_fingerprints,
