@@ -325,14 +325,16 @@ def ngram_jaccard_pairs(
         gsize = members.groupBy(F.col("_rep").alias(id_col)).agg(
             F.count(F.lit(1)).alias("_gsize")
         )
-        freq = (
+        # Two consumers of the df aggregate (the drop accounting below and
+        # the cap join) — pin it so the shuffle runs once.
+        freq = pin(
             sh.join(gsize, id_col)
             .groupBy("shingle")
             .agg(F.sum("_gsize").alias("df"))
         )
         # No-silent-caps: count what the cap drops and say so. One small
-        # aggregate over the pinned shingle relation; at cluster scale
-        # this is the drop-accounting a curation pipeline must emit.
+        # aggregate over the pinned df relation; at cluster scale this is
+        # the drop-accounting a curation pipeline must emit.
         n_dropped = freq.where(F.col("df") > max_doc_freq).count()
         if n_dropped:
             _LOG.warning(
