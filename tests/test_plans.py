@@ -216,6 +216,9 @@ _BNLJ_ALLOWED = {
     "rag_retrieval_context",  # brute_force_topk's 5-query broadcast side
     "knn_ivf_kmeans_recall",
     "knn_pq_adc_recall",
+    # same pinned-small broadcast sides as its two parents: the 50-query
+    # brute-force ground truth + the 16-centroid routing cross
+    "knn_ivfpq_adc_recall",
     "optimal_entry_window",
     "strategy_best_config",
     "strategy_grid_sweep",
