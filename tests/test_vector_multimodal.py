@@ -139,6 +139,49 @@ def test_pq_adc_recall_and_roundtrip(spark, sf_dir):
     assert top[0].neighbor_id == 2
 
 
+def test_ivfpq_kernel_cell_restriction_and_score_parity(spark):
+    """ivfpq_topk kernel semantics on tiny deterministic inputs: (1) with
+    nprobe=1 only the query's own cell's candidates are scored — a
+    better-scoring vector in the unprobed cell is invisible (the IVF
+    restriction, by construction); (2) scores of surviving pairs equal
+    unrestricted pq_topk_adc's for the same codebook (same ADC lookup
+    expressions); (3) nprobe=n_cells recovers the unrestricted ranking."""
+    from vectra_player_spark.operators.knn import ivfpq_topk, pq_encode, pq_topk_adc
+
+    cb = [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[1.0, 1.0], [-1.0, 1.0]],
+    ]
+    # cell 0 ≈ +x queries, cell 1 ≈ +y: vec 1 (query) and 3 in cell 0;
+    # vec 2 — an EXACT duplicate of vec 1, the true nearest — in cell 1.
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 1.0, 1.0]), (1, [0.0, 1.0, -1.0, 1.0])],
+        "cell_id int, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 1.0, 1.0]),
+            (2, [1.0, 0.0, 1.0, 1.0]),
+            (3, [0.6, 0.4, 1.0, 0.8]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    assignments = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 0)], "vec_id int, cell_id int"
+    )
+    codes = pq_encode(vecs, cb)
+    q = vecs.where("vec_id = 1")
+
+    probed1 = ivfpq_topk(q, centroids, assignments, codes, cb, k=2, nprobe=1).collect()
+    assert [r.neighbor_id for r in probed1] == [3]  # cell-1 dup invisible
+
+    full = {r.neighbor_id: r.cosine_sim for r in pq_topk_adc(q, codes, cb, k=2).collect()}
+    assert probed1[0].cosine_sim == full[3]  # identical ADC arithmetic
+
+    probed2 = ivfpq_topk(q, centroids, assignments, codes, cb, k=2, nprobe=2).collect()
+    assert {r.neighbor_id: r.cosine_sim for r in probed2} == full
+
+
 class LanceLikeFakeStore:
     """Test double shaped like a LanceDB/Chroma collection wrapper
     (indexer.py:68-118): add/scan/clear against an in-process table.

@@ -66,32 +66,6 @@ def brute_force_topk(
     )
 
 
-def kmeans_centroids(
-    vectors: DataFrame,
-    n_cells: int = 16,
-    vec_col: str = "embedding",
-    seed: int = 42,
-    max_iter: int = 20,
-) -> DataFrame:
-    """Real coarse quantizer for IVF: Spark ML k-means over the embedding
-    column (distributed Lloyd iterations; the model's k × dim centers are
-    driver-small by construction). Returns (cell_id, centroid) ready for
-    assign_cells / ivf_topk."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # NULL vectors cannot be assigned a cell; array_to_vector NPEs on them.
-    feat = vectors.where(F.col(vec_col).isNotNull()).select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
-    spark = vectors.sparkSession
-    return spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell_id int, centroid array<double>",
-    )
-
-
 def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """Mean per-query recall of an approximate top-k result vs the exact
     one: |approx ∩ exact| / |exact| per query, averaged. Both inputs are
@@ -259,55 +233,15 @@ def pq_train_deterministic(
     max_iter: int = 8,
     sample_fraction: float | None = None,
 ) -> list[list[list[float]]]:
-    """PQ codebooks with reproducible output; unlike pq_train (one Spark ML
-    fit PER subspace — m sequential jobs per iteration), all m subspaces
-    train jointly in one job per iteration. Sampling, when requested, is
-    an id-keyed md5-coin so the training set itself is partition-invariant."""
+    """PQ codebooks with reproducible output; all m subspaces train
+    jointly in ONE job per iteration (a per-subspace Spark ML fit would
+    be m sequential jobs per iteration, and Spark ML's float
+    task-completion-order center sums are topology-dependent — see
+    _lloyd_deterministic). Sampling, when requested, is an id-keyed
+    md5-coin so the training set itself is partition-invariant."""
     return _lloyd_deterministic(
         vectors, m, n_codes, vec_col, id_col, max_iter, sample_fraction
     )
-
-
-def pq_train(
-    vectors: DataFrame,
-    m: int = 8,
-    n_codes: int = 16,
-    vec_col: str = "embedding",
-    seed: int = 42,
-    max_iter: int = 20,
-    sample_fraction: float | None = None,
-) -> list[list[list[float]]]:
-    """Product-quantization codebooks: the D-dim vector splits into m
-    subvectors of D/m dims; each subspace gets its own n_codes-centroid
-    k-means (Spark ML, distributed). Returns codebook[m][n_codes][D/m] —
-    model parameters, driver-small by construction (m × n_codes × D/m
-    floats; 8×16×8 = 1k doubles here). At 100 TB you train on a sample
-    (``sample_fraction``) — codebook quality converges long before the
-    full corpus is seen."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # NULL vectors have no subvectors to quantize — train on real rows only.
-    vectors = vectors.where(F.col(vec_col).isNotNull())
-    dim = len(vectors.select(vec_col).first()[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d = dim // m
-    base = (
-        vectors.sample(fraction=sample_fraction, seed=seed)
-        if sample_fraction
-        else vectors
-    )
-    books = []
-    for j in range(m):
-        sub = base.select(
-            array_to_vector(
-                F.slice(F.col(vec_col).cast("array<double>"), j * d + 1, d)
-            ).alias("features")
-        )
-        model = KMeans(k=n_codes, seed=seed + j, maxIter=max_iter).fit(sub)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
-    return books
 
 
 def _arr_lit(vals) -> str:
