@@ -321,3 +321,141 @@ def test_simhash_stats_equals_aggregated_enumeration(spark):
     }
     assert got == {h: tuple(v) for h, v in want.items()}
     assert sum(v[0] for v in want.values()) >= 4  # dup groups did pair
+
+
+# --------------------------------------------------------------------------
+# dup_spans: any-alignment duplicated-substring spans
+# --------------------------------------------------------------------------
+
+
+class TestDupSpans:
+    def _spans(self, spark, docs, k=4):
+        from vectra_player_spark.operators.dedup import dup_spans
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = dup_spans(df, k=k).collect()
+        return {(r.doc_id, r.span_start, r.span_end, r.span_len) for r in rows}
+
+    def test_cross_doc_passage_any_alignment(self, spark):
+        # 6-token passage shared across two docs at DIFFERENT offsets —
+        # the fixed-grid chunk dedup misses this; the sliding window must not.
+        passage = "p1 p2 p3 p4 p5 p6"
+        docs = [
+            (0, f"a0 a1 {passage} a2 a3"),          # passage at pos 2..7
+            (1, f"b0 b1 b2 {passage} b3 b4 b5"),    # passage at pos 3..8
+        ]
+        spans = self._spans(spark, docs, k=4)
+        # k=4 windows inside the passage: exactly positions [2..7]/[3..8]
+        assert spans == {(0, 2, 7, 6), (1, 3, 8, 6)}
+
+    def test_within_doc_repeat_counts(self, spark):
+        # a doc repeating its own phrase is duplicated (suffix-array
+        # criterion: ANY second occurrence, same doc included)
+        docs = [(0, "x1 x2 x3 x4 mid1 mid2 x1 x2 x3 x4")]
+        spans = self._spans(spark, docs, k=4)
+        assert spans == {(0, 0, 3, 4), (0, 6, 9, 4)}
+
+    def test_overlapping_windows_merge_to_maximal_span(self, spark):
+        # two docs sharing an 8-token run -> five overlapping k=4 windows
+        # merge into ONE maximal span, not five
+        run = "r1 r2 r3 r4 r5 r6 r7 r8"
+        docs = [(0, f"{run} u1 u2"), (1, f"v1 {run} v2")]
+        spans = self._spans(spark, docs, k=4)
+        assert spans == {(0, 0, 7, 8), (1, 1, 8, 8)}
+
+    def test_adjacent_spans_merge_distinct_spans_do_not(self, spark):
+        # doc 0 carries two shared runs separated by a unique gap longer
+        # than k-1 tokens: two separate spans
+        docs = [
+            (0, "s1 s2 s3 s4 g1 g2 g3 g4 g5 t1 t2 t3 t4"),
+            (1, "s1 s2 s3 s4 z1 z2 z3 z4 z5 t1 t2 t3 t4"),
+        ]
+        spans = self._spans(spark, docs, k=4)
+        assert spans == {
+            (0, 0, 3, 4), (0, 9, 12, 4),
+            (1, 0, 3, 4), (1, 9, 12, 4),
+        }
+
+    def test_short_docs_and_unique_docs_emit_nothing(self, spark):
+        from vectra_player_spark.operators.dedup import dup_span_stats
+
+        docs = [(0, "only two"), (1, "w1 w2 w3 w4 w5 w6 all unique here")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = {r.doc_id: r for r in dup_span_stats(df, k=4).collect()}
+        assert set(rows) == {0, 1}  # short doc still reports a zero row
+        assert rows[0].n_dup_spans == 0 and rows[0].dup_tokens == 0
+        assert rows[0].dup_frac == 0.0 and rows[0].n_tokens == 2
+        assert rows[1].n_dup_spans == 0
+
+    def test_stats_match_span_algebra(self, spark):
+        from vectra_player_spark.operators.dedup import dup_span_stats
+
+        run = "c1 c2 c3 c4 c5"
+        docs = [
+            (0, f"{run} u1 u2 u3 {run}"),  # repeat within + across
+            (1, f"{run} w1 w2 w3 w4 w5"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = {r.doc_id: r for r in dup_span_stats(df, k=4).collect()}
+        assert rows[0].n_dup_spans == 2 and rows[0].dup_tokens == 10
+        assert rows[0].max_span_len == 5 and rows[0].n_tokens == 13
+        assert abs(rows[0].dup_frac - round(10 / 13, 6)) < 1e-9
+        assert rows[1].n_dup_spans == 1 and rows[1].dup_tokens == 5
+
+
+class TestSemanticDedup:
+    def test_keep_rule_and_components(self, spark):
+        # hand-built geometry: cell 0 along +x, cell 1 along +y.
+        # a/b/c near-identical (pairwise cos ~1); d unrelated in the same
+        # cell; e alone in cell 1.
+        from vectra_player_spark.operators.dedup import semantic_dedup
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.02, 0.0]),   # group, closest to centroid
+                (1, [1.0, 0.00, 0.0]),   # group, LEAST central -> keeper
+                (2, [1.0, 0.01, 0.0]),   # group
+                (3, [0.6, 0.0, 0.8]),    # same cell, not a near-dup
+                (4, [0.0, 1.0, 0.0]),    # cell 1 singleton
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        centroids = spark.createDataFrame(
+            [(0, [1.0, 0.02, 0.1]), (1, [0.0, 1.0, 0.0])],
+            "cell_id int, centroid array<double>",
+        )
+        rows = {r.vec_id: r for r in semantic_dedup(emb, centroids, tau=0.99).collect()}
+        assert [rows[i].cell_id for i in range(5)] == [0, 0, 0, 0, 1]
+        # one component {0,1,2} labeled by min id
+        assert rows[0].component == rows[1].component == rows[2].component == 0
+        assert rows[3].component == 3 and rows[4].component == 4
+        # keep rule: the member least similar to the centroid survives
+        group_sims = {i: rows[i].cent_sim for i in (0, 1, 2)}
+        keeper = min(group_sims, key=lambda i: (group_sims[i], i))
+        assert keeper == 1
+        assert [rows[i].keep for i in range(5)] == [False, True, False, True, True]
+
+    def test_stored_assignments_match_direct(self, spark):
+        # routed (id, cell_id) arm == compute-direct arm
+        from vectra_player_spark.operators.dedup import semantic_dedup
+        from vectra_player_spark.operators.knn import assign_cells
+
+        import random
+
+        rng = random.Random(7)
+        emb = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        centroids = spark.createDataFrame(
+            [(c, [rng.uniform(-1, 1) for _ in range(8)]) for c in range(4)],
+            "cell_id int, centroid array<double>",
+        )
+        stored = assign_cells(emb, centroids).select("vec_id", "cell_id")
+        direct = sorted(
+            map(tuple, semantic_dedup(emb, centroids, tau=0.5).collect())
+        )
+        routed = sorted(
+            map(tuple, semantic_dedup(emb, centroids, stored, tau=0.5).collect())
+        )
+        assert direct == routed

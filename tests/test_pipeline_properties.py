@@ -174,3 +174,51 @@ class TestScd2History:
                 nxt = runs[i + 1]["from"] if i + 1 < len(runs) else None
                 want.append((uid, i + 1, r["attr"], r["from"], nxt, nxt is None, r["n"]))
         assert got == sorted(want)
+
+
+class TestEpochShuffle:
+    def test_each_epoch_is_a_full_permutation(self, spark):
+        from vectra_player_spark.plans.queries_pipeline import (
+            _SHUFFLE_EPOCHS,
+            _SHUFFLE_SHARDS,
+            doc_epoch_shuffle,
+        )
+
+        out = doc_epoch_shuffle(spark, "/root/testdata/sf0.001").toPandas()
+        n_docs = out.doc_id.nunique()
+        for e in range(_SHUFFLE_EPOCHS):
+            ep = out[out.epoch == e]
+            # every doc exactly once per epoch
+            assert len(ep) == n_docs and ep.doc_id.nunique() == n_docs
+            # shard_pos is 1..len(shard) within each shard
+            for _, g in ep.groupby("shard"):
+                assert sorted(g.shard_pos) == list(range(1, len(g) + 1))
+            assert ep.shard.between(0, _SHUFFLE_SHARDS - 1).all()
+
+    def test_epochs_produce_different_orders(self, spark):
+        from vectra_player_spark.plans.queries_pipeline import doc_epoch_shuffle
+
+        out = doc_epoch_shuffle(spark, "/root/testdata/sf0.001").toPandas()
+        orders = {
+            e: list(g.sort_values(["shard", "shard_pos"]).doc_id)
+            for e, g in out.groupby("epoch")
+        }
+        assert orders[0] != orders[1]  # md5 keyed on epoch -> new permutation
+
+
+class TestMixtureTemperature:
+    def test_tempered_shares_flatten_toward_uniform(self, spark):
+        from vectra_player_spark.plans.queries_pipeline import doc_mixture_temperature
+
+        out = doc_mixture_temperature(spark, "/root/testdata/sf0.001").toPandas()
+        assert abs(out.p_raw.sum() - 1.0) < 1e-4
+        assert abs(out.q_temp.sum() - 1.0) < 1e-4
+        # τ<1 compresses the spread: tempered max/min ratio strictly
+        # below the natural one (unless already uniform)
+        nat = out.p_raw.max() / out.p_raw.min()
+        temp = out.q_temp.max() / out.q_temp.min()
+        assert temp <= nat
+        # sampling rate equalizes token budgets: rate > 1 exactly for
+        # sources whose natural share is below the tempered share
+        above = out[out.q_temp > out.p_raw]
+        assert (above.sample_rate > 1.0 - 1e-9).all()

@@ -34,6 +34,7 @@ CANDIDATES = (
     "sketch_accuracy_report",
     "trailing_hour_uniques_hll",
     "event_value_percentiles_approx",
+    "doc_semantic_dedup",
 )
 TOPOLOGIES = (("8", "8"), ("32", "32"), ("16", "64"))  # (cores, shuffle parts)
 

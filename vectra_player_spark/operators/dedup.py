@@ -761,3 +761,200 @@ def minhash_band_table(
         F.col(id_col),
         F.expr(f"stack({bands}, {stack_expr}) AS (band_idx, band_hash)"),
     ).select(id_col, "band_idx", "band_hash")
+
+
+# --------------------------------------------------------------------------
+# Any-alignment duplicated-substring spans (suffix-array dedup, distributed)
+# --------------------------------------------------------------------------
+
+DUP_SPAN_K = 8  # window length in tokens; a span is >= k duplicated tokens
+
+
+def dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans at ANY alignment — the distributed
+    equivalent of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a token
+    position is *duplicated* when some k-token window covering it occurs
+    ``min_count``-or-more times corpus-wide (same doc or another doc — a
+    second occurrence anywhere counts, exactly the suffix-array criterion).
+    Unlike `chunk_dedup`'s fixed k-token grid, the sliding window catches
+    duplicated passages at arbitrary offsets.
+
+    Shape: slide a k-gram window over every doc (one explode, ~1 row per
+    corpus token), count occurrences of each window hash (ONE shuffle on
+    the hash — the gram text is dropped before the exchange, only
+    (id, pos, md5) travels), keep windows seen >= min_count times, then
+    merge overlapping/adjacent windows per doc into maximal spans with a
+    gaps-and-islands window pass (one shuffle on id, per-doc state only).
+    Everything is linear in corpus tokens; nothing is pairwise. A suffix
+    array would find spans of length >= k exactly the same way — any
+    duplicated substring of length >= k contains a duplicated k-gram at
+    every alignment inside it, so the merged k-gram cover IS the set of
+    maximal duplicated runs (granularity k at the edges).
+
+    Returns one row per span: (id, span_start, span_end, span_len) in
+    token positions, inclusive.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles_text(text_col, k)).alias("pos", "gram"),
+    ).select(F.col(id_col), "pos", F.md5("gram").alias("gh"))
+    w_cnt = Window.partitionBy("gh")
+    dup = (
+        grams.withColumn("c", F.count(F.lit(1)).over(w_cnt))
+        .where(F.col("c") >= min_count)
+        .select(id_col, "pos")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    # new island iff the previous duplicated window ends before this one
+    # starts, with no overlap OR adjacency: prev covers [p_prev, p_prev+k-1],
+    # this covers [pos, pos+k-1] -> break when pos - p_prev > k.
+    brk = (
+        dup.withColumn("prev", F.lag("pos").over(w_doc))
+        .withColumn(
+            "brk",
+            F.when(F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), 1).otherwise(0),
+        )
+    )
+    isl = brk.withColumn(
+        "island",
+        F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("bigint").alias("span_len"),
+        )
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplication profile from `dup_spans`: span count, total
+    duplicated tokens, longest span, duplicated fraction. Docs with no
+    duplicated span (or fewer than k tokens) report zeros — the spans
+    aggregate is joined back onto the doc base (agg-sized build side;
+    at 100 TB both sides are already hashed on the id)."""
+    from vectra_player_spark.functions.text import token_count
+
+    base = docs.select(F.col(id_col), token_count(text_col).cast("bigint").alias("n_tokens"))
+    per_doc = (
+        dup_spans(docs, id_col, text_col, k, min_count)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            F.sum("span_len").cast("bigint").alias("dup_tokens"),
+            F.max("span_len").cast("bigint").alias("max_span_len"),
+        )
+    )
+    joined = base.join(per_doc, id_col, "left")
+    return joined.select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.coalesce("max_span_len", F.lit(0)).cast("bigint").alias("max_span_len"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens").cast("double"), 6
+        ).alias("dup_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster-scoped embedding
+# near-dup pruning with the centroid-similarity keep rule.
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame | None = None,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: scope pairwise cosine comparison to k-means cells, group
+    mutual near-duplicates (cos >= tau) into components, and within each
+    component KEEP the member LEAST similar to its cell centroid (the
+    paper's rule — the most "central" copies are the redundant ones; the
+    outlier carries the most marginal information). Ties break on id.
+
+    Scale shape: the coarse quantizer bounds every pairwise stage to one
+    cell — with n_cells grown proportionally to the corpus, in-cell
+    candidate counts stay flat, so the quadratic stage never sees the
+    corpus. The cell assignment and centroids come from the SAME persisted
+    IVF store the ANN tier serves (pass them in; compute-direct fallback at
+    the call site mirrors knn_ivf_kmeans_recall's routing), so SemDeDup
+    rides an ingest artifact that already exists. Components use the
+    distributed min-label propagation (cells are disjoint, so global CC on
+    in-cell edges == per-cell CC).
+
+    Returns one row per vector: (id, cell_id, component, cent_sim, keep) —
+    `component` is the min id in the near-dup group (own id for
+    singletons), `cent_sim` the rounded cosine to the cell centroid,
+    `keep` False exactly for the pruned copies.
+    """
+    from vectra_player_spark.functions.vectors import cosine
+    from vectra_player_spark.operators.knn import assign_cells
+
+    if assignments is None:
+        assignments = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
+    else:
+        # stored assignments are (id, cell_id) — attach the vectors
+        assignments = emb.select(id_col, vec_col).join(
+            assignments.select(id_col, "cell_id"), id_col
+        )
+    # cosine to own centroid — broadcast the (n_cells)-row model
+    with_sim = assignments.join(F.broadcast(centroids), "cell_id").select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cell_id",
+        F.round(cosine(vec_col, "centroid"), 6).alias("cent_sim"),
+    )
+    # in-cell near-dup edges: the ONLY pairwise stage, bounded per cell
+    a = with_sim.select(
+        F.col("cell_id"), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    )
+    b = with_sim.select(
+        F.col("cell_id"), F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    )
+    edges = (
+        a.join(b, "cell_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cosine("va", "vb") >= tau)
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(edges)  # (node_id, component); singletons absent
+    labeled = (
+        with_sim.join(comp, with_sim[id_col] == comp["node_id"], "left")
+        .select(
+            with_sim[id_col],
+            "cell_id",
+            "cent_sim",
+            F.coalesce("component", with_sim[id_col]).cast("bigint").alias("component"),
+        )
+    )
+    # keep rule: min (cent_sim, id) within the component
+    w = Window.partitionBy("component").orderBy(F.asc("cent_sim"), F.asc(id_col))
+    return labeled.withColumn("keep", F.row_number().over(w) == 1).select(
+        id_col, "cell_id", "component", "cent_sim", "keep"
+    )

@@ -1533,3 +1533,116 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_char_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Any-alignment duplicated-substring spans (distributed suffix-array dedup,
+# Lee et al. 2022). Beyond-reference training-pipeline mandate: catches
+# duplicated PASSAGES at arbitrary offsets that document-level fingerprints
+# and the fixed-grid chunk dedup (doc_chunk_dedup) both miss.
+# --------------------------------------------------------------------------
+
+_DUP_SPAN_K = 8
+
+_DUP_SPAN_CTE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tokens FROM documents
+), base AS (
+  SELECT doc_id, len(tokens) AS n_tokens, tokens FROM toks
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(n_tokens - {_DUP_SPAN_K - 1}, 0)),
+                i -> struct_pack(pos := i - 1,
+                                 gh := md5(array_to_string(tokens[i:i+{_DUP_SPAN_K - 1}], ' '))))) AS g
+  FROM base
+), gram2 AS (
+  SELECT doc_id, g.pos AS pos, g.gh AS gh FROM grams
+), cnt AS (
+  SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS c FROM gram2
+), dup AS (
+  SELECT doc_id, pos FROM cnt WHERE c >= 2
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > {_DUP_SPAN_K}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {_DUP_SPAN_K - 1} AS e
+  FROM isl GROUP BY doc_id, island
+)
+"""
+
+_DUP_SPAN_STATS_ORACLE = (
+    _DUP_SPAN_CTE
+    + r"""
+, per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+         CAST(max(e - s + 1) AS BIGINT) AS max_span_len
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(p.max_span_len, 0) AS BIGINT) AS max_span_len,
+       ROUND(coalesce(p.dup_tokens, 0) / CAST(b.n_tokens AS DOUBLE), 6) AS dup_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+)
+
+
+@register(
+    "doc_dup_span_stats",
+    oracle=_DUP_SPAN_STATS_ORACLE,
+    tags=("text", "dedup", "pipeline"),
+    survey_ref="beyond-reference mandate: suffix-array substring dedup "
+    "(any-alignment duplicated spans; chunk_dedup's fixed grid is the stand-in)",
+)
+def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring profile at ANY alignment: a token
+    position is duplicated when some 8-token window covering it occurs twice
+    or more corpus-wide; overlapping/adjacent windows merge into maximal
+    spans (gaps-and-islands). Distributed suffix-array-dedup equivalent —
+    one k-gram explode (~1 row per corpus token, only (id,pos,md5) shuffles),
+    one count-over-hash exchange, one per-doc window pass. Linear at 100 TB;
+    nothing pairwise."""
+    from vectra_player_spark.operators.dedup import dup_span_stats
+
+    return dup_span_stats(t(spark, sf_dir, "documents"), k=_DUP_SPAN_K)
+
+
+_DUP_SPAN_PROFILE_ORACLE = (
+    _DUP_SPAN_CTE
+    + r"""
+SELECT CAST(e - s + 1 AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(e - s + 1) AS BIGINT) AS total_dup_tokens
+FROM spans GROUP BY 1
+"""
+)
+
+
+@register(
+    "doc_dup_span_profile",
+    oracle=_DUP_SPAN_PROFILE_ORACLE,
+    tags=("text", "dedup", "pipeline"),
+    survey_ref="corpus rollup of doc_dup_span_stats (duplication length histogram)",
+)
+def doc_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span length histogram — the curation report a
+    pipeline operator reads before choosing a removal threshold. Same span
+    derivation as doc_dup_span_stats; output is span-length-sized (bounded),
+    so this is safe to run at the full lake."""
+    from vectra_player_spark.operators.dedup import dup_spans
+
+    spans = dup_spans(t(spark, sf_dir, "documents"), k=_DUP_SPAN_K)
+    return spans.groupBy("span_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("span_len").cast("bigint").alias("total_dup_tokens"),
+    )

@@ -100,6 +100,12 @@ PRIORITY: tuple[str, ...] = (
     "doc_lsh_recall_report",  # ground-truth arm explicitly uncapped
     "knn_ivf_kmeans_recall",  # IVF fit now training-sample-capped
     "knn_pq_adc_recall",  # Lloyd training set now checkpointed
+    # -- round-8 session-2 additions (never witnessed -> in-cap) ----------
+    "doc_dup_span_stats",  # NEW: any-alignment duplicated-substring spans
+    "doc_dup_span_profile",  # NEW: corpus span-length histogram
+    "doc_semantic_dedup",  # NEW pin: SemDeDup off the persisted IVF cells
+    "doc_epoch_shuffle",  # NEW: deterministic epoch shuffle / shard layout
+    "doc_mixture_temperature",  # NEW: temperature-scaled source mixture
     # -- backfill: ALL 26 names last witnessed in r4 (4 rounds stale) -----
     "asof_join_grid",
     "bayesian_gap_signal",
@@ -128,24 +134,24 @@ PRIORITY: tuple[str, ...] = (
     "volatility_sizing_tiers",
     "zorder_box_rollup",
     # -- r5-stale family heads (the deterministic replay tier + heads) ----
+    # (session-2's five new queries displaced stateful_feature_extract,
+    # decision_pipeline_replay, data_quality_report, q9_product_profit and
+    # momentum_features to the FRONT of the round-9 backfill pool —
+    # never-witnessed beats stale-rewitness per the rotation rule.)
     "backtest_replay",
     "monte_carlo_summary",
     "gap_sessionization",
     "rl_observation_set",
-    "stateful_feature_extract",
-    "decision_pipeline_replay",
-    "data_quality_report",
-    "q9_product_profit",
-    "momentum_features",
-    # slot 50: the new composed IVF+PQ serving query (never witnessed)
-    # takes the last r5-head filler slot; doc_text_quality moves to the
-    # front of the round-9 backfill pool instead.
+    # slot 50: the composed IVF+PQ serving query (never witnessed before
+    # this round) keeps the last slot.
     "knn_ivfpq_adc_recall",
 )
 
 # ROUND-9 ROTATION NOTE: keep the 5 sentinels, lead with round-9 changed
-# entries, then the remaining r5-stale pool (after this round's 9 heads —
-# doc_text_quality FIRST (displaced from slot 50 by knn_ivfpq_adc_recall):
+# entries, then the remaining r5-stale pool — FIRST the five heads session-2
+# displaced (stateful_feature_extract, decision_pipeline_replay,
+# data_quality_report, q9_product_profit, momentum_features), then
+# doc_text_quality (displaced earlier by knn_ivfpq_adc_recall), then:
 # agg_having_big_customers, best_row_dedup, conditional_end_prob,
 # corr_lineitem_measures, dedup_keep_first, descriptive_stats,
 # distinct_segments, doc_corpus_stats, doc_fingerprints,
