@@ -222,3 +222,21 @@ class TestMixtureTemperature:
         # sources whose natural share is below the tempered share
         above = out[out.q_temp > out.p_raw]
         assert (above.sample_rate > 1.0 - 1e-9).all()
+
+
+class TestBloomDecontamination:
+    def test_bloom_candidates_superset_and_exact_agreement(self, spark):
+        from vectra_player_spark.plans.queries_text import (
+            doc_decontamination,
+            doc_decontamination_bloom,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        bloom = doc_decontamination_bloom(spark, sf).toPandas().set_index("doc_id")
+        exact = doc_decontamination(spark, sf).toPandas().set_index("doc_id")
+        # Bloom never misses (no false negatives): candidates >= confirmed,
+        # and confirmed equals the exact check's shared-shingle verdict
+        assert (bloom.n_candidates >= bloom.n_confirmed).all()
+        assert (bloom.bloom_false_positives >= 0).all()
+        joined = bloom.join(exact, lsuffix="_b")
+        assert (joined.contaminated_b == joined.contaminated).all()

@@ -1646,3 +1646,151 @@ def doc_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.sum("span_len").cast("bigint").alias("total_dup_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination — the 100 TB arm of doc_decontamination.
+# The exact check joins every training shingle against the eval shingle
+# set; at corpus scale you first prune with a Bloom filter built ONCE over
+# the (small) eval set, so the exact join only ever sees candidate
+# shingles. The filter here is the position-set form: j=3 md5-derived hash
+# positions in an m=4096-bit space, kept as a sorted distinct-position
+# array (identical membership semantics to the packed-bitmap form, and
+# expressible verbatim in both engines — false positives happen exactly
+# when all 3 of a non-eval shingle's positions collide with set bits).
+# The report measures the FP rate it pays for the pruning: per training
+# doc, Bloom candidates vs exactly-confirmed shared shingles.
+# Scale shape: the Bloom array is broadcast (≤ m entries regardless of
+# corpus size); the probe is map-side over the corpus scan; the exact
+# confirm join touches only candidate shingles. No big-big shuffle.
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_J = 3
+
+def _bloom_pos_spark(i: int, col: str) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('{i}:', {col})), 1, 8), 16, 10) AS BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_duck(i: int, col: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5('{i}:' || {col}), 1, 8) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+_BLOOM_DECON_ORACLE = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(generate_series(1, greatest(len(tokens) - 4, 0)),
+                          i -> array_to_string(tokens[i:i+4], ' ')))) AS shingle
+  FROM toks
+),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+bloom AS (
+  SELECT list(DISTINCT pos ORDER BY pos) AS positions
+  FROM (
+"""
+    + "\n    UNION ALL\n".join(
+        f"    SELECT {_bloom_pos_duck(i, 'shingle')} AS pos FROM eval_sh"
+        for i in range(_BLOOM_J)
+    )
+    + r"""
+  )
+),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20),
+probed AS (
+  SELECT t.doc_id, t.shingle,
+"""
+    + " AND ".join(
+        f"         list_contains(b.positions, {_bloom_pos_duck(i, 't.shingle')})"
+        for i in range(_BLOOM_J)
+    )
+    + r""" AS candidate
+  FROM train t CROSS JOIN bloom b
+),
+cand AS (SELECT doc_id, shingle FROM probed WHERE candidate),
+confirmed AS (
+  SELECT c.doc_id, count(*) AS n_confirmed
+  FROM cand c JOIN eval_sh e ON c.shingle = e.shingle
+  GROUP BY c.doc_id
+),
+cand_counts AS (
+  SELECT doc_id, count(*) AS n_candidates FROM cand GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(cc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(cf.n_confirmed, 0) AS BIGINT) AS n_confirmed,
+       CAST(coalesce(cc.n_candidates, 0) - coalesce(cf.n_confirmed, 0) AS BIGINT)
+         AS bloom_false_positives,
+       (coalesce(cf.n_confirmed, 0) > 0) AS contaminated
+FROM documents d
+LEFT JOIN cand_counts cc ON cc.doc_id = d.doc_id
+LEFT JOIN confirmed cf ON cf.doc_id = d.doc_id
+WHERE d.doc_id >= 20
+"""
+)
+
+
+@register(
+    "doc_decontamination_bloom",
+    oracle=_BLOOM_DECON_ORACLE,
+    tags=("text", "pipeline"),
+    survey_ref="benchmark decontamination scale arm (Bloom candidate "
+    "pruning + exact confirm; companion to doc_decontamination)",
+)
+def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles_text("text", 5))).alias("shingle"),
+    )
+    eval_sh = sh.where(F.col("doc_id") < 20).select("shingle").distinct()
+    # Bloom build: j hash positions per eval shingle -> ONE sorted distinct
+    # position array (<= m entries however large the corpus)
+    pos_union = None
+    for i in range(_BLOOM_J):
+        p = eval_sh.select(F.expr(_bloom_pos_spark(i, "shingle")).alias("pos"))
+        pos_union = p if pos_union is None else pos_union.unionAll(p)
+    bloom = pos_union.agg(
+        F.sort_array(F.collect_set("pos")).alias("positions")
+    )
+    train = sh.where(F.col("doc_id") >= 20)
+    # map-side probe: broadcast the single-row Bloom array over the scan
+    hit = None
+    for i in range(_BLOOM_J):
+        c = F.array_contains(
+            F.col("positions"), F.expr(_bloom_pos_spark(i, "shingle"))
+        )
+        hit = c if hit is None else (hit & c)
+    cand = (
+        train.crossJoin(F.broadcast(bloom))
+        .where(hit)
+        .select("doc_id", "shingle")
+    )
+    confirmed = (
+        cand.join(F.broadcast(eval_sh.withColumn("_e", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.coalesce("_e", F.lit(0))).cast("bigint").alias("n_confirmed"),
+        )
+    )
+    base = docs.where(F.col("doc_id") >= 20).select("doc_id")
+    return base.join(confirmed, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce("n_confirmed", F.lit(0)).cast("bigint").alias("n_confirmed"),
+        (F.coalesce("n_candidates", F.lit(0)) - F.coalesce("n_confirmed", F.lit(0)))
+        .cast("bigint")
+        .alias("bloom_false_positives"),
+        (F.coalesce("n_confirmed", F.lit(0)) > 0).alias("contaminated"),
+    )
