@@ -459,3 +459,35 @@ class TestSemanticDedup:
             map(tuple, semantic_dedup(emb, centroids, stored, tau=0.5).collect())
         )
         assert direct == routed
+
+
+class TestDupSpanClean:
+    def test_removal_complements_stats(self, spark):
+        import hashlib
+
+        from vectra_player_spark.operators.dedup import dup_span_clean, dup_span_stats
+
+        run = "c1 c2 c3 c4 c5"
+        docs = [
+            (0, f"{run} u1 u2 u3 {run}"),   # both copies removed
+            (1, f"{run} w1 w2 w3 w4 w5"),
+            (2, "z1 z2 z3"),                # short doc untouched
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        clean = {r.doc_id: r for r in dup_span_clean(df, k=4).collect()}
+        stats = {r.doc_id: r for r in dup_span_stats(df, k=4).collect()}
+        for i in range(3):
+            assert clean[i].n_kept_tokens == stats[i].n_tokens - stats[i].dup_tokens
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+        assert clean[0].clean_hash == md5("u1 u2 u3")
+        assert clean[1].clean_hash == md5("w1 w2 w3 w4 w5")
+        assert clean[2].clean_hash == md5("z1 z2 z3")
+
+    def test_fully_duplicated_doc_yields_null_hash(self, spark):
+        from vectra_player_spark.operators.dedup import dup_span_clean
+
+        docs = [(0, "a1 a2 a3 a4"), (1, "a1 a2 a3 a4")]
+        clean = {r.doc_id: r for r in dup_span_clean(
+            spark.createDataFrame(docs, "doc_id long, text string"), k=4).collect()}
+        assert clean[0].n_kept_tokens == 0 and clean[0].clean_hash is None
+        assert clean[1].n_kept_tokens == 0 and clean[1].clean_hash is None

@@ -801,10 +801,14 @@ def dup_spans(
     Returns one row per span: (id, span_start, span_end, span_len) in
     token positions, inclusive.
     """
+    # the gram hash is an INTERNAL grouping key (the oracle's md5 plays the
+    # same role on its side; outputs compare over the merged spans, not the
+    # hashes) — xxhash64 keeps the count-shuffle key at 8 bytes instead of
+    # a 32-char string and hashes ~3× faster over the corpus token stream
     grams = docs.select(
         F.col(id_col),
         F.posexplode(word_shingles_text(text_col, k)).alias("pos", "gram"),
-    ).select(F.col(id_col), "pos", F.md5("gram").alias("gh"))
+    ).select(F.col(id_col), "pos", F.xxhash64("gram").alias("gh"))
     w_cnt = Window.partitionBy("gh")
     dup = (
         grams.withColumn("c", F.count(F.lit(1)).over(w_cnt))
@@ -898,15 +902,25 @@ def semantic_dedup(
     paper's rule — the most "central" copies are the redundant ones; the
     outlier carries the most marginal information). Ties break on id.
 
-    Scale shape: the coarse quantizer bounds every pairwise stage to one
-    cell — with n_cells grown proportionally to the corpus, in-cell
-    candidate counts stay flat, so the quadratic stage never sees the
-    corpus. The cell assignment and centroids come from the SAME persisted
-    IVF store the ANN tier serves (pass them in; compute-direct fallback at
-    the call site mirrors knn_ivf_kmeans_recall's routing), so SemDeDup
-    rides an ingest artifact that already exists. Components use the
-    distributed min-label propagation (cells are disjoint, so global CC on
-    in-cell edges == per-cell CC).
+    Scale shape: collapse-first, then cell-scoped. Exact-duplicate vectors
+    collapse to one representative per distinct content BEFORE the pairwise
+    stage (rep_members — the same d² defense every pairwise dedup family
+    here uses: on a duplication-heavy corpus, in-cell candidate volume
+    otherwise grows with the duplication factor squared; measured 175 s →
+    sub-second at the 10× lake). The coarse quantizer then bounds the
+    rep-space pairwise stage to one cell — with n_cells grown
+    proportionally to the corpus, in-cell rep counts stay flat, so the
+    quadratic stage never sees the corpus. The cell assignment and
+    centroids come from the SAME persisted IVF store the ANN tier serves
+    (pass them in; compute-direct fallback at the call site mirrors
+    knn_ivf_kmeans_recall's routing), so SemDeDup rides an ingest artifact
+    that already exists. Components use the distributed min-label
+    propagation over rep edges (cells are disjoint, so global CC on
+    in-cell edges == per-cell CC); member labels expand afterwards —
+    copies of a rep share its cell, centroid sim, and component (they
+    pair with it at cosine exactly 1 >= any tau), and because a rep is
+    the MIN id of its copy group, the rep-space component label IS the
+    member-space min id.
 
     Returns one row per vector: (id, cell_id, component, cent_sim, keep) —
     `component` is the min id in the near-dup group (own id for
@@ -916,21 +930,28 @@ def semantic_dedup(
     from vectra_player_spark.functions.vectors import cosine
     from vectra_player_spark.operators.knn import assign_cells
 
+    # collapse exact-duplicate vectors: pairwise work runs in rep space
+    reps, members = rep_members(emb.select(id_col, vec_col), id_col, [vec_col])
     if assignments is None:
-        assignments = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
+        rep_cells = assign_cells(reps, centroids, id_col=id_col, vec_col=vec_col)
     else:
-        # stored assignments are (id, cell_id) — attach the vectors
-        assignments = emb.select(id_col, vec_col).join(
-            assignments.select(id_col, "cell_id"), id_col
-        )
+        # stored assignments are (id, cell_id) — restrict to reps (a rep's
+        # copies all hold the identical vector, so the stored cell of the
+        # rep id is the cell of every copy)
+        rep_cells = reps.join(assignments.select(id_col, "cell_id"), id_col)
     # cosine to own centroid — broadcast the (n_cells)-row model
-    with_sim = assignments.join(F.broadcast(centroids), "cell_id").select(
+    with_sim = rep_cells.join(F.broadcast(centroids), "cell_id").select(
         F.col(id_col),
         F.col(vec_col),
         "cell_id",
         F.round(cosine(vec_col, "centroid"), 6).alias("cent_sim"),
     )
+    # three consumers (both edge sides + the label expansion) — pin one
+    # materialization of the rep frame (the rep_members window is the
+    # expensive full-corpus pass)
+    with_sim = pin(with_sim)
     # in-cell near-dup edges: the ONLY pairwise stage, bounded per cell
+    # and running over DISTINCT vectors only
     a = with_sim.select(
         F.col("cell_id"), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
     )
@@ -943,18 +964,72 @@ def semantic_dedup(
         .where(cosine("va", "vb") >= tau)
         .select("vec_a", "vec_b")
     )
-    comp = connected_components(edges)  # (node_id, component); singletons absent
-    labeled = (
-        with_sim.join(comp, with_sim[id_col] == comp["node_id"], "left")
-        .select(
-            with_sim[id_col],
-            "cell_id",
-            "cent_sim",
-            F.coalesce("component", with_sim[id_col]).cast("bigint").alias("component"),
-        )
+    comp = connected_components(edges)  # (rep_id, component); singletons absent
+    rep_labeled = with_sim.join(
+        comp, with_sim[id_col] == comp["node_id"], "left"
+    ).select(
+        F.col(id_col).alias("_rep"),
+        "cell_id",
+        "cent_sim",
+        F.coalesce("component", F.col(id_col)).cast("bigint").alias("component"),
+    )
+    # expand rep labels to every copy (reps are min ids, so component
+    # labels are already member-space min ids)
+    labeled = rep_labeled.join(members, "_rep").select(
+        F.col("_member").alias(id_col), "cell_id", "cent_sim", "component"
     )
     # keep rule: min (cent_sim, id) within the component
     w = Window.partitionBy("component").orderBy(F.asc("cent_sim"), F.asc(id_col))
     return labeled.withColumn("keep", F.row_number().over(w) == 1).select(
         id_col, "cell_id", "component", "cent_sim", "keep"
+    )
+
+
+def dup_span_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicated-span REMOVAL (the consumer of `dup_spans`): drop every
+    token covered by a duplicated span and emit the md5 of each doc's
+    surviving text, in token order. This is the aggressive remove-all-
+    occurrences policy (cf. chunk_dedup's keep-first): a span that occurs
+    twice disappears from BOTH docs — appropriate when the duplicated mass
+    is boilerplate; pair with dup_span_stats to size the loss first.
+
+    Shape: tokens posexplode a second time and anti-join the span list on
+    (id, s <= pos <= e) — the equi key is the id, so the range condition
+    evaluates within a doc's join group against its FEW merged spans
+    (islands, not raw windows). One extra shuffle on id over dup_spans;
+    still nothing pairwise.
+    """
+    spans = dup_spans(docs, id_col, text_col, k, min_count)
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    cond = (
+        (toks[id_col] == spans[id_col])
+        & (toks["pos"] >= spans["span_start"])
+        & (toks["pos"] <= spans["span_end"])
+    )
+    kept = toks.join(spans, cond, "left_anti")
+    kept_struct = F.struct("pos", "tok")
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["tok"]
+                ),
+            )
+        ).alias("clean_hash"),
+    )
+    base = docs.select(F.col(id_col))
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_kept_tokens", F.lit(0)).cast("bigint").alias("n_kept_tokens"),
+        F.col("clean_hash"),  # NULL when the whole doc was duplicated
     )

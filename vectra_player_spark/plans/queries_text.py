@@ -1794,3 +1794,46 @@ def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bloom_false_positives"),
         (F.coalesce("n_confirmed", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+_DUP_SPAN_CLEAN_ORACLE = (
+    _DUP_SPAN_CTE
+    + r"""
+, tokpos AS (
+  SELECT doc_id, i - 1 AS pos, tokens[i] AS tok
+  FROM base, unnest(generate_series(1, n_tokens)) AS g(i)
+), kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.e)
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_hash
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(p.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+       p.clean_hash
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+)
+
+
+@register(
+    "doc_dup_span_clean",
+    oracle=_DUP_SPAN_CLEAN_ORACLE,
+    tags=("text", "dedup", "pipeline"),
+    survey_ref="duplicated-span REMOVAL (consumer of doc_dup_span_stats; "
+    "remove-all-occurrences policy)",
+)
+def doc_dup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop every token covered by a duplicated span and emit the md5 of
+    each doc's surviving text — the removal half of suffix-array dedup.
+    The span anti-join's equi key is the doc id; the range condition runs
+    against each doc's FEW merged spans, so the extra cost over
+    doc_dup_span_stats is one shuffle on id. NULL clean_hash = the doc was
+    duplicated wall to wall."""
+    from vectra_player_spark.operators.dedup import dup_span_clean
+
+    return dup_span_clean(t(spark, sf_dir, "documents"), k=_DUP_SPAN_K)
