@@ -159,6 +159,30 @@ def main() -> None:
                     print(f"store bench query {name} failed: {e}", file=sys.stderr)
                     store10[name] = -1.0
             out["store_queries_10x"] = store10
+
+            # Curation tier (round-8 session 2): the new training-pipeline
+            # operators, reported separately for the same comparability
+            # reason. All sublinear 10x -> 100x (SCALE.md §round-8).
+            cur10: dict[str, float] = {}
+            for name in (
+                "doc_dup_span_stats",
+                "doc_dup_span_clean",
+                "doc_semantic_dedup",
+                "doc_decontamination_bloom",
+                "doc_epoch_shuffle",
+            ):
+                try:
+                    runs10 = []
+                    for _ in range(2):
+                        df = _plans.QUERIES[name].spark_fn(spark, dir_10x)
+                        start = time.perf_counter()
+                        df.write.format("noop").mode("overwrite").save()
+                        runs10.append(time.perf_counter() - start)
+                    cur10[name] = round(min(runs10), 3)
+                except Exception as e:  # noqa: BLE001
+                    print(f"curation bench query {name} failed: {e}", file=sys.stderr)
+                    cur10[name] = -1.0
+            out["curation_queries_10x"] = cur10
         except Exception as e:  # noqa: BLE001 — the sf0.1 headline must survive
             print(f"10x section skipped: {e}", file=sys.stderr)
 
