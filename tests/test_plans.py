@@ -215,6 +215,8 @@ _BNLJ_ALLOWED = {
     "knn_ivf_cosine",
     "rag_retrieval_context",  # brute_force_topk's 5-query broadcast side
     "knn_ivf_kmeans_recall",
+    "doc_decontamination_bloom",  # 1-row Bloom position-array broadcast
+    "doc_semantic_dedup",  # assign_cells' 16-row centroid-model broadcast
     "knn_pq_adc_recall",
     # same pinned-small broadcast sides as its two parents: the 50-query
     # brute-force ground truth + the 16-centroid routing cross
