@@ -491,3 +491,44 @@ class TestDupSpanClean:
             spark.createDataFrame(docs, "doc_id long, text string"), k=4).collect()}
         assert clean[0].n_kept_tokens == 0 and clean[0].clean_hash is None
         assert clean[1].n_kept_tokens == 0 and clean[1].clean_hash is None
+
+
+class TestDupSpanRepCollapse:
+    def test_verbatim_copies_share_spans_and_weighted_counts(self, spark):
+        # d=3 verbatim copies + one doc sharing only a 4-token run + one
+        # unique doc: collapse-first must reproduce raw-count semantics —
+        # a gram occurring once in rep space but with weight 3 is duplicated
+        from vectra_player_spark.operators.dedup import (
+            dup_span_clean,
+            dup_span_stats,
+            dup_spans,
+        )
+
+        base = "s1 s2 s3 s4 u1 u2 u3 u4"
+        docs = [
+            (0, base), (1, base), (2, base),      # 3 verbatim copies
+            (3, "x1 s1 s2 s3 s4 x2 x3 x4"),       # shares the 4-token run
+            (4, "q1 q2 q3 q4 q5 q6 q7 q8"),       # unique
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        spans = {(r.doc_id, r.span_start, r.span_end) for r in dup_spans(df, k=4).collect()}
+        # copies are duplicated wall to wall (every window has weight 3);
+        # doc 3 only over the shared run; doc 4 clean
+        assert spans == {(0, 0, 7), (1, 0, 7), (2, 0, 7), (3, 1, 4)}
+        stats = {r.doc_id: r for r in dup_span_stats(df, k=4).collect()}
+        assert [stats[i].dup_tokens for i in range(5)] == [8, 8, 8, 4, 0]
+        assert stats[0].dup_frac == 1.0 and stats[4].n_dup_spans == 0
+        clean = {r.doc_id: r for r in dup_span_clean(df, k=4).collect()}
+        assert clean[0].clean_hash is None and clean[0].n_kept_tokens == 0
+        assert clean[1].clean_hash is None and clean[2].clean_hash is None
+        assert clean[3].n_kept_tokens == 4 and clean[4].n_kept_tokens == 8
+
+    def test_case_variants_do_not_collapse(self, spark):
+        # the collapse key is raw md5(text) — a case variant is a DIFFERENT
+        # text whose grams must not merge with the original's
+        from vectra_player_spark.operators.dedup import dup_span_stats
+
+        docs = [(0, "a1 a2 a3 a4"), (1, "A1 a2 a3 a4")]
+        stats = {r.doc_id: r for r in dup_span_stats(
+            spark.createDataFrame(docs, "doc_id long, text string"), k=4).collect()}
+        assert stats[0].dup_tokens == 0 and stats[1].dup_tokens == 0

@@ -801,19 +801,60 @@ def dup_spans(
     Returns one row per span: (id, span_start, span_end, span_len) in
     token positions, inclusive.
     """
+    reps, rep_spans, members = _rep_span_frames(docs, id_col, text_col, k, min_count)
+    return rep_spans.join(members, rep_spans[id_col] == members["_rep"]).select(
+        F.col("_member").alias(id_col), "span_start", "span_end", "span_len"
+    )
+
+
+def _rep_span_frames(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared collapse-first core of the dup-span family: rep-space spans
+    with exact-copy weights.
+
+    Verbatim copies have identical gram sets at identical positions, so
+    the gram explode + count-shuffle only needs to see one REPRESENTATIVE
+    per distinct raw text (md5(text)-keyed — NOT the normalized dedup
+    fingerprint: spans are token-exact, so case/whitespace variants must
+    stay distinct), with each gram occurrence weighted by the rep's copy
+    count. The weighted sum over a gram hash equals the raw occurrence
+    count exactly, so dup flags — and therefore spans — are unchanged; on
+    a duplication-heavy corpus the dominant stage shrinks by the
+    duplication factor d (the linear-stage analog of the pairwise
+    families' d² rep collapse). Costs one (id, text) exchange for the
+    collapse — bounded by input size, paid once.
+
+    Returns (reps, rep_spans, members): reps = (id, text, _w copy count);
+    rep_spans = (id, span_start, span_end, span_len, _w); members =
+    (_rep, _member).
+    """
+    keyed = docs.select(F.col(id_col), F.col(text_col), F.md5(text_col).alias("_k"))
+    reps_raw, members = rep_members(keyed, id_col, ["_k"])
+    weights = members.groupBy("_rep").agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
+    reps = (
+        reps_raw.join(weights, reps_raw[id_col] == weights["_rep"])
+        .select(F.col(id_col), F.col(text_col), "_w")
+    )
+    reps = pin(reps)
     # the gram hash is an INTERNAL grouping key (the oracle's md5 plays the
     # same role on its side; outputs compare over the merged spans, not the
     # hashes) — xxhash64 keeps the count-shuffle key at 8 bytes instead of
     # a 32-char string and hashes ~3× faster over the corpus token stream
-    grams = docs.select(
+    grams = reps.select(
         F.col(id_col),
+        "_w",
         F.posexplode(word_shingles_text(text_col, k)).alias("pos", "gram"),
-    ).select(F.col(id_col), "pos", F.xxhash64("gram").alias("gh"))
+    ).select(F.col(id_col), "_w", "pos", F.xxhash64("gram").alias("gh"))
     w_cnt = Window.partitionBy("gh")
     dup = (
-        grams.withColumn("c", F.count(F.lit(1)).over(w_cnt))
+        grams.withColumn("c", F.sum("_w").over(w_cnt))
         .where(F.col("c") >= min_count)
-        .select(id_col, "pos")
+        .select(id_col, "_w", "pos")
     )
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     # new island iff the previous duplicated window ends before this one
@@ -830,19 +871,22 @@ def dup_spans(
         "island",
         F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return (
+    rep_spans = (
         isl.groupBy(id_col, "island")
         .agg(
             F.min("pos").alias("span_start"),
             (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.first("_w").alias("_w"),
         )
         .select(
             F.col(id_col),
             F.col("span_start").cast("bigint").alias("span_start"),
             F.col("span_end").cast("bigint").alias("span_end"),
             (F.col("span_end") - F.col("span_start") + 1).cast("bigint").alias("span_len"),
+            "_w",
         )
     )
+    return reps, rep_spans, members
 
 
 def dup_span_stats(
@@ -854,24 +898,23 @@ def dup_span_stats(
 ) -> DataFrame:
     """Per-document duplication profile from `dup_spans`: span count, total
     duplicated tokens, longest span, duplicated fraction. Docs with no
-    duplicated span (or fewer than k tokens) report zeros — the spans
-    aggregate is joined back onto the doc base (agg-sized build side;
-    at 100 TB both sides are already hashed on the id)."""
+    duplicated span (or fewer than k tokens) report zeros. Stats are
+    computed once per distinct raw text (rep space) and expanded to every
+    copy through the member map — exact copies share identical stats by
+    definition, so the expansion is two agg-bounded equi-joins."""
     from vectra_player_spark.functions.text import token_count
 
-    base = docs.select(F.col(id_col), token_count(text_col).cast("bigint").alias("n_tokens"))
-    per_doc = (
-        dup_spans(docs, id_col, text_col, k, min_count)
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
-            F.sum("span_len").cast("bigint").alias("dup_tokens"),
-            F.max("span_len").cast("bigint").alias("max_span_len"),
-        )
+    reps, rep_spans, members = _rep_span_frames(docs, id_col, text_col, k, min_count)
+    base = reps.select(
+        F.col(id_col), token_count(text_col).cast("bigint").alias("n_tokens")
     )
-    joined = base.join(per_doc, id_col, "left")
-    return joined.select(
-        F.col(id_col),
+    per_rep = rep_spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum("span_len").cast("bigint").alias("dup_tokens"),
+        F.max("span_len").cast("bigint").alias("max_span_len"),
+    )
+    rep_stats = base.join(per_rep, id_col, "left").select(
+        F.col(id_col).alias("_rep"),
         "n_tokens",
         F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
         F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
@@ -879,6 +922,14 @@ def dup_span_stats(
         F.round(
             F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens").cast("double"), 6
         ).alias("dup_frac"),
+    )
+    return rep_stats.join(members, "_rep").select(
+        F.col("_member").alias(id_col),
+        "n_tokens",
+        "n_dup_spans",
+        "dup_tokens",
+        "max_span_len",
+        "dup_frac",
     )
 
 
@@ -999,14 +1050,16 @@ def dup_span_clean(
     twice disappears from BOTH docs — appropriate when the duplicated mass
     is boilerplate; pair with dup_span_stats to size the loss first.
 
-    Shape: tokens posexplode a second time and anti-join the span list on
-    (id, s <= pos <= e) — the equi key is the id, so the range condition
-    evaluates within a doc's join group against its FEW merged spans
-    (islands, not raw windows). One extra shuffle on id over dup_spans;
-    still nothing pairwise.
+    Shape: rep-space tokens posexplode a second time and anti-join the
+    rep span list on (id, s <= pos <= e) — the equi key is the id, so the
+    range condition evaluates within a doc's join group against its FEW
+    merged spans (islands, not raw windows). Clean hashes are identical
+    across exact copies, so the whole removal runs once per distinct text
+    and expands through the member map.
     """
-    spans = dup_spans(docs, id_col, text_col, k, min_count)
-    toks = docs.select(
+    reps, rep_spans, members = _rep_span_frames(docs, id_col, text_col, k, min_count)
+    spans = rep_spans.select(id_col, "span_start", "span_end")
+    toks = reps.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
     cond = (
@@ -1016,7 +1069,7 @@ def dup_span_clean(
     )
     kept = toks.join(spans, cond, "left_anti")
     kept_struct = F.struct("pos", "tok")
-    per_doc = kept.groupBy(id_col).agg(
+    per_rep = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept_tokens"),
         F.md5(
             F.concat_ws(
@@ -1027,9 +1080,11 @@ def dup_span_clean(
             )
         ).alias("clean_hash"),
     )
-    base = docs.select(F.col(id_col))
-    return base.join(per_doc, id_col, "left").select(
-        F.col(id_col),
+    rep_out = reps.select(F.col(id_col)).join(per_rep, id_col, "left").select(
+        F.col(id_col).alias("_rep"),
         F.coalesce("n_kept_tokens", F.lit(0)).cast("bigint").alias("n_kept_tokens"),
         F.col("clean_hash"),  # NULL when the whole doc was duplicated
+    )
+    return rep_out.join(members, "_rep").select(
+        F.col("_member").alias(id_col), "n_kept_tokens", "clean_hash"
     )

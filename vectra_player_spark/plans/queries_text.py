@@ -1638,13 +1638,23 @@ def doc_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline operator reads before choosing a removal threshold. Same span
     derivation as doc_dup_span_stats; output is span-length-sized (bounded),
     so this is safe to run at the full lake."""
-    from vectra_player_spark.operators.dedup import dup_spans
+    from vectra_player_spark.operators.dedup import _rep_span_frames
 
-    spans = dup_spans(t(spark, sf_dir, "documents"), k=_DUP_SPAN_K)
-    return spans.groupBy("span_len").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        F.sum("span_len").cast("bigint").alias("total_dup_tokens"),
+    # weighted rep-space rollup: exact copies never re-inflate the span
+    # rows — each rep span carries its copy count (_w), and the histogram
+    # aggregates weights instead of expanded members
+    _, rep_spans, _ = _rep_span_frames(
+        t(spark, sf_dir, "documents"), "doc_id", "text", _DUP_SPAN_K, 2
+    )
+    per_rep = rep_spans.groupBy("doc_id", "span_len").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("_w").alias("w")
+    )
+    return per_rep.groupBy("span_len").agg(
+        F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("n_spans"),
+        F.sum("w").cast("bigint").alias("n_docs"),
+        F.sum(F.col("span_len") * F.col("cnt") * F.col("w"))
+        .cast("bigint")
+        .alias("total_dup_tokens"),
     )
 
 
@@ -1837,3 +1847,99 @@ def doc_dup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectra_player_spark.operators.dedup import dup_span_clean
 
     return dup_span_clean(t(spark, sf_dir, "documents"), k=_DUP_SPAN_K)
+
+
+# --------------------------------------------------------------------------
+# Dedup method-agreement matrix — the curation report a pipeline owner
+# reads before choosing thresholds: how many docs each dedup family flags,
+# and how much the families overlap. Methods: exact fingerprint groups
+# (any doc with a verbatim twin), simhash hamming<=3 pairs, 3-gram
+# jaccard>=0.2 pairs, duplicated-span coverage >= 50%. Long-form upper
+# triangle: (method_a, method_b, n_docs) with the diagonal = per-method
+# flag counts. The Spark side reuses the registered queries' own (routed)
+# plans; the oracle wraps their exact oracle SQL as subqueries — so the
+# matrix is hash-checked end to end against the same truth the per-method
+# queries are.
+# --------------------------------------------------------------------------
+
+_AGREE_ORACLE = rf"""
+WITH exact_flag AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           count(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS c
+    FROM documents
+  ) WHERE c > 1
+),
+sim_pairs AS (SELECT * FROM ({_SIMHASH_NEARDUP_ORACLE}) q),
+jac_pairs AS (SELECT * FROM ({_JACCARD_ORACLE}) q),
+span_stats AS (SELECT * FROM ({_DUP_SPAN_STATS_ORACLE}) q),
+flags AS (
+  SELECT DISTINCT doc_id, 'exact' AS method FROM exact_flag
+  UNION
+  SELECT doc_a, 'simhash' FROM sim_pairs
+  UNION
+  SELECT doc_b, 'simhash' FROM sim_pairs
+  UNION
+  SELECT doc_a, 'jaccard' FROM jac_pairs
+  UNION
+  SELECT doc_b, 'jaccard' FROM jac_pairs
+  UNION
+  SELECT doc_id, 'span50' FROM span_stats WHERE dup_frac >= 0.5
+)
+SELECT a.method AS method_a, b.method AS method_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM flags a JOIN flags b ON a.doc_id = b.doc_id AND a.method <= b.method
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "doc_dedup_method_agreement",
+    oracle=_AGREE_ORACLE,
+    tags=("text", "dedup", "pipeline"),
+    survey_ref="cross-method dedup agreement rollup (synthesis over D1/"
+    "simhash/jaccard/span families)",
+)
+def doc_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-method flag sets come from the SAME (store-routed) plans the
+    individual queries run; the matrix aggregate is flag-set sized. At
+    100 TB each flag set is a distinct-id projection of an
+    already-bounded family output — the matrix adds one self-join on
+    doc_id over |flags| rows."""
+    from pyspark.sql import Window
+
+    from vectra_player_spark.operators.dedup import dup_span_stats
+    from vectra_player_spark.session import pin
+
+    docs = t(spark, sf_dir, "documents")
+    w_fp = Window.partitionBy(fingerprint("text"))
+    exact_flag = (
+        docs.withColumn("_c", F.count(F.lit(1)).over(w_fp))
+        .where(F.col("_c") > 1)
+        .select("doc_id")
+    )
+    sim_pairs = doc_simhash_neardup_pairs(spark, sf_dir)
+    jac_pairs = doc_ngram_jaccard_pairs(spark, sf_dir)
+    spans = dup_span_stats(docs, k=_DUP_SPAN_K)
+
+    def tag(df, col, method):
+        return df.select(F.col(col).alias("doc_id"), F.lit(method).alias("method"))
+
+    flags = (
+        tag(exact_flag, "doc_id", "exact")
+        .union(tag(sim_pairs, "doc_a", "simhash"))
+        .union(tag(sim_pairs, "doc_b", "simhash"))
+        .union(tag(jac_pairs, "doc_a", "jaccard"))
+        .union(tag(jac_pairs, "doc_b", "jaccard"))
+        .union(tag(spans.where(F.col("dup_frac") >= 0.5), "doc_id", "span50"))
+        .distinct()
+    )
+    flags = pin(flags)
+    a = flags.select(F.col("doc_id"), F.col("method").alias("method_a"))
+    b = flags.select(F.col("doc_id"), F.col("method").alias("method_b"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("method_a") <= F.col("method_b"))
+        .groupBy("method_a", "method_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

@@ -108,6 +108,8 @@ PRIORITY: tuple[str, ...] = (
     "doc_mixture_temperature",  # NEW: temperature-scaled source mixture
     "doc_decontamination_bloom",  # NEW: Bloom candidate-pruned decontamination
     "doc_dup_span_clean",  # NEW: duplicated-span removal (clean hashes)
+    "doc_mixture_apply",  # NEW: materialized tempered mixture (copy counts)
+    "doc_dedup_method_agreement",  # NEW: cross-method dedup agreement matrix
     # -- backfill: ALL 26 names last witnessed in r4 (4 rounds stale) -----
     "asof_join_grid",
     "bayesian_gap_signal",
@@ -136,22 +138,23 @@ PRIORITY: tuple[str, ...] = (
     "volatility_sizing_tiers",
     "zorder_box_rollup",
     # -- r5-stale family heads (the deterministic replay tier + heads) ----
-    # (session-2's seven new queries displaced gap_sessionization,
+    # (session-2's nine new queries displaced ALL nine r5-stale heads —
+    # backtest_replay, monte_carlo_summary, gap_sessionization,
     # rl_observation_set, stateful_feature_extract,
-    # decision_pipeline_replay, data_quality_report, q9_product_profit and
-    # momentum_features to the FRONT of the round-9 backfill pool —
+    # decision_pipeline_replay, data_quality_report, q9_product_profit,
+    # momentum_features — to the FRONT of the round-9 backfill pool:
     # never-witnessed beats stale-rewitness per the rotation rule.)
-    "backtest_replay",
-    "monte_carlo_summary",
     # slot 50: the composed IVF+PQ serving query (never witnessed before
     # this round) keeps the last slot.
     "knn_ivfpq_adc_recall",
 )
 
 # ROUND-9 ROTATION NOTE: keep the 5 sentinels, lead with round-9 changed
-# entries, then the remaining r5-stale pool — FIRST the seven heads session-2
-# displaced (gap_sessionization, rl_observation_set, stateful_feature_extract, decision_pipeline_replay,
-# data_quality_report, q9_product_profit, momentum_features), then
+# entries, then the remaining r5-stale pool — FIRST the nine r5 heads
+# session-2 displaced (backtest_replay, monte_carlo_summary,
+# gap_sessionization, rl_observation_set, stateful_feature_extract,
+# decision_pipeline_replay, data_quality_report, q9_product_profit,
+# momentum_features), then
 # doc_text_quality (displaced earlier by knn_ivfpq_adc_recall), then:
 # agg_having_big_customers, best_row_dedup, conditional_end_prob,
 # corr_lineitem_measures, dedup_keep_first, descriptive_stats,
