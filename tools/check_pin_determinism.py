@@ -35,6 +35,7 @@ CANDIDATES = (
     "trailing_hour_uniques_hll",
     "event_value_percentiles_approx",
     "doc_semantic_dedup",
+    "knn_ivf_nprobe_curve",
 )
 TOPOLOGIES = (("8", "8"), ("32", "32"), ("16", "64"))  # (cores, shuffle parts)
 
