@@ -111,6 +111,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_mixture_apply",  # NEW: materialized tempered mixture (copy counts)
     "doc_dedup_method_agreement",  # NEW: cross-method dedup agreement matrix
     "knn_ivf_nprobe_curve",  # NEW pin: recall-vs-nprobe tuning curve
+    "corpus_curation_pipeline_v2",  # NEW: capstone funnel DAG
     # -- backfill: ALL 26 names last witnessed in r4 (4 rounds stale) -----
     "asof_join_grid",
     "bayesian_gap_signal",
@@ -135,7 +136,6 @@ PRIORITY: tuple[str, ...] = (
     "q4_order_priority",
     "q8_market_share",
     "q9_product_profit_bucketed",
-    "training_set_builder",
     "volatility_sizing_tiers",
     # -- r5-stale family heads (the deterministic replay tier + heads) ----
     # (session-2's nine new queries displaced ALL nine r5-stale heads —
@@ -151,7 +151,7 @@ PRIORITY: tuple[str, ...] = (
 
 # ROUND-9 ROTATION NOTE: keep the 5 sentinels, lead with round-9 changed
 # entries, then the remaining r5-stale pool — FIRST the nine r5 heads
-# session-2 displaced (zorder_box_rollup [r4-stale], backtest_replay, monte_carlo_summary,
+# session-2 displaced (training_set_builder + zorder_box_rollup [r4-stale], backtest_replay, monte_carlo_summary,
 # gap_sessionization, rl_observation_set, stateful_feature_extract,
 # decision_pipeline_replay, data_quality_report, q9_product_profit,
 # momentum_features), then
