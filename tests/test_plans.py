@@ -215,6 +215,7 @@ _BNLJ_ALLOWED = {
     "knn_ivf_cosine",
     "rag_retrieval_context",  # brute_force_topk's 5-query broadcast side
     "knn_ivf_kmeans_recall",
+    "knn_ivf_nprobe_curve",  # same shape as knn_ivf_kmeans_recall ×5 points
     "doc_decontamination_bloom",  # 1-row Bloom position-array broadcast
     "doc_semantic_dedup",  # assign_cells' 16-row centroid-model broadcast
     "knn_pq_adc_recall",
