@@ -1090,6 +1090,19 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_reps(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One representative per DISTINCT RAW text (md5(text)-keyed — NOT the
+    normalized dedup fingerprint: the consumers below are token-exact) plus
+    the member map. The collapse-first defense for linear stages whose
+    per-doc result is a pure function of the text: compute once per
+    distinct text, expand through the member map."""
+    from vectra_player_spark.operators.dedup import rep_members
+
+    keyed = docs.select("doc_id", "text", F.md5("text").alias("_k"))
+    reps, members = rep_members(keyed, "doc_id", ["_k"])
+    return reps.select("doc_id", "text"), members
+
+
 @register(
     "doc_decontamination",
     oracle=_DECONTAMINATION_ORACLE,
@@ -1097,22 +1110,35 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="benchmark decontamination (mandate-adjacent)",
 )
 def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse-first (round-8): the shared-shingle count is a pure
+    function of the text, so the train-side shingle explode + probe runs
+    once per DISTINCT raw text and expands to every copy through the
+    member map — the d× defense for the linear stage, same as the
+    dup-span family. Eval membership is id-based (doc_id < 20), so the
+    eval shingle set comes from the raw rows (a bounded benchmark set;
+    never worth collapsing), and the expansion filters members back to
+    the train side."""
     docs = t(spark, sf_dir, "documents")
-    sh = docs.select(
+    reps, members = _text_reps(docs)
+    sh = reps.select(
         "doc_id", F.explode(F.array_distinct(word_shingles_text("text", 5))).alias("shingle")
     )
-    eval_sh = sh.where(F.col("doc_id") < 20).select("shingle").distinct()
-    train = sh.where(F.col("doc_id") >= 20)
+    eval_sh = (
+        docs.where(F.col("doc_id") < 20)
+        .select(F.explode(F.array_distinct(word_shingles_text("text", 5))).alias("shingle"))
+        .distinct()
+    )
     hits = (
-        train.join(F.broadcast(eval_sh), "shingle")
+        sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumnRenamed("doc_id", "_rep")
     )
     return (
-        docs.where(F.col("doc_id") >= 20)
-        .join(hits, "doc_id", "left")
+        members.join(hits, "_rep", "left")
+        .where(F.col("_member") >= 20)
         .select(
-            "doc_id",
+            F.col("_member").alias("doc_id"),
             F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared_ngrams"),
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
         )
@@ -1759,11 +1785,19 @@ WHERE d.doc_id >= 20
 )
 def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sh = docs.select(
+    # collapse-first (round-8): probe once per DISTINCT raw text, expand
+    # through the member map (candidate/confirmed counts are pure
+    # functions of the text) — see doc_decontamination
+    reps, members = _text_reps(docs)
+    sh = reps.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles_text("text", 5))).alias("shingle"),
     )
-    eval_sh = sh.where(F.col("doc_id") < 20).select("shingle").distinct()
+    eval_sh = (
+        docs.where(F.col("doc_id") < 20)
+        .select(F.explode(F.array_distinct(word_shingles_text("text", 5))).alias("shingle"))
+        .distinct()
+    )
     # Bloom build: j hash positions per eval shingle -> ONE sorted distinct
     # position array (<= m entries however large the corpus)
     pos_union = None
@@ -1773,7 +1807,6 @@ def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = pos_union.agg(
         F.sort_array(F.collect_set("pos")).alias("positions")
     )
-    train = sh.where(F.col("doc_id") >= 20)
     # map-side probe: broadcast the single-row Bloom array over the scan
     hit = None
     for i in range(_BLOOM_J):
@@ -1782,7 +1815,7 @@ def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hit = c if hit is None else (hit & c)
     cand = (
-        train.crossJoin(F.broadcast(bloom))
+        sh.crossJoin(F.broadcast(bloom))
         .where(hit)
         .select("doc_id", "shingle")
     )
@@ -1793,16 +1826,20 @@ def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
             F.sum(F.coalesce("_e", F.lit(0))).cast("bigint").alias("n_confirmed"),
         )
+        .withColumnRenamed("doc_id", "_rep")
     )
-    base = docs.where(F.col("doc_id") >= 20).select("doc_id")
-    return base.join(confirmed, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
-        F.coalesce("n_confirmed", F.lit(0)).cast("bigint").alias("n_confirmed"),
-        (F.coalesce("n_candidates", F.lit(0)) - F.coalesce("n_confirmed", F.lit(0)))
-        .cast("bigint")
-        .alias("bloom_false_positives"),
-        (F.coalesce("n_confirmed", F.lit(0)) > 0).alias("contaminated"),
+    return (
+        members.join(confirmed, "_rep", "left")
+        .where(F.col("_member") >= 20)
+        .select(
+            F.col("_member").alias("doc_id"),
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("n_confirmed", F.lit(0)).cast("bigint").alias("n_confirmed"),
+            (F.coalesce("n_candidates", F.lit(0)) - F.coalesce("n_confirmed", F.lit(0)))
+            .cast("bigint")
+            .alias("bloom_false_positives"),
+            (F.coalesce("n_confirmed", F.lit(0)) > 0).alias("contaminated"),
+        )
     )
 
 
@@ -1901,40 +1938,77 @@ GROUP BY 1, 2
     "simhash/jaccard/span families)",
 )
 def doc_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-method flag sets come from the SAME (store-routed) plans the
-    individual queries run; the matrix aggregate is flag-set sized. At
-    100 TB each flag set is a distinct-id projection of an
-    already-bounded family output — the matrix adds one self-join on
-    doc_id over |flags| rows."""
-    from pyspark.sql import Window
-
-    from vectra_player_spark.operators.dedup import dup_span_stats
+    """Flag sets are derived ENUMERATION-FREE in rep space (round-8, after
+    the first version timed out at the 100× lake inside the 15.7B-row
+    member-pair listings): a doc is simhash/jaccard-flagged iff its rep
+    appears in a rep-space pair OR its group has >= 2 members (intra pairs
+    score hamming 0 / jaccard 1.0 by definition — for jaccard, only when
+    the rep has >= 1 shingle, matching the pair operator's contract), and
+    the exact flag IS the multi-member groups. Costs are the rep-space
+    band/posting joins plus flag-set-sized expansions; nothing scales with
+    the pair count. The oracle still aggregates the full pair listings —
+    equal by construction, hash-checked at sf0.01/10×."""
+    from vectra_player_spark.operators.dedup import (
+        dup_span_stats,
+        ngram_jaccard_pairs,
+        rep_members,
+        simhash_fingerprints,
+        simhash_pairs_from_fingerprints,
+    )
     from vectra_player_spark.session import pin
 
     docs = t(spark, sf_dir, "documents")
-    w_fp = Window.partitionBy(fingerprint("text"))
-    exact_flag = (
-        docs.withColumn("_c", F.count(F.lit(1)).over(w_fp))
-        .where(F.col("_c") > 1)
-        .select("doc_id")
+    reps, members = rep_members(
+        docs.select("doc_id", "text"), "doc_id", [fingerprint("text")]
     )
-    sim_pairs = doc_simhash_neardup_pairs(spark, sf_dir)
-    jac_pairs = doc_ngram_jaccard_pairs(spark, sf_dir)
+    reps, members = pin(reps), pin(members)
+    trivial = reps.select(
+        F.col("doc_id").alias("_rep"), F.col("doc_id").alias("_member")
+    )
+    multi = (
+        members.groupBy("_rep")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("_rep")
+    )
+
+    def expand(rep_ids, method):
+        return (
+            rep_ids.join(members, "_rep")
+            .select(F.col("_member").alias("doc_id"), F.lit(method).alias("method"))
+        )
+
+    def pair_reps(pairs):
+        return (
+            pairs.select(F.col("doc_a").alias("_rep"))
+            .union(pairs.select(F.col("doc_b").alias("_rep")))
+            .distinct()
+        )
+
+    # exact: every member of a multi-member normalized-fingerprint group
+    exact_flags = expand(multi, "exact")
+    # simhash: rep-space banded pairs (trivial expansion keeps them in rep
+    # space) + every multi group (intra pairs are hamming 0)
+    fp_reps = simhash_fingerprints(reps)
+    sim_pairs = simhash_pairs_from_fingerprints(fp_reps, trivial, k=3, bands=4)
+    sim_flags = expand(pair_reps(sim_pairs).union(multi).distinct(), "simhash")
+    # jaccard: rep-space posting-list pairs + multi groups whose rep has a
+    # shingle (shingle-less docs never pair, per the operator contract)
+    jac_pairs = ngram_jaccard_pairs(docs, prepared=(reps, trivial))
+    shingled = reps.where(
+        F.size(word_shingles_text("text", 3)) > 0
+    ).select(F.col("doc_id").alias("_rep"))
+    jac_flags = expand(
+        pair_reps(jac_pairs).union(multi.join(shingled, "_rep")).distinct(), "jaccard"
+    )
+    # spans: already collapse-first internally
     spans = dup_span_stats(docs, k=_DUP_SPAN_K)
-
-    def tag(df, col, method):
-        return df.select(F.col(col).alias("doc_id"), F.lit(method).alias("method"))
-
-    flags = (
-        tag(exact_flag, "doc_id", "exact")
-        .union(tag(sim_pairs, "doc_a", "simhash"))
-        .union(tag(sim_pairs, "doc_b", "simhash"))
-        .union(tag(jac_pairs, "doc_a", "jaccard"))
-        .union(tag(jac_pairs, "doc_b", "jaccard"))
-        .union(tag(spans.where(F.col("dup_frac") >= 0.5), "doc_id", "span50"))
-        .distinct()
+    span_flags = spans.where(F.col("dup_frac") >= 0.5).select(
+        "doc_id", F.lit("span50").alias("method")
     )
-    flags = pin(flags)
+    flags = pin(
+        exact_flags.union(sim_flags).union(jac_flags).union(span_flags).distinct()
+    )
     a = flags.select(F.col("doc_id"), F.col("method").alias("method_a"))
     b = flags.select(F.col("doc_id"), F.col("method").alias("method_b"))
     return (
