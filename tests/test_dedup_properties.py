@@ -532,3 +532,66 @@ class TestDupSpanRepCollapse:
         stats = {r.doc_id: r for r in dup_span_stats(
             spark.createDataFrame(docs, "doc_id long, text string"), k=4).collect()}
         assert stats[0].dup_tokens == 0 and stats[1].dup_tokens == 0
+
+
+class TestDupSpanDifferential:
+    """Randomized differential test: dup_spans vs a brute-force python
+    reference (count every k-window occurrence corpus-wide, cover, merge)."""
+
+    @staticmethod
+    def _reference(texts, k):
+        from collections import Counter
+
+        toks = {i: t.split() for i, t in texts.items()}
+        counts = Counter()
+        for tl in toks.values():
+            for i in range(max(len(tl) - k + 1, 0)):
+                counts[" ".join(tl[i : i + k])] += 1
+        spans = set()
+        for doc, tl in toks.items():
+            covered = sorted(
+                i
+                for i in range(max(len(tl) - k + 1, 0))
+                if counts[" ".join(tl[i : i + k])] >= 2
+            )
+            # merge overlap/adjacency of [i, i+k-1] windows
+            cur = None
+            for p in covered:
+                if cur is not None and p <= cur[1] + 1:
+                    cur = (cur[0], p + k - 1)
+                else:
+                    if cur is not None:
+                        spans.add((doc, cur[0], cur[1]))
+                    cur = (p, p + k - 1)
+            if cur is not None:
+                spans.add((doc, cur[0], cur[1]))
+        return spans
+
+    def test_random_corpora_match_reference(self, spark):
+        import random
+
+        from vectra_player_spark.operators.dedup import dup_spans
+
+        rng = random.Random(20260816)
+        vocab = [f"w{j}" for j in range(12)]  # small vocab -> real collisions
+        for trial in range(4):
+            n_docs = rng.randint(4, 10)
+            texts = {}
+            i = 0
+            while i < n_docs:
+                words = [rng.choice(vocab) for _ in range(rng.randint(1, 40))]
+                texts[i] = " ".join(words)
+                i += 1
+                # sprinkle verbatim copies to exercise the rep collapse
+                if rng.random() < 0.3 and i < n_docs:
+                    texts[i] = texts[i - 1]
+                    i += 1
+            df = spark.createDataFrame(
+                list(texts.items()), "doc_id long, text string"
+            )
+            got = {
+                (r.doc_id, r.span_start, r.span_end)
+                for r in dup_spans(df, k=4).collect()
+            }
+            want = self._reference(texts, 4)
+            assert got == want, f"trial {trial}: {got ^ want}"
