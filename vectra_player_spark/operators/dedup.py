@@ -294,7 +294,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_doc_freq: int | None = NGRAM_MAX_DOC_FREQ,
     prepared: tuple[DataFrame, DataFrame] | None = None,
-) -> DataFrame:
+    return_rep_space: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-dup pairs by w-gram Jaccard >= threshold via inverted index.
 
     Collapse-first: the inverted index and pair scoring run over one
@@ -311,7 +312,12 @@ def ngram_jaccard_pairs(
     uncollapsed computation; when the cap binds, the dropped-shingle
     count is logged (no-silent-caps discipline).
     ``prepared``: see minhash_lsh_pairs — shared rep collapse for
-    multi-operator compositions."""
+    multi-operator compositions. ``return_rep_space``: skip the member
+    expansion and return ``(rep_pairs, intra_reps)`` — the pairs among
+    representatives plus the single-column frame of reps eligible for
+    intra-group pairing (>= 1 post-cap shingle). Flag-set consumers
+    (doc_dedup_method_agreement) use this to stay enumeration-free while
+    keeping the cap's RAW-df semantics (pass the real member map)."""
     base = docs.select(F.col(id_col), F.col(text_col))
     if prepared is not None:
         reps, members = prepared
@@ -377,6 +383,8 @@ def ngram_jaccard_pairs(
         .where(F.col("_jaccard_raw") >= threshold)
         .select("doc_a", "doc_b", F.round("_jaccard_raw", 6).alias("jaccard"))
     )
+    if return_rep_space:
+        return rep_pairs, sizes.select(F.col(id_col).alias("_rep"))
     return expand_rep_pairs(
         rep_pairs, members, "doc_a", "doc_b", ["jaccard"],
         intra_reps=sizes.select(F.col(id_col).alias("doc_a")),
@@ -801,13 +809,13 @@ def dup_spans(
     Returns one row per span: (id, span_start, span_end, span_len) in
     token positions, inclusive.
     """
-    reps, rep_spans, members = _rep_span_frames(docs, id_col, text_col, k, min_count)
+    reps, rep_spans, members = rep_span_frames(docs, id_col, text_col, k, min_count)
     return rep_spans.join(members, rep_spans[id_col] == members["_rep"]).select(
         F.col("_member").alias(id_col), "span_start", "span_end", "span_len"
     )
 
 
-def _rep_span_frames(
+def rep_span_frames(
     docs: DataFrame,
     id_col: str,
     text_col: str,
@@ -841,15 +849,27 @@ def _rep_span_frames(
         .select(F.col(id_col), F.col(text_col), "_w")
     )
     reps = pin(reps)
-    # the gram hash is an INTERNAL grouping key (the oracle's md5 plays the
+    # The gram hash is an INTERNAL grouping key (the oracle's md5 plays the
     # same role on its side; outputs compare over the merged spans, not the
-    # hashes) — xxhash64 keeps the count-shuffle key at 8 bytes instead of
-    # a 32-char string and hashes ~3× faster over the corpus token stream
+    # hashes) — but dup flags DO depend on hash equality, so the key must
+    # stay collision-free at 100 TB gram counts. One xxhash64 lane is not
+    # (birthday ~n²/2⁶⁵ is material at 1e10 distinct grams); two
+    # independently-salted lanes give an effective 128-bit key
+    # (~n²/2¹²⁹ — negligible) while the shuffle still carries 16 bytes
+    # instead of a 32-char md5 string.
     grams = reps.select(
         F.col(id_col),
         "_w",
         F.posexplode(word_shingles_text(text_col, k)).alias("pos", "gram"),
-    ).select(F.col(id_col), "_w", "pos", F.xxhash64("gram").alias("gh"))
+    ).select(
+        F.col(id_col),
+        "_w",
+        "pos",
+        F.struct(
+            F.xxhash64("gram").alias("h1"),
+            F.xxhash64(F.concat(F.lit("g2:"), F.col("gram"))).alias("h2"),
+        ).alias("gh"),
+    )
     w_cnt = Window.partitionBy("gh")
     dup = (
         grams.withColumn("c", F.sum("_w").over(w_cnt))
@@ -904,7 +924,7 @@ def dup_span_stats(
     definition, so the expansion is two agg-bounded equi-joins."""
     from vectra_player_spark.functions.text import token_count
 
-    reps, rep_spans, members = _rep_span_frames(docs, id_col, text_col, k, min_count)
+    reps, rep_spans, members = rep_span_frames(docs, id_col, text_col, k, min_count)
     base = reps.select(
         F.col(id_col), token_count(text_col).cast("bigint").alias("n_tokens")
     )
@@ -1057,7 +1077,7 @@ def dup_span_clean(
     across exact copies, so the whole removal runs once per distinct text
     and expands through the member map.
     """
-    reps, rep_spans, members = _rep_span_frames(docs, id_col, text_col, k, min_count)
+    reps, rep_spans, members = rep_span_frames(docs, id_col, text_col, k, min_count)
     spans = rep_spans.select(id_col, "span_start", "span_end")
     toks = reps.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")

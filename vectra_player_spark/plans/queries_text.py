@@ -1103,6 +1103,25 @@ def _text_reps(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return reps.select("doc_id", "text"), members
 
 
+def _decon_shingle_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared decontamination inputs for the exact and Bloom arms: the
+    rep-space distinct 5-gram shingles (collapse-first — counts are pure
+    functions of the text), the eval set's distinct shingles (id-based
+    membership, doc_id < 20, computed from the raw rows), and the member
+    map for expanding per-rep verdicts back to train docs."""
+    reps, members = _text_reps(docs)
+    sh = reps.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles_text("text", 5))).alias("shingle"),
+    )
+    eval_sh = (
+        docs.where(F.col("doc_id") < 20)
+        .select(F.explode(F.array_distinct(word_shingles_text("text", 5))).alias("shingle"))
+        .distinct()
+    )
+    return sh, eval_sh, members
+
+
 @register(
     "doc_decontamination",
     oracle=_DECONTAMINATION_ORACLE,
@@ -1119,15 +1138,7 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     never worth collapsing), and the expansion filters members back to
     the train side."""
     docs = t(spark, sf_dir, "documents")
-    reps, members = _text_reps(docs)
-    sh = reps.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles_text("text", 5))).alias("shingle")
-    )
-    eval_sh = (
-        docs.where(F.col("doc_id") < 20)
-        .select(F.explode(F.array_distinct(word_shingles_text("text", 5))).alias("shingle"))
-        .distinct()
-    )
+    sh, eval_sh, members = _decon_shingle_frames(docs)
     hits = (
         sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
@@ -1664,12 +1675,12 @@ def doc_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline operator reads before choosing a removal threshold. Same span
     derivation as doc_dup_span_stats; output is span-length-sized (bounded),
     so this is safe to run at the full lake."""
-    from vectra_player_spark.operators.dedup import _rep_span_frames
+    from vectra_player_spark.operators.dedup import rep_span_frames
 
     # weighted rep-space rollup: exact copies never re-inflate the span
     # rows — each rep span carries its copy count (_w), and the histogram
     # aggregates weights instead of expanded members
-    _, rep_spans, _ = _rep_span_frames(
+    _, rep_spans, _ = rep_span_frames(
         t(spark, sf_dir, "documents"), "doc_id", "text", _DUP_SPAN_K, 2
     )
     per_rep = rep_spans.groupBy("doc_id", "span_len").agg(
@@ -1701,7 +1712,13 @@ def doc_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirm join touches only candidate shingles. No big-big shuffle.
 # --------------------------------------------------------------------------
 
-_BLOOM_M = 4096
+# m is deliberately huge: the filter is materialized as the SET of used
+# positions (size <= j·|eval shingles|, independent of m), so a large m
+# costs nothing at build time while keeping the fill fraction — and with
+# it the FP rate — negligible for any realistic benchmark eval set
+# (round-8 review: the original m=4096 saturated at ~2k eval shingles,
+# at which point the 'candidate pruning' passed nearly everything).
+_BLOOM_M = 1 << 20
 _BLOOM_J = 3
 
 def _bloom_pos_spark(i: int, col: str) -> str:
@@ -1784,41 +1801,36 @@ WHERE d.doc_id >= 20
     "pruning + exact confirm; companion to doc_decontamination)",
 )
 def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.session import pin
+
     docs = t(spark, sf_dir, "documents")
     # collapse-first (round-8): probe once per DISTINCT raw text, expand
     # through the member map (candidate/confirmed counts are pure
-    # functions of the text) — see doc_decontamination
-    reps, members = _text_reps(docs)
-    sh = reps.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles_text("text", 5))).alias("shingle"),
-    )
-    eval_sh = (
-        docs.where(F.col("doc_id") < 20)
-        .select(F.explode(F.array_distinct(word_shingles_text("text", 5))).alias("shingle"))
-        .distinct()
-    )
-    # Bloom build: j hash positions per eval shingle -> ONE sorted distinct
-    # position array (<= m entries however large the corpus)
+    # functions of the text) — shares _decon_shingle_frames with the
+    # exact arm so the two can never silently diverge
+    sh, eval_sh, members = _decon_shingle_frames(docs)
+    # Bloom build: j hash positions per eval shingle -> one distinct
+    # position SET (<= j·|eval| rows however large m is)
     pos_union = None
     for i in range(_BLOOM_J):
         p = eval_sh.select(F.expr(_bloom_pos_spark(i, "shingle")).alias("pos"))
         pos_union = p if pos_union is None else pos_union.unionAll(p)
-    bloom = pos_union.agg(
-        F.sort_array(F.collect_set("pos")).alias("positions")
-    )
-    # map-side probe: broadcast the single-row Bloom array over the scan
-    hit = None
+    positions = pin(pos_union.distinct())
+    # probe: j chained broadcast-hash LEFT SEMI joins — O(1) membership
+    # per corpus shingle (the review found the previous broadcast-array
+    # array_contains probe was a linear scan per shingle per hash)
+    cand = sh
     for i in range(_BLOOM_J):
-        c = F.array_contains(
-            F.col("positions"), F.expr(_bloom_pos_spark(i, "shingle"))
+        probe_pos = F.expr(_bloom_pos_spark(i, "shingle")).alias(f"_p{i}")
+        cand = (
+            cand.withColumn(f"_p{i}", probe_pos)
+            .join(
+                F.broadcast(positions.withColumnRenamed("pos", f"_p{i}")),
+                f"_p{i}",
+                "left_semi",
+            )
         )
-        hit = c if hit is None else (hit & c)
-    cand = (
-        sh.crossJoin(F.broadcast(bloom))
-        .where(hit)
-        .select("doc_id", "shingle")
-    )
+    cand = cand.select("doc_id", "shingle")
     confirmed = (
         cand.join(F.broadcast(eval_sh.withColumn("_e", F.lit(1))), "shingle", "left")
         .groupBy("doc_id")
@@ -1989,17 +2001,22 @@ def doc_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_flags = expand(multi, "exact")
     # simhash: rep-space banded pairs (trivial expansion keeps them in rep
     # space) + every multi group (intra pairs are hamming 0)
-    fp_reps = simhash_fingerprints(reps)
+    # pin the rep fingerprints: both band-join sides derive from them
+    # (the sibling operator documents ReuseExchange not firing here)
+    fp_reps = pin(simhash_fingerprints(reps))
     sim_pairs = simhash_pairs_from_fingerprints(fp_reps, trivial, k=3, bands=4)
     sim_flags = expand(pair_reps(sim_pairs).union(multi).distinct(), "simhash")
-    # jaccard: rep-space posting-list pairs + multi groups whose rep has a
-    # shingle (shingle-less docs never pair, per the operator contract)
-    jac_pairs = ngram_jaccard_pairs(docs, prepared=(reps, trivial))
-    shingled = reps.where(
-        F.size(word_shingles_text("text", 3)) > 0
-    ).select(F.col("doc_id").alias("_rep"))
+    # jaccard: rep-space posting-list pairs via the operator's own
+    # rep-space mode with the REAL member map, so the max_doc_freq cap
+    # keeps its raw-df semantics (each rep's shingle contributes its copy
+    # count) and the matrix summarizes exactly the registered pair query.
+    # intra flags: multi groups whose rep has a post-cap shingle —
+    # shingle-less docs never pair, per the operator contract.
+    jac_pairs, jac_intra = ngram_jaccard_pairs(
+        docs, prepared=(reps, members), return_rep_space=True
+    )
     jac_flags = expand(
-        pair_reps(jac_pairs).union(multi.join(shingled, "_rep")).distinct(), "jaccard"
+        pair_reps(jac_pairs).union(multi.join(jac_intra, "_rep")).distinct(), "jaccard"
     )
     # spans: already collapse-first internally
     spans = dup_span_stats(docs, k=_DUP_SPAN_K)
