@@ -170,6 +170,8 @@ def main() -> None:
                 "doc_semantic_dedup",
                 "doc_decontamination_bloom",
                 "doc_epoch_shuffle",
+                "doc_dedup_method_agreement",
+                "corpus_curation_pipeline_v2",
             ):
                 try:
                     runs10 = []

@@ -595,3 +595,36 @@ class TestDupSpanDifferential:
             }
             want = self._reference(texts, 4)
             assert got == want, f"trial {trial}: {got ^ want}"
+
+
+class TestGramCountMergeability:
+    def test_split_counts_merge_to_union_counts(self, spark):
+        # verbatim copies STRADDLE the split: doc 0 (half A) == doc 5
+        # (half B), so each half's rep collapse sees a different weight —
+        # the merged weighted counts must still equal the union's
+        from pyspark.sql import functions as F
+
+        from vectra_player_spark.operators.dedup import dup_gram_counts
+
+        base = "s1 s2 s3 s4 s5 s6"
+        docs = [
+            (0, base), (1, "a1 a2 a3 a4 a5"), (2, base),
+            (5, base), (6, "b1 b2 b3 b4 b5"), (7, "a1 a2 a3 a4 a5"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        half_a = df.where(F.col("doc_id") < 5)
+        half_b = df.where(F.col("doc_id") >= 5)
+
+        def counts(frame):
+            return {
+                (r.gh.h1, r.gh.h2): r.n_occurrences
+                for r in dup_gram_counts(frame, k=4).collect()
+            }
+
+        ca, cb, cu = counts(half_a), counts(half_b), counts(df)
+        merged = {gh: ca.get(gh, 0) + cb.get(gh, 0) for gh in set(ca) | set(cb)}
+        assert merged == cu
+        # the merged table reproduces the union's dup verdicts: base's
+        # grams occur 3x, a-doc grams 2x (one per half), b-doc grams once
+        assert sorted(cu.values()) == sorted(merged.values())
+        assert max(cu.values()) == 3 and min(cu.values()) == 1

@@ -1108,3 +1108,42 @@ def dup_span_clean(
     return rep_out.join(members, "_rep").select(
         F.col("_member").alias(id_col), "n_kept_tokens", "clean_hash"
     )
+
+
+def dup_gram_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+) -> DataFrame:
+    """Weighted k-gram occurrence counts (gh → n_occurrences) — the
+    SUM-MERGEABLE ingest artifact a persisted span store would maintain:
+    ``counts(A) ⊎ counts(B) == counts(A ∪ B)`` (merge = sum per gh), and
+    this holds even when a text's verbatim copies straddle the split,
+    because each split's rep collapse weights its grams by its own copy
+    count and the weighted sum equals the raw occurrence count either
+    way. A watermark-append refresh (the doc/emb/idx stores' regime)
+    therefore extends to gram counts with a plain additive merge — no
+    rebuild-on-change; pinned by the straddling-split test in
+    tests/test_dedup_properties.py.
+
+    Same collapse-first shape as `rep_span_frames` (one gram explode per
+    DISTINCT text); the aggregate is one shuffle on the 128-bit gh.
+    """
+    keyed = docs.select(F.col(id_col), F.col(text_col), F.md5(text_col).alias("_k"))
+    reps_raw, members = rep_members(keyed, id_col, ["_k"])
+    weights = members.groupBy("_rep").agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
+    reps = reps_raw.join(weights, reps_raw[id_col] == weights["_rep"]).select(
+        F.col(text_col), "_w"
+    )
+    grams = reps.select(
+        "_w",
+        F.explode(word_shingles_text(text_col, k)).alias("gram"),
+    ).select(
+        "_w",
+        F.struct(
+            F.xxhash64("gram").alias("h1"),
+            F.xxhash64(F.concat(F.lit("g2:"), F.col("gram"))).alias("h2"),
+        ).alias("gh"),
+    )
+    return grams.groupBy("gh").agg(F.sum("_w").cast("bigint").alias("n_occurrences"))
