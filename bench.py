@@ -172,6 +172,11 @@ def main() -> None:
                 "doc_epoch_shuffle",
                 "doc_dedup_method_agreement",
                 "corpus_curation_pipeline_v2",
+                "doc_lm_perplexity",
+                "doc_ccnet_buckets",
+                "doc_dsir_weights",
+                "doc_dsir_resample",
+                "doc_crosscorpus_neardup",
             ):
                 try:
                     runs10 = []

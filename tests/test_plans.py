@@ -200,6 +200,7 @@ _BNLJ_ALLOWED = {
     "mmr_rerank_topk",  # 1-row query-vector broadcast
     "hybrid_rrf_retrieval",  # both arms' 1-row scalar/query broadcasts
     "ntile_user_quartiles",  # exact_ntile's 1-row cut-array/n_total broadcasts
+    "doc_ccnet_buckets",  # same exact_ntile 1-row broadcasts (tertile cut)
     "q22_sales_opportunity",  # 1-row (total, n) avg-balance scalar broadcast
     "q11_important_parts",  # 1-row national-total scalar broadcast
     "q15_top_supplier",  # 1-row MAX(revenue) scalar broadcast

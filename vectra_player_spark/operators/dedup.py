@@ -234,23 +234,7 @@ def minhash_pairs_from_signatures(
     docs excluded, as minhash_signatures produces); ``members`` maps every
     doc to its rep (_rep, _member). Identical output to minhash_lsh_pairs
     by construction — signatures are pure functions of text."""
-    rows_per_band = k // bands
-    band_cols = [
-        F.concat_ws(
-            "|",
-            *[
-                F.col(f"h{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ],
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stack_expr = ", ".join(f"{b}, b{b}" for b in range(bands))
-    long = banded.select(
-        F.col(id_col),
-        F.expr(f"stack({bands}, {stack_expr}) AS (band_idx, band_hash)"),
-    ).select(id_col, "band_idx", "band_hash")
+    long = band_long(sig, id_col, k, bands)
     a = long.select(
         F.col(id_col).alias("doc_a"), F.col("band_idx"), F.col("band_hash")
     )
@@ -267,6 +251,110 @@ def minhash_pairs_from_signatures(
         rep_pairs, members, "doc_a", "doc_b", [],
         intra_reps=sig.select(F.col(id_col).alias("doc_a")),
         intra_scores={},
+    )
+
+
+def band_long(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Unpivot a signature relation (id, h0..h{k-1}) into the long banded
+    form (id, band_idx, band_hash) — the join key of every LSH candidate
+    stage. Map-side only (stack is a generator projection, no shuffle)."""
+    rows_per_band = k // bands
+    band_cols = [
+        F.concat_ws(
+            "|",
+            *[
+                F.col(f"h{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stack_expr = ", ".join(f"{b}, b{b}" for b in range(bands))
+    return banded.select(
+        F.col(id_col),
+        F.expr(f"stack({bands}, {stack_expr}) AS (band_idx, band_hash)"),
+    ).select(id_col, "band_idx", "band_hash")
+
+
+def crosscorpus_neardup_counts(
+    docs: DataFrame,
+    is_new: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Incremental-crawl dedup: for each doc in the NEW batch (``is_new``
+    true), count the distinct OLD-corpus docs that are dedup candidates
+    against it — exact fingerprint matches ∪ MinHash band collisions. The
+    op every corpus refresh runs: dedup the incoming batch AGAINST the
+    existing lake, not within itself (RefinedWeb/Dolma-style pipelines).
+
+    Enumeration-free AND collapse-first: candidates are never
+    materialized member-wise. Per exact-duplicate group g (fingerprint
+    key, rep = min id), a new member's candidate count is
+    old_cnt(g) + Σ_{h band-collides g} old_cnt(h): the first term is the
+    exact-match arm (same normalized text ⇒ exact match, shingle-less
+    groups included), the second the rep-space LSH arm (identical texts
+    have identical signatures, so rep collisions are exactly member
+    collisions; h ≠ g can never also be an exact match, so the union
+    never double-counts). Cost is the banded rep self-join plus two
+    count aggregates — independent of the duplication factor and of the
+    candidate-pair count. Docs with NULL text carry no fingerprint and
+    no signature (they match nothing in the direct form) and are
+    excluded here; the caller left-joins them back with count 0."""
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.col(text_col), is_new.alias("_is_new")
+    )
+    grp_w = Window.partitionBy(fingerprint(text_col))
+    tagged = base.withColumn("_rep", F.min(id_col).over(grp_w))
+    grp = tagged.groupBy("_rep").agg(
+        F.sum(F.when(~F.col("_is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_old_cnt")
+    )
+    reps = tagged.where(F.col(id_col) == F.col("_rep"))
+    sig = pin(
+        minhash_signatures(
+            reps.select(id_col, text_col), id_col, text_col, w, k
+        )
+    )
+    long = band_long(sig, id_col, k, bands)
+    rep_pairs = (
+        long.select(F.col(id_col).alias("_g"), "band_idx", "band_hash")
+        .join(
+            long.select(F.col(id_col).alias("_h"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .where(F.col("_g") != F.col("_h"))
+        .select("_g", "_h")
+        .distinct()
+    )
+    band_sums = (
+        rep_pairs.join(grp.select(F.col("_rep").alias("_h"), "_old_cnt"), "_h")
+        .groupBy("_g")
+        .agg(F.sum("_old_cnt").cast("bigint").alias("_band_old"))
+    )
+    n_old = (F.col("_old_cnt") + F.coalesce(F.col("_band_old"), F.lit(0))).cast(
+        "bigint"
+    )
+    return (
+        tagged.where(F.col("_is_new"))
+        .select(F.col(id_col), "_rep")
+        .join(grp, "_rep")
+        .join(band_sums.withColumnRenamed("_g", "_rep"), "_rep", "left")
+        .select(
+            F.col(id_col),
+            n_old.alias("n_old_candidates"),
+            (n_old > 0).cast("int").alias("is_dup"),
+        )
     )
 
 

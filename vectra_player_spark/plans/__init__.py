@@ -22,6 +22,7 @@ from vectra_player_spark.plans import (  # noqa: E402,F401
     queries_backtest,
     queries_multimodal,
     queries_pipeline,
+    queries_lm,
     queries_timeseries,
     queries_subqueries,
     queries_tpch_extra,

@@ -1,0 +1,510 @@
+"""Model-based corpus curation: n-gram LM perplexity + DSIR resampling.
+
+Two public-pipeline families the quality tier was still missing:
+
+- **CCNet-style LM filtering** (Wenzek et al. 2020, "CCNet: Extracting
+  High Quality Monolingual Datasets from Web Crawl Data"): train a
+  language model on a trusted reference slice, score every document by
+  per-token cross-entropy, and cut the corpus into head/middle/tail
+  perplexity buckets. Here the LM is a per-language bigram model with
+  Jelinek–Mercer interpolation (λ2·bigram-MLE + λ1·unigram-MLE +
+  λ0·uniform) trained on a deterministic md5-coin half of the corpus —
+  closed-form counts, no iterative fitting, so BOTH engines compute the
+  identical model and the whole family is oracle-checked.
+
+- **DSIR** (Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling"): hashed-bigram bag-of-ngrams features, a
+  target vs raw bucket distribution (add-1 smoothed), per-document
+  importance log-weight = Σ log(p_tgt/p_raw) over the doc's features,
+  and Gumbel-top-k resampling of the raw pool (deterministic Gumbel
+  noise from an md5 coin — the same Efraimidis–Spirakis trick
+  doc_weighted_sample uses, in log space).
+
+Determinism discipline (the repo's standard): per-token/-bucket log
+values are snapped to the 1e-6 grid as BIGINT micro-nats
+(FLOOR(x·1e6 + 0.5) — functions/exact.fround's grid) and every
+accumulation is an exact integer SUM, so aggregation order can never
+flip a value; divisions and ln() are single IEEE ops on identical
+inputs. Bucket assignment is RANK-based (exact_ntile / NTILE), never a
+float-threshold comparison.
+
+Scale shapes (100 TB framing):
+- LM training = two groupBy aggregates over the reference slice; the
+  count tables are vocabulary-sized (≪ corpus) and the scoring stage is
+  three equi-joins Spark sizes itself (broadcast under AQE when the
+  vocab fits, shuffle-hash when it doesn't) followed by a map-side
+  expression — no UDFs anywhere.
+- CCNet buckets ride exact_ntile (operators/rank): the distributed
+  two-pass global rank, not a single-partition Window.
+- DSIR's bucket table is FIXED at B=4096 rows regardless of corpus
+  size → always broadcast; scoring is map-side after that one join;
+  selection is TakeOrderedAndProject (operators/rank.ranked_topk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectra_player_spark.operators.rank import exact_ntile, ranked_topk
+from vectra_player_spark.operators.windows import single_group
+from vectra_player_spark.plans.registry import register
+from vectra_player_spark.session import pin
+from vectra_player_spark.tables import t
+
+# Deterministic uniform in [0,1): first 8 md5 hex chars over a salted id
+# (the queries_pipeline / operators/dedup construction).
+_SPARK_COIN = (
+    "(conv(substring(md5(concat('{salt}:', cast(doc_id as string))), 1, 8), 16, 10)"
+    " / 4294967296.0)"
+)
+_DUCK_COIN = (
+    "(CAST('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    " / 4294967296.0)"
+)
+# Strictly interior (0,1) variant for ln(ln(u)) chains.
+_SPARK_COIN_OPEN = (
+    "((conv(substring(md5(concat('{salt}:', cast(doc_id as string))), 1, 8), 16, 10)"
+    " + 0.5) / 4294967296.0)"
+)
+_DUCK_COIN_OPEN = (
+    "((CAST('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    " + 0.5) / 4294967296.0)"
+)
+
+# ---------------------------------------------------------------------------
+# Shared LM pieces. The per-token Jelinek–Mercer probability is ONE shared
+# expression string evaluated by both engines over identically-named
+# columns (cb, cu1, cu2, t_tok, v_tok), with explicit parenthesization so
+# the IEEE operation tree is the same on both sides. Unseen events: a
+# missing bigram/unigram zeroes its term; a lang with no reference rows
+# degrades to the uniform floor (COALESCE(v_tok,0)+1 keeps it finite).
+# ---------------------------------------------------------------------------
+
+_LM_REF_FRAC = 0.5  # md5-coin share of docs used to train the LM
+
+_P_EXPR = (
+    "(((0.7) * (CASE WHEN cb IS NOT NULL AND cu1 IS NOT NULL AND cu1 > 0"
+    " THEN CAST(cb AS DOUBLE) / CAST(cu1 AS DOUBLE) ELSE 0.0 END))"
+    " + ((0.25) * (CASE WHEN t_tok IS NOT NULL AND t_tok > 0 AND cu2 IS NOT NULL"
+    " THEN CAST(cu2 AS DOUBLE) / CAST(t_tok AS DOUBLE) ELSE 0.0 END)))"
+    " + ((0.05) * (1.0 / (CAST(COALESCE(v_tok, 0) AS DOUBLE) + 1.0)))"
+)
+_LP_MICRO = f"CAST(FLOOR((ln({_P_EXPR}) * 1000000.0) + 0.5) AS BIGINT)"
+
+# DuckDB CTE chain shared by both LM oracles: tokens → reference-slice
+# unigram/bigram counts → per-bigram-position joined counts → per-token
+# micro-nat log-probs → per-doc cross-entropy.
+_LM_PERDOC_CTE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(toks) AS tok FROM toks
+        WHERE {_DUCK_COIN.format(salt="lmref")} < {_LM_REF_FRAC})
+  GROUP BY 1, 2
+),
+langtot AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS t_tok, CAST(COUNT(*) AS BIGINT) AS v_tok
+  FROM uni GROUP BY 1
+),
+big_all AS (
+  SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2 FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+    FROM toks WHERE len(toks) >= 2)
+),
+bi AS (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM big_all WHERE {_DUCK_COIN.format(salt="lmref")} < {_LM_REF_FRAC}
+  GROUP BY 1, 2, 3
+),
+joined AS (
+  SELECT b.doc_id, b.lang, bi.c AS cb, u1.c AS cu1, u2.c AS cu2,
+         lt.t_tok AS t_tok, lt.v_tok AS v_tok
+  FROM big_all b
+  LEFT JOIN bi ON bi.lang = b.lang AND bi.w1 = b.w1 AND bi.w2 = b.w2
+  LEFT JOIN uni u1 ON u1.lang = b.lang AND u1.tok = b.w1
+  LEFT JOIN uni u2 ON u2.lang = b.lang AND u2.tok = b.w2
+  LEFT JOIN langtot lt ON lt.lang = b.lang
+),
+scored AS (
+  SELECT doc_id, lang, {_LP_MICRO} AS lp_micro FROM joined
+),
+perdoc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(FLOOR(CAST(CAST(-SUM(lp_micro) AS BIGINT) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS xent_micro
+  FROM scored GROUP BY 1, 2
+)
+"""
+
+_LM_PERPLEXITY_ORACLE = (
+    _LM_PERDOC_CTE
+    + """
+SELECT doc_id, lang, n_scored, xent_micro,
+       CAST(xent_micro AS DOUBLE) / 1000000.0 AS xent_per_token
+FROM perdoc
+"""
+)
+
+
+def lm_perdoc_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc bigram-LM cross-entropy in micro-nats — the Spark mirror of
+    _LM_PERDOC_CTE, over any (doc_id, lang, text) relation. Columns:
+    doc_id, lang, n_scored, xent_micro."""
+    docs = docs.where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    is_ref = F.expr(_SPARK_COIN.format(salt="lmref")) < _LM_REF_FRAC
+    # uni feeds three consumers (two scoring joins + langtot) — pin the
+    # vocabulary-sized relation so the tokenize+count runs once.
+    uni = pin(
+        toks.where(is_ref)
+        .select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    langtot = uni.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("t_tok"),
+        F.count(F.lit(1)).alias("v_tok"),
+    )
+    # Spark sequence(1, n) is ascending only for n >= 1 (it REVERSES when
+    # stop < start, unlike DuckDB's empty generate_series) — the size >= 2
+    # guard is load-bearing, not cosmetic.
+    big_all = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> named_struct('w1', toks[i-1], 'w2', toks[i]))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", "bg.w1", "bg.w2")
+    )
+    bi = (
+        big_all.where(is_ref)
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    joined = (
+        big_all.join(
+            bi.select("lang", "w1", "w2", F.col("c").alias("cb")),
+            ["lang", "w1", "w2"],
+            "left",
+        )
+        .join(
+            uni.select("lang", F.col("tok").alias("w1"), F.col("c").alias("cu1")),
+            ["lang", "w1"],
+            "left",
+        )
+        .join(
+            uni.select("lang", F.col("tok").alias("w2"), F.col("c").alias("cu2")),
+            ["lang", "w2"],
+            "left",
+        )
+        .join(langtot, ["lang"], "left")
+    )
+    scored = joined.select(
+        "doc_id", "lang", F.expr(_LP_MICRO).alias("lp_micro")
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.expr(
+            "CAST(FLOOR(CAST(CAST(-SUM(lp_micro) AS BIGINT) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT)"
+        ).alias("xent_micro"),
+    )
+
+
+def _lm_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_perdoc_scores(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_lm_perplexity",
+    oracle=_LM_PERPLEXITY_ORACLE,
+    tags=("lm", "pipeline"),
+    survey_ref="CCNet LM quality scoring (training-pipeline mandate); F7 family",
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM cross-entropy (micro-nats per token) under a
+    Jelinek–Mercer model trained on the md5-coin reference half. Docs with
+    fewer than two tokens have no scored positions and are absent, same as
+    the oracle."""
+    perdoc = _lm_perdoc(spark, sf_dir)
+    return perdoc.select(
+        "doc_id",
+        "lang",
+        "n_scored",
+        "xent_micro",
+        (F.col("xent_micro").cast("double") / 1000000.0).alias("xent_per_token"),
+    )
+
+
+_CCNET_BUCKETS_ORACLE = (
+    _LM_PERDOC_CTE
+    + """
+, tiled AS (
+  SELECT lang, xent_micro,
+         NTILE(3) OVER (ORDER BY xent_micro ASC, doc_id ASC) AS tile
+  FROM perdoc
+)
+SELECT lang,
+       CASE WHEN tile = 1 THEN 'head' WHEN tile = 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(FLOOR(CAST(SUM(xent_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  + 0.5) AS BIGINT) AS mean_xent_micro
+FROM tiled GROUP BY 1, 2
+"""
+)
+
+
+@register(
+    "doc_ccnet_buckets",
+    oracle=_CCNET_BUCKETS_ORACLE,
+    tags=("lm", "pipeline"),
+    survey_ref="CCNet head/middle/tail perplexity partition; W5 rank family",
+)
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's corpus cut: global perplexity tertiles → head/middle/tail,
+    reported per (lang, bucket). Rank-based assignment (integer keys,
+    doc_id tiebreak) — no float-threshold comparison can flip a row —
+    via the distributed two-pass exact_ntile, never a single-partition
+    Window. CCNet proper buckets per language; on this shared-vocabulary
+    corpus the cut is global (partitioning the rank by lang is the same
+    operator keyed differently)."""
+    perdoc = _lm_perdoc(spark, sf_dir)
+    tiled = exact_ntile(
+        perdoc.withColumn("_neg", (-F.col("xent_micro")).cast("bigint")),
+        "_neg",
+        "doc_id",
+        3,
+        out_col="tile",
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiled.select("lang", bucket.alias("bucket"), "xent_micro")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(xent_micro) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT)"
+            ).alias("mean_xent_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed-bigram importance weights + Gumbel-top-k resampling.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096  # hashed feature buckets — FIXED, so the table always broadcasts
+_DSIR_TGT_FRAC = 0.25  # md5-coin share of docs standing in for the target corpus
+_DSIR_K = 100  # resample size
+
+_SPARK_BUCKET = (
+    "CAST(conv(substring(md5(concat('dsir:', w1, ' ', w2)), 1, 8), 16, 10)"
+    f" AS BIGINT) % {_DSIR_B}"
+)
+_DUCK_BUCKET = (
+    "CAST('0x' || substring(md5('dsir:' || w1 || ' ' || w2), 1, 8) AS BIGINT)"
+    f" % {_DSIR_B}"
+)
+
+# Per-bucket importance log-ratio on the micro grid. Identical expression
+# text both engines over (c_tgt, c_raw, t_tgt, t_raw).
+_LR_MICRO = (
+    "CAST(FLOOR(((ln((CAST(c_tgt AS DOUBLE) + 1.0)"
+    f" / (CAST(t_tgt AS DOUBLE) + {_DSIR_B}.0)))"
+    " - (ln((CAST(c_raw AS DOUBLE) + 1.0)"
+    f" / (CAST(t_raw AS DOUBLE) + {_DSIR_B}.0))))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+_DSIR_PERDOC_CTE = rf"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+big AS (
+  SELECT doc_id, source,
+         CASE WHEN {_DUCK_COIN.format(salt="dsirtgt")} < {_DSIR_TGT_FRAC}
+              THEN 1 ELSE 0 END AS is_target,
+         {_DUCK_BUCKET} AS bucket
+  FROM (
+    SELECT doc_id, source, bg.w1 AS w1, bg.w2 AS w2 FROM (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+      FROM toks WHERE len(toks) >= 2))
+),
+bc AS (
+  SELECT bucket, CAST(SUM(is_target) AS BIGINT) AS c_tgt,
+         CAST(SUM(1 - is_target) AS BIGINT) AS c_raw
+  FROM big GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(c_tgt) AS BIGINT) AS t_tgt, CAST(SUM(c_raw) AS BIGINT) AS t_raw
+  FROM bc
+),
+lr AS (SELECT bucket, {_LR_MICRO} AS lr_micro FROM bc, tot),
+w AS (
+  SELECT b.doc_id, b.source, b.is_target,
+         CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(lr.lr_micro) AS BIGINT) AS logw_micro
+  FROM big b JOIN lr ON lr.bucket = b.bucket
+  GROUP BY 1, 2, 3
+)
+"""
+
+_DSIR_WEIGHTS_ORACLE = (
+    _DSIR_PERDOC_CTE
+    + """
+SELECT doc_id, source, is_target, n_feats, logw_micro,
+       CAST(logw_micro AS DOUBLE) / 1000000.0 AS logw
+FROM w
+"""
+)
+
+
+def dsir_weight_table(docs: DataFrame) -> DataFrame:
+    """Per-doc DSIR importance log-weights (micro-nats) — Spark mirror of
+    _DSIR_PERDOC_CTE, over any (doc_id, source, text) relation. Columns:
+    doc_id, source, is_target, n_feats, logw_micro."""
+    docs = docs.where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    is_tgt = (
+        F.expr(_SPARK_COIN.format(salt="dsirtgt")) < _DSIR_TGT_FRAC
+    ).cast("int")
+    big = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> named_struct('w1', toks[i-1], 'w2', toks[i]))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "source", "bg.w1", "bg.w2")
+        .select(
+            "doc_id",
+            "source",
+            is_tgt.alias("is_target"),
+            F.expr(_SPARK_BUCKET).alias("bucket"),
+        )
+    )
+    bc = big.groupBy("bucket").agg(
+        F.sum("is_target").cast("bigint").alias("c_tgt"),
+        F.sum(1 - F.col("is_target")).cast("bigint").alias("c_raw"),
+    )
+    # Totals over the FIXED 4096-row bucket table: a single-group window
+    # (non-foldable constant key — operators/windows.single_group) instead
+    # of a 1-row crossJoin keeps the plan audit's BNLJ ban clean; the
+    # "global" partition is 4096 rows by construction, never data-sized.
+    tw = Window.partitionBy(single_group("bucket"))
+    lr = bc.withColumn("t_tgt", F.sum("c_tgt").over(tw)).withColumn(
+        "t_raw", F.sum("c_raw").over(tw)
+    ).select("bucket", F.expr(_LR_MICRO).alias("lr_micro"))
+    return (
+        big.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source", "is_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr_micro").cast("bigint").alias("logw_micro"),
+        )
+    )
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_weight_table(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_dsir_weights",
+    oracle=_DSIR_WEIGHTS_ORACLE,
+    tags=("lm", "pipeline"),
+    survey_ref="DSIR importance weights (training-pipeline mandate)",
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bigram DSIR importance log-weight per document: how much
+    more target-like than raw-like its features are. Exact integer
+    accumulation on the micro grid; the B=4096 bucket table is the only
+    model state."""
+    return _dsir_weights(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "is_target",
+        "n_feats",
+        "logw_micro",
+        (F.col("logw_micro").cast("double") / 1000000.0).alias("logw"),
+    )
+
+
+_DSIR_RESAMPLE_ORACLE = (
+    _DSIR_PERDOC_CTE
+    + f"""
+, keyed AS (
+  SELECT doc_id, source, logw_micro,
+         (CAST(logw_micro AS DOUBLE) / 1000000.0)
+         + (-ln(-ln({_DUCK_COIN_OPEN.format(salt="dsirgum")}))) AS sel_key
+  FROM w WHERE is_target = 0
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, source, logw_micro
+FROM keyed
+QUALIFY rank <= {_DSIR_K}
+"""
+)
+
+
+@register(
+    "doc_dsir_resample",
+    oracle=_DSIR_RESAMPLE_ORACLE,
+    tags=("lm", "pipeline"),
+    survey_ref="DSIR Gumbel-top-k resampling; O5 top-k physical path",
+)
+def doc_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step: Gumbel-top-k over the raw pool — key =
+    log-weight + Gumbel(md5 coin), top {_DSIR_K} kept. Equivalent to
+    sampling without replacement proportional to the softmax of the
+    importance weights, but with deterministic noise so the selected SET
+    is oracle-checkable. Physical path: TakeOrderedAndProject via
+    ranked_topk, never a global Window."""
+    w = _dsir_weights(spark, sf_dir).where(F.col("is_target") == 0)
+    keyed = w.withColumn(
+        "sel_key",
+        F.expr(
+            "(CAST(logw_micro AS DOUBLE) / 1000000.0)"
+            f" + (-ln(-ln({_SPARK_COIN_OPEN.format(salt='dsirgum')})))"
+        ),
+    )
+    return ranked_topk(
+        keyed,
+        "sel_key",
+        "doc_id",
+        _DSIR_K,
+        out_cols=["doc_id", "source", "logw_micro"],
+        rank_col="rank",
+        rank_type="bigint",
+    )

@@ -2034,3 +2034,105 @@ def doc_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("method_a", "method_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus incremental dedup: flag each NEW-batch doc that is a dedup
+# candidate against the EXISTING corpus (exact fingerprint match ∪ MinHash
+# band collision). The op every crawl refresh runs — dedup the incoming
+# batch AGAINST the lake, not within itself (RefinedWeb/Dolma pipelines;
+# with a signature store this is the read side of operators/sigstore's
+# watermark append). Enumeration-free: the Spark side counts candidates
+# through exact-group old-counts + a rep-space band join
+# (operators/dedup.crosscorpus_neardup_counts) and never materializes
+# member pairs, so output and shuffle stay batch-sized at any duplication
+# factor. The oracle recomputes per-doc signatures directly and UNIONs
+# the two candidate arms — equivalent because identical texts have
+# identical signatures (same assumption the whole collapse-first tier is
+# hash-verified under).
+# --------------------------------------------------------------------------
+
+_XBATCH_OLD_FRAC = 0.7  # md5-coin share of docs standing in for the lake
+
+_DUCK_XBATCH_U = (
+    "(CAST('0x' || substring(md5('xbatch:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    " AS BIGINT) / 4294967296.0)"
+)
+_SPARK_XBATCH_U = (
+    "(conv(substring(md5(concat('xbatch:', cast(doc_id as string))), 1, 8), 16, 10)"
+    " / 4294967296.0)"
+)
+
+_XCORPUS_ORACLE = (
+    "WITH "
+    + _MINHASH_PAIRS_BODY.rsplit("SELECT DISTINCT", 1)[0]
+    + f"""
+, coin AS (
+  SELECT doc_id,
+         CASE WHEN {_DUCK_XBATCH_U} < {_XBATCH_OLD_FRAC} THEN 0 ELSE 1 END AS is_new
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE text IS NOT NULL
+),
+band_pairs AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+  FROM long a
+  JOIN long b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id <> b.doc_id
+  JOIN coin ca ON ca.doc_id = a.doc_id AND ca.is_new = 1
+  JOIN coin cb ON cb.doc_id = b.doc_id AND cb.is_new = 0
+),
+exact_pairs AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM fp n
+  JOIN fp o ON n.fp = o.fp AND n.doc_id <> o.doc_id
+  JOIN coin cn ON cn.doc_id = n.doc_id AND cn.is_new = 1
+  JOIN coin co ON co.doc_id = o.doc_id AND co.is_new = 0
+),
+cands AS (
+  SELECT new_id, old_id FROM band_pairs
+  UNION
+  SELECT new_id, old_id FROM exact_pairs
+),
+cnt AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_old FROM cands GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(cnt.n_old, 0) AS BIGINT) AS n_old_candidates,
+       CAST(CASE WHEN COALESCE(cnt.n_old, 0) > 0 THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM documents d
+JOIN coin c ON c.doc_id = d.doc_id AND c.is_new = 1
+LEFT JOIN cnt ON cnt.new_id = d.doc_id
+"""
+)
+
+
+@register(
+    "doc_crosscorpus_neardup",
+    oracle=_XCORPUS_ORACLE,
+    tags=("text", "dedup"),
+    survey_ref="D1-D2 incremental (batch-vs-lake) dedup; training-pipeline mandate",
+)
+def doc_crosscorpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per new-batch doc: how many distinct old-corpus docs it
+    collides with (exact ∪ banded LSH) and the resulting admission flag.
+    NULL-text new docs carry no fingerprint/signature — they match
+    nothing in the direct form — and re-enter via the left join with
+    count 0, exactly like the oracle's."""
+    from vectra_player_spark.operators.dedup import crosscorpus_neardup_counts
+
+    docs = t(spark, sf_dir, "documents")
+    is_new = F.expr(_SPARK_XBATCH_U) >= _XBATCH_OLD_FRAC
+    counts = crosscorpus_neardup_counts(docs, is_new)
+    return (
+        docs.where(is_new)
+        .select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_old_candidates", F.lit(0)).cast("bigint").alias(
+                "n_old_candidates"
+            ),
+            F.coalesce("is_dup", F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )
