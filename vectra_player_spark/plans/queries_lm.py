@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vectra_player_spark.functions.text import fingerprint
 from vectra_player_spark.operators.rank import exact_ntile, ranked_topk
 from vectra_player_spark.operators.windows import single_group
 from vectra_player_spark.plans.registry import register
@@ -153,35 +154,16 @@ FROM perdoc
 )
 
 
-def lm_perdoc_scores(docs: DataFrame) -> DataFrame:
-    """Per-doc bigram-LM cross-entropy in micro-nats — the Spark mirror of
-    _LM_PERDOC_CTE, over any (doc_id, lang, text) relation. Columns:
-    doc_id, lang, n_scored, xent_micro."""
-    docs = docs.where(F.col("text").isNotNull())
-    toks = docs.select(
-        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks")
-    )
-    is_ref = F.expr(_SPARK_COIN.format(salt="lmref")) < _LM_REF_FRAC
-    # uni feeds three consumers (two scoring joins + langtot) — pin the
-    # vocabulary-sized relation so the tokenize+count runs once.
-    uni = pin(
-        toks.where(is_ref)
-        .select("lang", F.explode("toks").alias("tok"))
-        .groupBy("lang", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    langtot = uni.groupBy("lang").agg(
-        F.sum("c").cast("bigint").alias("t_tok"),
-        F.count(F.lit(1)).alias("v_tok"),
-    )
-    # Spark sequence(1, n) is ascending only for n >= 1 (it REVERSES when
-    # stop < start, unlike DuckDB's empty generate_series) — the size >= 2
-    # guard is load-bearing, not cosmetic.
-    big_all = (
-        toks.where(F.size("toks") >= 2)
+def _bigrams(toks_df: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """Explode a (.., toks) relation into adjacent-token bigrams.
+
+    Spark sequence(1, n) is ascending only for n >= 1 (it REVERSES when
+    stop < start, unlike DuckDB's empty generate_series) — the size >= 2
+    guard is load-bearing, not cosmetic."""
+    return (
+        toks_df.where(F.size("toks") >= 2)
         .select(
-            "doc_id",
-            "lang",
+            *extra_cols,
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(toks) - 1),"
@@ -189,15 +171,72 @@ def lm_perdoc_scores(docs: DataFrame) -> DataFrame:
                 )
             ).alias("bg"),
         )
-        .select("doc_id", "lang", "bg.w1", "bg.w2")
+        .select(*extra_cols, "bg.w1", "bg.w2")
     )
+
+
+def lm_perdoc_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc bigram-LM cross-entropy in micro-nats — the Spark mirror of
+    _LM_PERDOC_CTE, over any (doc_id, lang, text) relation. Columns:
+    doc_id, lang, n_scored, xent_micro.
+
+    Collapse-first (the d² duplication defense applied to its linear
+    cousin): a doc's score is a pure function of (lang, text) given the
+    model, and the model's counts from a group of identical ref docs are
+    (counts of one copy) × (ref copies in the group). So tokenize, explode
+    and score run once per DISTINCT (lang, text) — on the 100×-duplicated
+    lake that is 1% of the rows — with exact integer count weighting, and
+    members inherit their rep's score through one equi-join. Output is
+    value-identical to the direct per-doc form (the oracle computes that
+    form)."""
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", "lang", "text"
+    )
+    grp_w = Window.partitionBy("lang", fingerprint("text"))
+    is_ref = F.expr(_SPARK_COIN.format(salt="lmref")) < _LM_REF_FRAC
+    tagged = base.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.min("doc_id").over(grp_w).alias("_rep"),
+        is_ref.cast("int").alias("_is_ref"),
+    )
+    n_ref = tagged.groupBy("_rep").agg(
+        F.sum("_is_ref").cast("bigint").alias("_n_ref")
+    )
+    rep_toks = (
+        tagged.where(F.col("doc_id") == F.col("_rep"))
+        .select(
+            "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks")
+        )
+    )
+    # Weighted training counts over reps: each rep's token/bigram
+    # occurrences count _n_ref times — exactly the raw ref-slice counts.
+    rep_ref = rep_toks.join(
+        n_ref.withColumnRenamed("_rep", "doc_id"), "doc_id"
+    ).where(F.col("_n_ref") > 0)
+    # uni feeds three consumers (two scoring joins + langtot) — pin the
+    # vocabulary-sized relation so the tokenize+count runs once.
+    uni = pin(
+        rep_ref.select("lang", "_n_ref", F.explode("toks").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.sum("_n_ref").cast("bigint").alias("c"))
+    )
+    langtot = uni.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("t_tok"),
+        F.count(F.lit(1)).alias("v_tok"),
+    )
+    # Scoring explode over reps only; two consumers (bi + joined) — but bi
+    # re-derives from rep_ref (weighted), so big_rep has one consumer and
+    # needs no pin.
     bi = (
-        big_all.where(is_ref)
+        _bigrams(rep_ref, ["lang", "_n_ref"])
         .groupBy("lang", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("_n_ref").cast("bigint").alias("c"))
     )
+    big_rep = _bigrams(rep_toks, ["doc_id", "lang"])
     joined = (
-        big_all.join(
+        big_rep.join(
             bi.select("lang", "w1", "w2", F.col("c").alias("cb")),
             ["lang", "w1", "w2"],
             "left",
@@ -217,13 +256,19 @@ def lm_perdoc_scores(docs: DataFrame) -> DataFrame:
     scored = joined.select(
         "doc_id", "lang", F.expr(_LP_MICRO).alias("lp_micro")
     )
-    return scored.groupBy("doc_id", "lang").agg(
+    per_rep = scored.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.expr(
             "CAST(FLOOR(CAST(CAST(-SUM(lp_micro) AS BIGINT) AS DOUBLE)"
             " / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT)"
         ).alias("xent_micro"),
     )
+    return tagged.select(F.col("doc_id"), F.col("lang"), "_rep").join(
+        per_rep.select(
+            F.col("doc_id").alias("_rep"), "n_scored", "xent_micro"
+        ),
+        "_rep",
+    ).select("doc_id", "lang", "n_scored", "xent_micro")
 
 
 def _lm_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,37 +431,51 @@ FROM w
 def dsir_weight_table(docs: DataFrame) -> DataFrame:
     """Per-doc DSIR importance log-weights (micro-nats) — Spark mirror of
     _DSIR_PERDOC_CTE, over any (doc_id, source, text) relation. Columns:
-    doc_id, source, is_target, n_feats, logw_micro."""
-    docs = docs.where(F.col("text").isNotNull())
-    toks = docs.select(
-        "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("toks")
+    doc_id, source, is_target, n_feats, logw_micro.
+
+    Collapse-first like lm_perdoc_scores: the feature bag is a pure
+    function of text, and a group of identical docs contributes
+    (one copy's bucket occurrences) × (target copies, raw copies) to the
+    two distributions. Hash+explode run once per distinct text; the
+    bucket table stays exactly the raw-corpus one; members inherit their
+    rep's integer weight through one equi-join (is_target/source stay
+    per-member — they ride the member row, not the rep's)."""
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", "source", "text"
     )
+    grp_w = Window.partitionBy(fingerprint("text"))
     is_tgt = (
         F.expr(_SPARK_COIN.format(salt="dsirtgt")) < _DSIR_TGT_FRAC
     ).cast("int")
-    big = (
-        toks.where(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1),"
-                    " i -> named_struct('w1', toks[i-1], 'w2', toks[i]))"
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", "source", "bg.w1", "bg.w2")
-        .select(
-            "doc_id",
-            "source",
-            is_tgt.alias("is_target"),
-            F.expr(_SPARK_BUCKET).alias("bucket"),
+    tagged = base.select(
+        "doc_id",
+        "source",
+        "text",
+        F.min("doc_id").over(grp_w).alias("_rep"),
+        is_tgt.alias("is_target"),
+    )
+    gcnt = tagged.groupBy("_rep").agg(
+        F.sum("is_target").cast("bigint").alias("_n_tgt"),
+        F.sum(1 - F.col("is_target")).cast("bigint").alias("_n_raw"),
+    )
+    rep_toks = (
+        tagged.where(F.col("doc_id") == F.col("_rep"))
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    )
+    # big_rep feeds the distribution counts AND the per-rep weight sum —
+    # pin the rep-space explode (|distinct texts| × tokens rows).
+    big_rep = pin(
+        _bigrams(rep_toks, ["doc_id"]).select(
+            "doc_id", F.expr(_SPARK_BUCKET).alias("bucket")
         )
     )
-    bc = big.groupBy("bucket").agg(
-        F.sum("is_target").cast("bigint").alias("c_tgt"),
-        F.sum(1 - F.col("is_target")).cast("bigint").alias("c_raw"),
+    bc = (
+        big_rep.join(gcnt.withColumnRenamed("_rep", "doc_id"), "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum("_n_tgt").cast("bigint").alias("c_tgt"),
+            F.sum("_n_raw").cast("bigint").alias("c_raw"),
+        )
     )
     # Totals over the FIXED 4096-row bucket table: a single-group window
     # (non-foldable constant key — operators/windows.single_group) instead
@@ -426,14 +485,17 @@ def dsir_weight_table(docs: DataFrame) -> DataFrame:
     lr = bc.withColumn("t_tgt", F.sum("c_tgt").over(tw)).withColumn(
         "t_raw", F.sum("c_raw").over(tw)
     ).select("bucket", F.expr(_LR_MICRO).alias("lr_micro"))
-    return (
-        big.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id", "source", "is_target")
+    rep_w = (
+        big_rep.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
             F.sum("lr_micro").cast("bigint").alias("logw_micro"),
         )
     )
+    return tagged.select("doc_id", "source", "is_target", "_rep").join(
+        rep_w.withColumnRenamed("doc_id", "_rep"), "_rep"
+    ).select("doc_id", "source", "is_target", "n_feats", "logw_micro")
 
 
 def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,4 +569,177 @@ def doc_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_cols=["doc_id", "source", "logw_micro"],
         rank_col="rank",
         rank_type="bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_curation_pipeline_v3 — the model-based capstone: compose this
+# session's tier the way CCNet/DSIR are actually deployed — dedup FIRST
+# (the LM must not memorize duplicates), then perplexity-cut, then
+# importance-resample the selection budget, then split. One funnel report:
+# (stage, n_docs, n_tokens).
+#   a_raw             the corpus
+#   b_exact_keepfirst one survivor per normalized fingerprint
+#   c_lm_headmid      survivors scored by a survivor-trained bigram LM,
+#                     tail tertile dropped (rank-based cut)
+#   d_dsir_selected   Gumbel-top-K by DSIR importance among the raw pool
+#   e_train           the md5-coin train split of the selection
+# Both engines run the SAME LM/DSIR definitions re-scoped to the deduped
+# survivor set (the oracle embeds the family CTEs with their single
+# `FROM documents` read pointed at the `ded` CTE — the v2 funnel's
+# composition trick), so the capstone hash-checks the tier composed, not
+# just piecewise.
+# ---------------------------------------------------------------------------
+
+_V3_K = 50  # DSIR selection budget
+
+
+def _curation_v3_oracle() -> str:
+    assert _LM_PERDOC_CTE.count("FROM documents") == 1
+    assert _DSIR_PERDOC_CTE.count("FROM documents") == 1
+    lm_on_ded = (
+        _LM_PERDOC_CTE.replace("FROM documents", "FROM ded")
+        .replace("WITH toks AS", "toks AS", 1)
+        + " SELECT doc_id, xent_micro FROM perdoc"
+    )
+    dsir_on_ded = (
+        _DSIR_PERDOC_CTE.replace("FROM documents", "FROM ded")
+        .replace("WITH toks AS", "toks AS", 1)
+        + " SELECT doc_id, is_target, logw_micro FROM w"
+    )
+    u_split = _DUCK_COIN.format(salt="split")
+    u_gum = _DUCK_COIN_OPEN.format(salt="dsirgum")
+    return rf"""
+WITH ded AS (
+  SELECT doc_id, lang, source, text FROM (
+    SELECT doc_id, lang, source, text,
+           min(doc_id) OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ) AS keeper
+    FROM documents
+  ) WHERE doc_id = keeper
+),
+lm AS (SELECT * FROM (WITH {lm_on_ded}) q),
+dsir AS (SELECT * FROM (WITH {dsir_on_ded}) q),
+tiled AS (
+  SELECT doc_id, NTILE(3) OVER (ORDER BY xent_micro ASC, doc_id ASC) AS tile
+  FROM lm
+),
+ntok AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM ded WHERE text IS NOT NULL
+),
+cstage AS (
+  SELECT t.doc_id, n.n_tok, d.is_target, d.logw_micro
+  FROM tiled t
+  JOIN ntok n ON n.doc_id = t.doc_id
+  JOIN dsir d ON d.doc_id = t.doc_id
+  WHERE t.tile <= 2
+),
+ranked AS (
+  SELECT doc_id, n_tok,
+         ROW_NUMBER() OVER (
+           ORDER BY (CAST(logw_micro AS DOUBLE) / 1000000.0)
+                    + (-ln(-ln({u_gum}))) DESC, doc_id ASC) AS rn
+  FROM cstage WHERE is_target = 0
+),
+sel AS (SELECT doc_id, n_tok FROM ranked WHERE rn <= {_V3_K})
+SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))), 0) AS BIGINT) AS n_tokens
+FROM documents
+UNION ALL
+SELECT 'b_exact_keepfirst', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))), 0) AS BIGINT)
+FROM ded
+UNION ALL
+SELECT 'c_lm_headmid', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM cstage
+UNION ALL
+SELECT 'd_dsir_selected', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM sel
+UNION ALL
+SELECT 'e_train', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+FROM sel WHERE {u_split} < 0.8
+"""
+
+
+@register(
+    "corpus_curation_pipeline_v3",
+    oracle=_curation_v3_oracle(),
+    tags=("lm", "pipeline"),
+    survey_ref="session-3 capstone: keep-first + LM perplexity cut + DSIR "
+    "selection + split composed with funnel accounting",
+)
+def corpus_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel shape at 100 TB: one fingerprint window (keep-first), then
+    every model stage runs in the collapse-first rep space the standalone
+    queries use; the tertile cut is the distributed exact_ntile and the
+    selection is TakeOrderedAndProject — the composition adds only
+    id-keyed joins and single-row aggregates."""
+    from vectra_player_spark.functions.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    w_fp = Window.partitionBy(fingerprint("text"))
+    # Five consumers re-derive the survivor set, but pinning it was
+    # MEASURED SLOWER (10.0 -> 16.7 s at 100×): `ded` carries the full
+    # text column, so the InMemoryRelation is corpus-text-sized and the
+    # cache writes cost more than the re-run fingerprint windows over
+    # pruned columns. The multi-consumer persist rule applies to NARROW
+    # rep-space relations (cstage below), not text-wide ones.
+    ded = (
+        docs.withColumn("_keeper", F.min("doc_id").over(w_fp))
+        .where(F.col("doc_id") == F.col("_keeper"))
+        .drop("_keeper")
+    )
+    lm = lm_perdoc_scores(ded.select("doc_id", "lang", "text"))
+    tiled = exact_ntile(
+        lm.withColumn("_neg", (-F.col("xent_micro")).cast("bigint")),
+        "_neg",
+        "doc_id",
+        3,
+        out_col="tile",
+    )
+    dsir = dsir_weight_table(ded.select("doc_id", "source", "text"))
+    ntok = ded.where(F.col("text").isNotNull()).select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tok")
+    )
+    # cstage feeds the selection AND the c-stage aggregate — a narrow
+    # 4-column survivor-sized frame, the shape the persist rule is for
+    # (A/B at the 100× lake, min-of-4: pinned 2.4 s vs unpinned 8.1 s —
+    # unpinned, each consumer re-runs the LM+ntile+DSIR subtree; pinning
+    # the text-wide `ded` instead was measured SLOWER, see above).
+    cstage = pin(
+        tiled.where(F.col("tile") <= 2)
+        .select("doc_id")
+        .join(ntok, "doc_id")
+        .join(dsir.select("doc_id", "is_target", "logw_micro"), "doc_id")
+    )
+    keyed = cstage.where(F.col("is_target") == 0).withColumn(
+        "sel_key",
+        F.expr(
+            "(CAST(logw_micro AS DOUBLE) / 1000000.0)"
+            f" + (-ln(-ln({_SPARK_COIN_OPEN.format(salt='dsirgum')})))"
+        ),
+    )
+    sel = ranked_topk(
+        keyed, "sel_key", "doc_id", _V3_K, out_cols=["doc_id", "n_tok"]
+    )
+
+    def _row(df: DataFrame, stage: str, tok_col) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(tok_col), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+
+    u_split = F.expr(_SPARK_COIN.format(salt="split"))
+    return (
+        _row(docs, "a_raw", token_count("text"))
+        .unionByName(_row(ded, "b_exact_keepfirst", token_count("text")))
+        .unionByName(_row(cstage, "c_lm_headmid", F.col("n_tok")))
+        .unionByName(_row(sel, "d_dsir_selected", F.col("n_tok")))
+        .unionByName(
+            _row(sel.where(u_split < 0.8), "e_train", F.col("n_tok"))
+        )
     )
