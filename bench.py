@@ -177,6 +177,7 @@ def main() -> None:
                 "doc_dsir_weights",
                 "doc_dsir_resample",
                 "doc_crosscorpus_neardup",
+                "corpus_curation_pipeline_v3",
             ):
                 try:
                     runs10 = []

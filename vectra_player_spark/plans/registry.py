@@ -118,6 +118,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_dsir_weights",  # NEW: DSIR hashed-bigram importance weights
     "doc_dsir_resample",  # NEW: DSIR Gumbel-top-k selection
     "doc_crosscorpus_neardup",  # NEW: batch-vs-lake incremental dedup
+    "corpus_curation_pipeline_v3",  # NEW: model-based capstone funnel
     # -- backfill: ALL 26 names last witnessed in r4 (4 rounds stale) -----
     "asof_join_grid",
     "bayesian_gap_signal",
@@ -137,12 +138,12 @@ PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q20_part_promotion",
-    "q21_waiting_suppliers",
-    # (session-3's five new queries displaced the last five r4-stale
-    # names — q2_min_cost_supplier, q4_order_priority, q8_market_share,
-    # q9_product_profit_bucketed, volatility_sizing_tiers — to the front
-    # of the round-9 r4-stale backfill: never-witnessed beats
-    # stale-rewitness per the rotation rule.)
+    # (session-3's six new queries displaced the last six r4-stale
+    # names — q21_waiting_suppliers, q2_min_cost_supplier,
+    # q4_order_priority, q8_market_share, q9_product_profit_bucketed,
+    # volatility_sizing_tiers — to the front of the round-9 r4-stale
+    # backfill: never-witnessed beats stale-rewitness per the rotation
+    # rule.)
     # -- r5-stale family heads (the deterministic replay tier + heads) ----
     # (session-2's nine new queries displaced ALL nine r5-stale heads —
     # backtest_replay, monte_carlo_summary, gap_sessionization,
@@ -156,9 +157,10 @@ PRIORITY: tuple[str, ...] = (
 )
 
 # ROUND-9 ROTATION NOTE: keep the 5 sentinels, lead with round-9 changed
-# entries, then the remaining stale pool — FIRST the five r4-stale names
-# session-3 displaced (q2_min_cost_supplier, q4_order_priority,
-# q8_market_share, q9_product_profit_bucketed, volatility_sizing_tiers),
+# entries, then the remaining stale pool — FIRST the six r4-stale names
+# session-3 displaced (q21_waiting_suppliers, q2_min_cost_supplier,
+# q4_order_priority, q8_market_share, q9_product_profit_bucketed,
+# volatility_sizing_tiers),
 # then the nine r5 heads
 # session-2 displaced (training_set_builder + zorder_box_rollup [r4-stale], backtest_replay, monte_carlo_summary,
 # gap_sessionization, rl_observation_set, stateful_feature_extract,
