@@ -66,6 +66,11 @@ ROUTED = (
     "knn_ivf_kmeans_recall",
     "knn_pq_adc_recall",
     "knn_ivfpq_adc_recall",  # composed IVF+PQ serving path (r8)
+    # LM counts store (r8 session 3): sum-mergeable partials, so the
+    # routed model is the groupBy-SUM of the store — values must equal
+    # the inline-trained model's at any lake state
+    "doc_lm_perplexity",
+    "doc_ccnet_buckets",
 )
 
 
@@ -114,6 +119,8 @@ def test_store_build_route_refresh_cycle(spark, sig_lake):
     # quantizer stores rebuild (corpus statistics — appends would diverge)
     assert stats["ivf"]["mode"] == "rebuilt"
     assert stats["pq"]["mode"] == "rebuilt"
+    # LM counts append partials — the reader's sum-merge absorbs them
+    assert stats["lm"]["mode"] == "appended"
     assert sigstore.doc_signatures_if_available(spark, lake) is not None
     for name in ROUTED:
         assert _run(spark, lake, name) == _direct(spark, lake, name), name

@@ -124,6 +124,7 @@ _KIND_TABLES = {
     "idx": ("documents",),
     "ivf": ("embeddings",),
     "pq": ("embeddings",),
+    "lm": ("documents",),
 }
 
 # The ANN index hyper-parameters are part of the store contract: the
@@ -348,6 +349,38 @@ def _build_text_index(spark: SparkSession, sf_dir: str) -> None:
         )
 
 
+def _build_lm_store(spark: SparkSession, sf_dir: str) -> None:
+    """Persist the bigram-LM training counts (plans/queries_lm) as an
+    ingest artifact: sigs = PARTIAL weighted counts (lang, w1, w2|NULL, c)
+    — sum-mergeable, so lake growth appends delta partials instead of
+    retraining (counts are additive facts of the text, unlike the ivf/pq
+    quantizers which are corpus statistics and must rebuild); members =
+    (doc_id, is_ref) one row per document, the coverage map + watermark."""
+    from vectra_player_spark.plans.queries_lm import (
+        _LM_REF_FRAC,
+        _SPARK_COIN,
+        lm_model_counts,
+    )
+    from vectra_player_spark.tables import _read
+
+    counts_path, members_path = _paths(spark, sf_dir, "lm")
+    _wipe(spark, counts_path)
+    _wipe(spark, members_path)
+    raw = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    lm_model_counts(raw).write.parquet(counts_path)
+    is_ref = F.expr(_SPARK_COIN.format(salt="lmref")) < _LM_REF_FRAC
+    raw.select("doc_id", is_ref.cast("int").alias("is_ref")).write.parquet(
+        members_path
+    )
+    n_store = spark.read.parquet(members_path).count()
+    n_raw = _read(spark, sf_dir, "documents").count()
+    if n_store != n_raw:
+        raise RuntimeError(
+            f"lm store wrote {n_store} member rows but raw documents "
+            f"holds {n_raw} — lake changed mid-build; rerun"
+        )
+
+
 def _build_ivf_store(spark: SparkSession, sf_dir: str) -> None:
     from vectra_player_spark.operators.knn import assign_cells, kmeans_deterministic
     from vectra_player_spark.tables import _read
@@ -461,6 +494,7 @@ _BUILDERS = {
     "idx": _build_text_index,
     "ivf": _build_ivf_store,
     "pq": _build_pq_store,
+    "lm": _build_lm_store,
 }
 _RAW_TABLE = {
     "doc": "documents",
@@ -468,6 +502,7 @@ _RAW_TABLE = {
     "idx": "documents",
     "ivf": "embeddings",
     "pq": "embeddings",
+    "lm": "documents",
 }
 
 
@@ -549,7 +584,15 @@ def pq_index_if_available(
     return _signatures_if_available(spark, sf_dir, "pq")
 
 
-_ALL_KINDS = ("doc", "emb", "idx", "ivf", "pq")
+def lm_counts_if_available(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """(partial counts, members) — the persisted bigram-LM training
+    counts; consumers groupBy-SUM the partials (vocabulary-sized)."""
+    return _signatures_if_available(spark, sf_dir, "lm")
+
+
+_ALL_KINDS = ("doc", "emb", "idx", "ivf", "pq", "lm")
 
 
 def materialize_signature_store(spark: SparkSession, sf_dir: str) -> None:
@@ -720,6 +763,43 @@ def _refresh_idx(spark: SparkSession, sf_dir: str) -> dict:
     return {"mode": mode, "delta_rows": n_delta}
 
 
+def _refresh_lm(spark: SparkSession, sf_dir: str) -> dict:
+    """Sum-mergeable artifact, so the watermark append is the simplest of
+    all: the delta docs' PARTIAL counts append to the counts table (the
+    reader groupBy-SUMs partials anyway) and the delta's coverage rows
+    append to members. No existing row is ever rewritten."""
+    from vectra_player_spark.plans.queries_lm import (
+        _LM_REF_FRAC,
+        _SPARK_COIN,
+        lm_model_counts,
+    )
+    from vectra_player_spark.tables import _read
+
+    counts_path, members_path = _paths(spark, sf_dir, "lm")
+    if not _live(spark, (counts_path, members_path)):
+        _build_lm_store(spark, sf_dir)
+        return {"mode": "built", "delta_rows": None}
+    members = spark.read.parquet(members_path)
+    raw = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    wm = members.agg(F.max("doc_id")).collect()[0][0]
+    delta = raw.where(F.col("doc_id") > wm) if wm is not None else raw
+    n_delta = delta.count()
+    if n_delta:
+        counts_cols = spark.read.parquet(counts_path).columns
+        lm_model_counts(delta).select(*counts_cols).write.mode(
+            "append"
+        ).parquet(counts_path)
+        is_ref = F.expr(_SPARK_COIN.format(salt="lmref")) < _LM_REF_FRAC
+        delta.select(
+            "doc_id", is_ref.cast("int").alias("is_ref")
+        ).select(*members.columns).write.mode("append").parquet(members_path)
+    mode = "appended" if n_delta else "noop"
+    if spark.read.parquet(members_path).count() != raw.count():
+        _build_lm_store(spark, sf_dir)  # history mutated — rebuild from truth
+        mode = "rebuilt"
+    return {"mode": mode, "delta_rows": n_delta}
+
+
 def _refresh_rebuild(kind: str):
     """Refresh for the corpus-statistic stores (ivf/pq): rebuild when the
     lake changed — a frozen-quantizer append would diverge from direct
@@ -762,6 +842,7 @@ def refresh_signature_store(spark: SparkSession, sf_dir: str) -> dict:
         ("idx", _refresh_idx),
         ("ivf", _refresh_rebuild("ivf")),
         ("pq", _refresh_rebuild("pq")),
+        ("lm", _refresh_lm),
     )
     out: dict = {}
     # concurrent job submission, same rationale + measurement as

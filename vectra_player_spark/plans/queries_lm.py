@@ -175,7 +175,69 @@ def _bigrams(toks_df: DataFrame, extra_cols: list[str]) -> DataFrame:
     )
 
 
-def lm_perdoc_scores(docs: DataFrame) -> DataFrame:
+def _lm_tagged(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, text, _rep, _is_ref): the (lang, fingerprint)
+    collapse groups plus the reference-slice coin — the shared base of
+    both the model counts and the scoring expansion."""
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", "lang", "text"
+    )
+    grp_w = Window.partitionBy("lang", fingerprint("text"))
+    is_ref = F.expr(_SPARK_COIN.format(salt="lmref")) < _LM_REF_FRAC
+    return base.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.min("doc_id").over(grp_w).alias("_rep"),
+        is_ref.cast("int").alias("_is_ref"),
+    )
+
+
+def _lm_rep_ref(tagged: DataFrame) -> DataFrame:
+    """Rep rows weighted by their group's ref-copy count (reps whose
+    group holds no ref copies contribute nothing and are dropped)."""
+    n_ref = tagged.groupBy("_rep").agg(
+        F.sum("_is_ref").cast("bigint").alias("_n_ref")
+    )
+    rep_toks = tagged.where(F.col("doc_id") == F.col("_rep")).select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    return rep_toks.join(
+        n_ref.withColumnRenamed("_rep", "doc_id"), "doc_id"
+    ).where(F.col("_n_ref") > 0)
+
+
+def lm_model_counts(docs: DataFrame) -> DataFrame:
+    """PARTIAL weighted LM counts for any doc set: (lang, w1, w2, c) with
+    w2 NULL on unigram rows. Sum-mergeable by construction — counts are
+    additive facts, so partials from disjoint doc sets groupBy-SUM into
+    the whole set's counts. This is the relation the signature store
+    persists at ingest (operators/sigstore kind 'lm') and watermark-
+    appends on lake growth; `lm_perdoc_scores(model=...)` consumes the
+    merged form. Weighted rep-space computation — exact raw-slice counts
+    at 1/d of the explode on a duplication-d corpus."""
+    rep_ref = _lm_rep_ref(_lm_tagged(docs))
+    uni_part = (
+        rep_ref.select("lang", "_n_ref", F.explode("toks").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.sum("_n_ref").cast("bigint").alias("c"))
+        .select(
+            "lang",
+            F.col("tok").alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
+            "c",
+        )
+    )
+    bi_part = (
+        _bigrams(rep_ref, ["lang", "_n_ref"])
+        .groupBy("lang", "w1", "w2")
+        .agg(F.sum("_n_ref").cast("bigint").alias("c"))
+        .select("lang", "w1", "w2", "c")
+    )
+    return uni_part.unionByName(bi_part)
+
+
+def lm_perdoc_scores(docs: DataFrame, model: DataFrame | None = None) -> DataFrame:
     """Per-doc bigram-LM cross-entropy in micro-nats — the Spark mirror of
     _LM_PERDOC_CTE, over any (doc_id, lang, text) relation. Columns:
     doc_id, lang, n_scored, xent_micro.
@@ -188,52 +250,45 @@ def lm_perdoc_scores(docs: DataFrame) -> DataFrame:
     lake that is 1% of the rows — with exact integer count weighting, and
     members inherit their rep's score through one equi-join. Output is
     value-identical to the direct per-doc form (the oracle computes that
-    form)."""
-    base = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", "lang", "text"
+    form).
+
+    ``model``: a MERGED counts relation in lm_model_counts' schema
+    (lang, w1, w2|NULL, c) — e.g. the persisted ingest-time store summed
+    over its partials. None → counts derive from ``docs`` inline
+    (identical values; the store just pays the training explode at
+    ingest instead of per query)."""
+    tagged = _lm_tagged(docs)
+    rep_toks = tagged.where(F.col("doc_id") == F.col("_rep")).select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks")
     )
-    grp_w = Window.partitionBy("lang", fingerprint("text"))
-    is_ref = F.expr(_SPARK_COIN.format(salt="lmref")) < _LM_REF_FRAC
-    tagged = base.select(
-        "doc_id",
-        "lang",
-        "text",
-        F.min("doc_id").over(grp_w).alias("_rep"),
-        is_ref.cast("int").alias("_is_ref"),
-    )
-    n_ref = tagged.groupBy("_rep").agg(
-        F.sum("_is_ref").cast("bigint").alias("_n_ref")
-    )
-    rep_toks = (
-        tagged.where(F.col("doc_id") == F.col("_rep"))
-        .select(
-            "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks")
+    if model is None:
+        rep_ref = _lm_rep_ref(tagged)
+        # uni feeds three consumers (two scoring joins + langtot) — pin
+        # the vocabulary-sized relation so the tokenize+count runs once.
+        uni = pin(
+            rep_ref.select("lang", "_n_ref", F.explode("toks").alias("tok"))
+            .groupBy("lang", "tok")
+            .agg(F.sum("_n_ref").cast("bigint").alias("c"))
         )
-    )
-    # Weighted training counts over reps: each rep's token/bigram
-    # occurrences count _n_ref times — exactly the raw ref-slice counts.
-    rep_ref = rep_toks.join(
-        n_ref.withColumnRenamed("_rep", "doc_id"), "doc_id"
-    ).where(F.col("_n_ref") > 0)
-    # uni feeds three consumers (two scoring joins + langtot) — pin the
-    # vocabulary-sized relation so the tokenize+count runs once.
-    uni = pin(
-        rep_ref.select("lang", "_n_ref", F.explode("toks").alias("tok"))
-        .groupBy("lang", "tok")
-        .agg(F.sum("_n_ref").cast("bigint").alias("c"))
-    )
+        bi = (
+            _bigrams(rep_ref, ["lang", "_n_ref"])
+            .groupBy("lang", "w1", "w2")
+            .agg(F.sum("_n_ref").cast("bigint").alias("c"))
+        )
+    else:
+        uni = pin(
+            model.where(F.col("w2").isNull()).select(
+                "lang", F.col("w1").alias("tok"), "c"
+            )
+        )
+        bi = model.where(F.col("w2").isNotNull()).select(
+            "lang", "w1", "w2", "c"
+        )
     langtot = uni.groupBy("lang").agg(
         F.sum("c").cast("bigint").alias("t_tok"),
         F.count(F.lit(1)).alias("v_tok"),
     )
-    # Scoring explode over reps only; two consumers (bi + joined) — but bi
-    # re-derives from rep_ref (weighted), so big_rep has one consumer and
-    # needs no pin.
-    bi = (
-        _bigrams(rep_ref, ["lang", "_n_ref"])
-        .groupBy("lang", "w1", "w2")
-        .agg(F.sum("_n_ref").cast("bigint").alias("c"))
-    )
+    # Scoring explode over reps only (one consumer — no pin needed).
     big_rep = _bigrams(rep_toks, ["doc_id", "lang"])
     joined = (
         big_rep.join(
@@ -272,7 +327,23 @@ def lm_perdoc_scores(docs: DataFrame) -> DataFrame:
 
 
 def _lm_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lm_perdoc_scores(t(spark, sf_dir, "documents"))
+    """Self-routes onto the persisted LM counts store when one covers
+    this lake (operators/sigstore kind 'lm'): the training explode +
+    count aggregates were paid at ingest; the query sums the store's
+    partials (vocabulary-sized) and keeps only the scoring stage.
+    Values identical — counts are additive facts of the text; oracle
+    unchanged."""
+    from vectra_player_spark.operators.sigstore import lm_counts_if_available
+
+    docs = t(spark, sf_dir, "documents")
+    model = None
+    store = lm_counts_if_available(spark, sf_dir)
+    if store is not None:
+        counts, _members = store
+        model = counts.groupBy("lang", "w1", "w2").agg(
+            F.sum("c").cast("bigint").alias("c")
+        )
+    return lm_perdoc_scores(docs, model=model)
 
 
 @register(
