@@ -199,6 +199,13 @@ class TestCrossCorpusDifferential:
                 if rng.random() < 0.4 and i < n_docs:  # verbatim duplicates
                     texts[i] = texts[i - 1]
                     i += 1
+                elif rng.random() < 0.3 and i < n_docs:
+                    # CASE VARIANT: same normalized fingerprint (exact
+                    # candidate), different raw text (different minhash
+                    # signature) — the two-key collapse must keep both
+                    # arms exact
+                    texts[i] = texts[i - 1].upper()
+                    i += 1
             new_ids = {i for i in texts if rng.random() < 0.4}
             rows = [(i, t, int(i in new_ids)) for i, t in texts.items()]
             df = spark.createDataFrame(

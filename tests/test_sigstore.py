@@ -317,3 +317,49 @@ def test_streaming_docs_lake_feeds_signature_store(spark, sf_dir, tmp_path):
         sigstore._STALE_STORES.clear()
         _sh.rmtree(root, ignore_errors=True)
         invalidate_lake(lake)
+
+
+def test_lm_refresh_replay_after_partial_commit(spark, sig_lake):
+    """Crash window: delta partial counts committed, members append lost.
+    The replayed refresh must OVERWRITE the same seg partition (not
+    append a second copy) — summed partials would otherwise silently
+    double, with no duplicate rows to detect it by."""
+    from vectra_player_spark.plans.queries_lm import lm_model_counts
+    from vectra_player_spark.tables import _read
+
+    lake, delta_docs, _ = sig_lake
+    sigstore.refresh_signature_store(spark, lake)  # day-1 build
+    delta_docs.coalesce(1).write.mode("append").parquet(
+        f"{lake}/documents.parquet"
+    )
+    invalidate_lake(lake)
+    counts_path, members_path = sigstore._paths(spark, lake, "lm")
+    wm = (
+        spark.read.parquet(members_path).agg(F.max("doc_id")).collect()[0][0]
+    )
+    raw = _read(spark, lake, "documents").select("doc_id", "lang", "text")
+    delta = raw.where(F.col("doc_id") > wm)
+    # simulate the crashed refresh's FIRST half (counts committed)
+    (
+        lm_model_counts(delta)
+        .withColumn("seg", F.lit(wm).cast("bigint"))
+        .select(*spark.read.parquet(counts_path).columns)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg")
+        .parquet(counts_path)
+    )
+    # replay: must converge, not double
+    stats = sigstore._refresh_lm(spark, lake)
+    assert stats["mode"] == "appended"
+    def _counts(df):
+        rows = (
+            df.groupBy("lang", "w1", "w2")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .collect()
+        )
+        return sorted(map(tuple, rows), key=lambda r: tuple(x or "" for x in r[:3]))
+
+    merged = _counts(spark.read.parquet(counts_path))
+    truth = _counts(lm_model_counts(raw))
+    assert merged == truth

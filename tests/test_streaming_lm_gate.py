@@ -136,6 +136,20 @@ class TestLmGate:
         }
         assert 201 in accepted  # same text, now in-distribution
 
+    def test_absent_store_fails_closed(self, spark, tmp_path):
+        """No model → no quality evidence → everything rejected (and the
+        stream must NOT crash on the missing path)."""
+        from vectra_player_spark.streaming.lm_gate import process_lm_batch
+
+        batch = spark.createDataFrame(
+            [(1, "en", "a b a b")], "doc_id long, lang string, text string"
+        )
+        out = str(tmp_path / "out")
+        process_lm_batch(batch, 0, str(tmp_path / "missing"), out, 10**9)
+        rej = spark.read.parquet(f"{out}/rejected").collect()
+        assert {r.doc_id for r in rej} == {1}
+        assert rej[0].xent_micro is None
+
     def test_batch_replay_is_idempotent(self, spark, tmp_path):
         from vectra_player_spark.streaming.lm_gate import process_lm_batch
 

@@ -297,30 +297,45 @@ def crosscorpus_neardup_counts(
     op every corpus refresh runs: dedup the incoming batch AGAINST the
     existing lake, not within itself (RefinedWeb/Dolma-style pipelines).
 
-    Enumeration-free AND collapse-first: candidates are never
-    materialized member-wise. Per exact-duplicate group g (fingerprint
-    key, rep = min id), a new member's candidate count is
-    old_cnt(g) + Σ_{h band-collides g} old_cnt(h): the first term is the
-    exact-match arm (same normalized text ⇒ exact match, shingle-less
-    groups included), the second the rep-space LSH arm (identical texts
-    have identical signatures, so rep collisions are exactly member
-    collisions; h ≠ g can never also be an exact match, so the union
-    never double-counts). Cost is the banded rep self-join plus two
-    count aggregates — independent of the duplication factor and of the
-    candidate-pair count. Docs with NULL text carry no fingerprint and
-    no signature (they match nothing in the direct form) and are
-    excluded here; the caller left-joins them back with count 0."""
+    Enumeration-free AND collapse-first, with TWO group keys because the
+    two candidate arms are pure functions of different text forms
+    (the queries_text._text_reps rule): raw-text groups g (md5(text),
+    rep = min id) carry the signature arm — identical RAW texts have
+    identical signatures, so rep band collisions are exactly member
+    collisions, case variants included — while the exact arm rolls the
+    raw groups up by the NORMALIZED fingerprint (lower + whitespace
+    collapse), matching the direct form's fingerprint join. A new member
+    of raw group g counts exact_old(fp(g)) + Σ_{h: fp(h)≠fp(g),
+    h band-collides g} old_cnt(h): the fp(h)≠fp(g) filter reproduces the
+    direct form's DISTINCT union (a same-fingerprint pair is already an
+    exact candidate, banded or not). Cost is the banded rep self-join
+    plus three count aggregates — independent of the duplication factor
+    and of the candidate-pair count. Docs with NULL text carry no
+    fingerprint and no signature (they match nothing in the direct form)
+    and are excluded here; the caller left-joins them back with 0."""
     base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.col(text_col), is_new.alias("_is_new")
     )
-    grp_w = Window.partitionBy(fingerprint(text_col))
+    grp_w = Window.partitionBy(F.md5(text_col))
     tagged = base.withColumn("_rep", F.min(id_col).over(grp_w))
-    grp = tagged.groupBy("_rep").agg(
-        F.sum(F.when(~F.col("_is_new"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("_old_cnt")
-    )
     reps = tagged.where(F.col(id_col) == F.col("_rep"))
+    rep_fp = reps.select(
+        F.col(id_col).alias("_rep"), fingerprint(text_col).alias("_fp")
+    )
+    # grp feeds FOUR branches (exact rollup, both band-join sides, the
+    # final member join) — pin the narrow rep-space relation.
+    grp = pin(
+        tagged.groupBy("_rep")
+        .agg(
+            F.sum(F.when(~F.col("_is_new"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("_old_cnt")
+        )
+        .join(rep_fp, "_rep")
+    )
+    exact_cnt = grp.groupBy("_fp").agg(
+        F.sum("_old_cnt").cast("bigint").alias("_fp_old")
+    )
     sig = pin(
         minhash_signatures(
             reps.select(id_col, text_col), id_col, text_col, w, k
@@ -338,17 +353,27 @@ def crosscorpus_neardup_counts(
         .distinct()
     )
     band_sums = (
-        rep_pairs.join(grp.select(F.col("_rep").alias("_h"), "_old_cnt"), "_h")
+        rep_pairs.join(
+            grp.select(
+                F.col("_rep").alias("_h"),
+                "_old_cnt",
+                F.col("_fp").alias("_fp_h"),
+            ),
+            "_h",
+        )
+        .join(grp.select(F.col("_rep").alias("_g"), F.col("_fp").alias("_fp_g")), "_g")
+        .where(F.col("_fp_g") != F.col("_fp_h"))
         .groupBy("_g")
         .agg(F.sum("_old_cnt").cast("bigint").alias("_band_old"))
     )
-    n_old = (F.col("_old_cnt") + F.coalesce(F.col("_band_old"), F.lit(0))).cast(
+    n_old = (F.col("_fp_old") + F.coalesce(F.col("_band_old"), F.lit(0))).cast(
         "bigint"
     )
     return (
         tagged.where(F.col("_is_new"))
         .select(F.col(id_col), "_rep")
-        .join(grp, "_rep")
+        .join(grp.select("_rep", "_fp"), "_rep")
+        .join(exact_cnt, "_fp")
         .join(band_sums.withColumnRenamed("_g", "_rep"), "_rep", "left")
         .select(
             F.col(id_col),

@@ -171,7 +171,7 @@ def _store_tag(sf_dir: str) -> str:
 # schema-version suffix per kind: bumping it makes every store of the
 # OLD layout read as absent (unrouted until the next maintain run
 # rebuilds) instead of feeding the routed arms a missing column
-_KIND_VERSION = {"idx": "_v2"}
+_KIND_VERSION = {"idx": "_v2", "lm": "_v2"}  # lm v2: seg-partitioned counts
 
 
 def _paths(spark: SparkSession, sf_dir: str, kind: str) -> tuple[str, str]:
@@ -356,22 +356,23 @@ def _build_lm_store(spark: SparkSession, sf_dir: str) -> None:
     retraining (counts are additive facts of the text, unlike the ivf/pq
     quantizers which are corpus statistics and must rebuild); members =
     (doc_id, is_ref) one row per document, the coverage map + watermark."""
-    from vectra_player_spark.plans.queries_lm import (
-        _LM_REF_FRAC,
-        _SPARK_COIN,
-        lm_model_counts,
-    )
+    from vectra_player_spark.plans.queries_lm import lm_is_ref, lm_model_counts
     from vectra_player_spark.tables import _read
 
     counts_path, members_path = _paths(spark, sf_dir, "lm")
     _wipe(spark, counts_path)
     _wipe(spark, members_path)
     raw = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    lm_model_counts(raw).write.parquet(counts_path)
-    is_ref = F.expr(_SPARK_COIN.format(salt="lmref")) < _LM_REF_FRAC
-    raw.select("doc_id", is_ref.cast("int").alias("is_ref")).write.parquet(
-        members_path
-    )
+    # seg partitions the partials by the refresh watermark that produced
+    # them (-1 = the base build) — _refresh_lm OVERWRITES one seg
+    # partition instead of appending, which makes a crash between the
+    # counts write and the members write replay-safe (see _refresh_lm).
+    lm_model_counts(raw).withColumn(
+        "seg", F.lit(-1).cast("bigint")
+    ).write.partitionBy("seg").parquet(counts_path)
+    raw.select(
+        "doc_id", lm_is_ref().cast("int").alias("is_ref")
+    ).write.parquet(members_path)
     n_store = spark.read.parquet(members_path).count()
     n_raw = _read(spark, sf_dir, "documents").count()
     if n_store != n_raw:
@@ -764,15 +765,18 @@ def _refresh_idx(spark: SparkSession, sf_dir: str) -> dict:
 
 
 def _refresh_lm(spark: SparkSession, sf_dir: str) -> dict:
-    """Sum-mergeable artifact, so the watermark append is the simplest of
-    all: the delta docs' PARTIAL counts append to the counts table (the
-    reader groupBy-SUMs partials anyway) and the delta's coverage rows
-    append to members. No existing row is ever rewritten."""
-    from vectra_player_spark.plans.queries_lm import (
-        _LM_REF_FRAC,
-        _SPARK_COIN,
-        lm_model_counts,
-    )
+    """Sum-mergeable artifact: the delta docs' PARTIAL counts land in the
+    counts table (readers groupBy-SUM partials anyway) and the delta's
+    coverage rows append to members.
+
+    Crash-safety ordering: the delta's partials DYNAMIC-OVERWRITE their
+    own seg=<watermark> partition FIRST, members append SECOND. A crash
+    between the two leaves members (hence the watermark) unchanged, so
+    the replayed refresh recomputes the identical delta and overwrites
+    the same seg partition with identical content — a plain append here
+    would silently DOUBLE the delta's gram counts on replay, and summed
+    partials leave no duplicate rows to detect it by."""
+    from vectra_player_spark.plans.queries_lm import lm_is_ref, lm_model_counts
     from vectra_player_spark.tables import _read
 
     counts_path, members_path = _paths(spark, sf_dir, "lm")
@@ -786,12 +790,19 @@ def _refresh_lm(spark: SparkSession, sf_dir: str) -> dict:
     n_delta = delta.count()
     if n_delta:
         counts_cols = spark.read.parquet(counts_path).columns
-        lm_model_counts(delta).select(*counts_cols).write.mode(
-            "append"
-        ).parquet(counts_path)
-        is_ref = F.expr(_SPARK_COIN.format(salt="lmref")) < _LM_REF_FRAC
+        (
+            lm_model_counts(delta)
+            .withColumn(
+                "seg", F.lit(wm if wm is not None else -2).cast("bigint")
+            )
+            .select(*counts_cols)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg")
+            .parquet(counts_path)
+        )
         delta.select(
-            "doc_id", is_ref.cast("int").alias("is_ref")
+            "doc_id", lm_is_ref().cast("int").alias("is_ref")
         ).select(*members.columns).write.mode("append").parquet(members_path)
     mode = "appended" if n_delta else "noop"
     if spark.read.parquet(members_path).count() != raw.count():

@@ -53,24 +53,13 @@ from vectra_player_spark.plans.registry import register
 from vectra_player_spark.session import pin
 from vectra_player_spark.tables import t
 
-# Deterministic uniform in [0,1): first 8 md5 hex chars over a salted id
-# (the queries_pipeline / operators/dedup construction).
-_SPARK_COIN = (
-    "(conv(substring(md5(concat('{salt}:', cast(doc_id as string))), 1, 8), 16, 10)"
-    " / 4294967296.0)"
-)
-_DUCK_COIN = (
-    "(CAST('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
-    " / 4294967296.0)"
-)
-# Strictly interior (0,1) variant for ln(ln(u)) chains.
-_SPARK_COIN_OPEN = (
-    "((conv(substring(md5(concat('{salt}:', cast(doc_id as string))), 1, 8), 16, 10)"
-    " + 0.5) / 4294967296.0)"
-)
-_DUCK_COIN_OPEN = (
-    "((CAST('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
-    " + 0.5) / 4294967296.0)"
+# The deterministic salted md5 coin — single canonical definition
+# (functions/coins); local names kept for the oracle f-strings below.
+from vectra_player_spark.functions.coins import (  # noqa: E402
+    DUCK_U01 as _DUCK_COIN,
+    DUCK_U01_OPEN as _DUCK_COIN_OPEN,
+    SPARK_U01 as _SPARK_COIN,
+    SPARK_U01_OPEN as _SPARK_COIN_OPEN,
 )
 
 # ---------------------------------------------------------------------------
@@ -175,21 +164,31 @@ def _bigrams(toks_df: DataFrame, extra_cols: list[str]) -> DataFrame:
     )
 
 
+def lm_is_ref() -> "F.Column":
+    """The reference-slice membership coin — THE definition; the store
+    builder/refresh (operators/sigstore kind 'lm') and the inline
+    training path must agree or persisted counts silently decouple from
+    what the query trains on."""
+    return F.expr(_SPARK_COIN.format(salt="lmref")) < _LM_REF_FRAC
+
+
 def _lm_tagged(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, text, _rep, _is_ref): the (lang, fingerprint)
-    collapse groups plus the reference-slice coin — the shared base of
-    both the model counts and the scoring expansion."""
+    """(doc_id, lang, text, _rep, _is_ref): the (lang, raw-text) collapse
+    groups plus the reference-slice coin — the shared base of both the
+    model counts and the scoring expansion. Keyed on md5(text), NOT the
+    normalized dedup fingerprint: LM scores are token-exact (case- and
+    whitespace-sensitive), so a case-variant duplicate must NOT inherit
+    its rep's score (the queries_text._text_reps rule)."""
     base = docs.where(F.col("text").isNotNull()).select(
         "doc_id", "lang", "text"
     )
-    grp_w = Window.partitionBy("lang", fingerprint("text"))
-    is_ref = F.expr(_SPARK_COIN.format(salt="lmref")) < _LM_REF_FRAC
+    grp_w = Window.partitionBy("lang", F.md5("text"))
     return base.select(
         "doc_id",
         "lang",
         "text",
         F.min("doc_id").over(grp_w).alias("_rep"),
-        is_ref.cast("int").alias("_is_ref"),
+        lm_is_ref().cast("int").alias("_is_ref"),
     )
 
 
@@ -514,7 +513,9 @@ def dsir_weight_table(docs: DataFrame) -> DataFrame:
     base = docs.where(F.col("text").isNotNull()).select(
         "doc_id", "source", "text"
     )
-    grp_w = Window.partitionBy(fingerprint("text"))
+    # md5(text), not the normalized fingerprint — feature bags are
+    # token-exact (the queries_text._text_reps rule)
+    grp_w = Window.partitionBy(F.md5("text"))
     is_tgt = (
         F.expr(_SPARK_COIN.format(salt="dsirtgt")) < _DSIR_TGT_FRAC
     ).cast("int")

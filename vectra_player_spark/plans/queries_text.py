@@ -15,6 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vectra_player_spark.functions.coins import (
+    DUCK_U01 as _COIN_DUCK_U01,
+    SPARK_U01 as _COIN_SPARK_U01,
+)
 from vectra_player_spark.functions.text import (
     STOPWORDS,
     fingerprint,
@@ -2047,21 +2051,16 @@ def doc_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/dedup.crosscorpus_neardup_counts) and never materializes
 # member pairs, so output and shuffle stay batch-sized at any duplication
 # factor. The oracle recomputes per-doc signatures directly and UNIONs
-# the two candidate arms — equivalent because identical texts have
-# identical signatures (same assumption the whole collapse-first tier is
-# hash-verified under).
+# the two candidate arms — the operator reproduces it EXACTLY (case
+# variants included) by carrying two group keys: raw-md5 groups for the
+# signature arm, their normalized-fingerprint rollup for the exact arm
+# (see the operator docstring).
 # --------------------------------------------------------------------------
 
 _XBATCH_OLD_FRAC = 0.7  # md5-coin share of docs standing in for the lake
 
-_DUCK_XBATCH_U = (
-    "(CAST('0x' || substring(md5('xbatch:' || CAST(doc_id AS VARCHAR)), 1, 8)"
-    " AS BIGINT) / 4294967296.0)"
-)
-_SPARK_XBATCH_U = (
-    "(conv(substring(md5(concat('xbatch:', cast(doc_id as string))), 1, 8), 16, 10)"
-    " / 4294967296.0)"
-)
+_DUCK_XBATCH_U = _COIN_DUCK_U01.format(salt="xbatch")
+_SPARK_XBATCH_U = _COIN_SPARK_U01.format(salt="xbatch")
 
 _XCORPUS_ORACLE = (
     "WITH "

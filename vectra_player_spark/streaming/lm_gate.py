@@ -37,15 +37,36 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _store_exists(spark, counts_path: str) -> bool:
+    """Hadoop-FS existence probe (works on s3a/hdfs, the neardup gate's
+    _read_store discipline): an absent or not-yet-built store must not
+    kill the stream."""
+    from py4j.protocol import Py4JError
+
+    try:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(counts_path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(jp)
+    except (Py4JError, AttributeError, RuntimeError):
+        return False
+
+
 def score_batch_against_store(
     batch: DataFrame, counts_path: str
 ) -> DataFrame:
-    """(doc_id, lang, xent_micro nullable) for every batch doc: the batch
-    query's scoring core against the CURRENT store contents. Docs the LM
-    cannot score (NULL text / fewer than two tokens) carry NULL."""
+    """The full batch plus an xent_micro column: the batch query's
+    scoring core against the CURRENT store contents. Docs the LM cannot
+    score carry NULL — NULL text, fewer than two tokens, or NO STORE at
+    all (absent/not-yet-built: no model means no quality evidence, and a
+    quality gate fails CLOSED — everything routes to rejected until the
+    ingest spine commits counts)."""
     from vectra_player_spark.plans.queries_lm import lm_perdoc_scores
 
     spark = batch.sparkSession
+    if not _store_exists(spark, counts_path):
+        return batch.withColumn(
+            "xent_micro", F.lit(None).cast("bigint")
+        )
     model = (
         spark.read.parquet(counts_path)
         .groupBy("lang", "w1", "w2")
@@ -54,7 +75,7 @@ def score_batch_against_store(
     scored = lm_perdoc_scores(
         batch.select("doc_id", "lang", "text"), model=model
     )
-    return batch.select("doc_id", "lang").join(
+    return batch.join(
         scored.select("doc_id", "xent_micro"), "doc_id", "left"
     )
 
@@ -66,13 +87,10 @@ def process_lm_batch(
     out_dir: str,
     threshold_micro: int,
 ) -> None:
-    scored = batch.join(
-        score_batch_against_store(batch, counts_path).select(
-            "doc_id", "xent_micro"
-        ),
-        "doc_id",
-        "left",
-    ).localCheckpoint(eager=True)  # two sinks below — score once
+    # two sinks below — score once
+    scored = score_batch_against_store(batch, counts_path).localCheckpoint(
+        eager=True
+    )
     ok = F.col("xent_micro").isNotNull() & (
         F.col("xent_micro") <= threshold_micro
     )
