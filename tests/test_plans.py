@@ -219,6 +219,9 @@ _BNLJ_ALLOWED = {
     "knn_ivf_kmeans_recall",
     "knn_ivf_nprobe_curve",  # same shape as knn_ivf_kmeans_recall ×5 points
     "doc_decontamination_bloom",  # 1-row Bloom position-array broadcast
+    "doc_nb_classifier",  # K-row class-constant table broadcast (K langs)
+    "doc_nb_confusion",  # same K-row class broadcast as its parent
+    "doc_bpe_vocab_stats",  # 1-row corpus-stat × 1-row vocab-count crosses
     "doc_semantic_dedup",  # assign_cells' 16-row centroid-model broadcast
     "knn_pq_adc_recall",
     # same pinned-small broadcast sides as its two parents: the 50-query

@@ -36,6 +36,11 @@ CANDIDATES = (
     "event_value_percentiles_approx",
     "doc_semantic_dedup",
     "knn_ivf_nprobe_curve",
+    # round-8 session-4: BPE merge learning — integer pair counts with a
+    # total-order top-1 per round, deterministic by construction; the gate
+    # verifies it empirically across topologies before freezing.
+    "doc_bpe_merges",
+    "doc_bpe_vocab_stats",
 )
 TOPOLOGIES = (("8", "8"), ("32", "32"), ("16", "64"))  # (cores, shuffle parts)
 

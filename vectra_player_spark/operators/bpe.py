@@ -1,0 +1,164 @@
+"""Distributed BPE merge learning — tokenizer training for the corpus tier.
+
+Byte-pair encoding (Sennrich et al. 2016, "Neural Machine Translation of
+Rare Words with Subword Units") learns a merge table by repeatedly fusing
+the most frequent adjacent symbol pair. The classic learner operates on a
+word→count dictionary; the distributed form here keeps that table as a
+DataFrame:
+
+- **Collapse-first by construction**: the corpus collapses to DISTINCT
+  pre-tokenized words with counts (a vocabulary-sized relation, ≪ corpus
+  — duplication factor d costs nothing), exactly like the reference
+  learners' word-frequency dict. Every subsequent round touches only
+  this table.
+- **Per round**: one groupBy over the exploded adjacent symbol pairs
+  (count-weighted, overlapping positions counted — the get_stats
+  semantics), a TakeOrderedAndProject top-1 with a TOTAL order
+  (count DESC, pair lexicographic ASC — deterministic under any
+  topology), and a JVM-side higher-order fold applying the merge
+  greedily left-to-right non-overlapping to every word. The top-1
+  collect is a scalar driver probe (the watermark-probe class), one per
+  merge — inherent to BPE's sequential dependency.
+- **Lineage control**: the word table is localCheckpoint'ed each round,
+  so the nested fold expressions never stack (n_merges deep plans blow
+  codegen otherwise) — the connected_components discipline.
+
+At 100 TB the word-count collapse IS the scale story: the iteration cost
+depends on |vocab|, not corpus bytes, and the one corpus-sized pass is
+the initial pre-tokenize+count aggregate.
+
+No UDFs anywhere: pre-tokenization is regexp_extract_all, symbol
+splitting and merge application are transform/aggregate higher-order
+expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Pre-tokenizer: letter runs | digit runs | single other non-space — the
+# BPE-ish pattern the token-counting query uses (queries_text._BPE_PATTERN).
+BPE_PRETOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+END_OF_WORD = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> Column | DataFrame:
+    """DISTINCT pre-tokenized words with corpus counts: (word, cnt)."""
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            # F.lit, not an F.expr SQL literal: the pattern's \s would be
+            # eaten by SQL string-escape processing (the queries_text rule).
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def initial_symbols(words: DataFrame) -> DataFrame:
+    """(word, cnt, syms): characters plus the end-of-word marker."""
+    return words.select(
+        "word",
+        "cnt",
+        F.expr(
+            "concat(transform(sequence(1, char_length(word)),"
+            f" i -> substring(word, i, 1)), array('{END_OF_WORD}'))"
+        ).alias("syms"),
+    )
+
+
+def _adjacent_pairs(df: DataFrame) -> DataFrame:
+    """Explode (cnt, syms) into count-weighted adjacent pairs (w1, w2, cnt).
+    Overlapping positions all count (get_stats semantics)."""
+    return (
+        df.where(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> named_struct('w1', syms[i-1], 'w2', syms[i]))"
+                )
+            ).alias("bg"),
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"), "cnt")
+    )
+
+
+def apply_merge(syms_col: str, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping application of merge (a, b) to
+    a symbol array — a single JVM-side fold. The accumulator carries the
+    emitted prefix plus one pending symbol; a pending ``a`` followed by
+    ``b`` emits the fused symbol and clears the pending slot (so a merged
+    token never re-fuses within the same pass — the reference scanner's
+    i += 2). Literals go through F.lit, never SQL strings: symbols may
+    contain quotes."""
+    merged = a + b
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == F.lit(a)) & (x == F.lit(b)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(F.col(syms_col), init, step, finish)
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int = 24,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Learn up to ``n_merges`` BPE merges; stop early when the best pair's
+    corpus count drops below ``min_count``. Returns the merge table rows
+    (merge_rank, left, right, merged, pair_count) and the final
+    (word, cnt, syms) relation under all learned merges."""
+    cur = initial_symbols(word_counts(docs, text_col)).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            _adjacent_pairs(cur)
+            .groupBy("w1", "w2")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_count:
+            break
+        a, b, c = top[0]["w1"], top[0]["w2"], int(top[0]["c"])
+        merges.append((rank, a, b, a + b, c))
+        cur = cur.withColumn("syms", apply_merge("syms", a, b)).localCheckpoint()
+    return merges, cur

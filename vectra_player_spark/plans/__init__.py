@@ -23,6 +23,8 @@ from vectra_player_spark.plans import (  # noqa: E402,F401
     queries_multimodal,
     queries_pipeline,
     queries_lm,
+    queries_classify,
+    queries_bpe,
     queries_timeseries,
     queries_subqueries,
     queries_tpch_extra,

@@ -1,0 +1,410 @@
+"""Supervised corpus classification + leakage-safe splitting.
+
+Two public-pipeline families completing the model-based curation tier:
+
+- **Naive-Bayes text classifier** (the fastText-classifier analog in
+  CCNet/RedPajama-style pipelines, where a linear bag-of-words model
+  tags documents for quality or language; fastText's flagship use IS
+  language-ID). Here: a multinomial Naive Bayes over whitespace
+  unigrams predicting ``lang``, trained on the deterministic md5-coin
+  half of the corpus and evaluated on the holdout half. Closed-form
+  counts + add-1 smoothing — no iterative fitting — so BOTH engines
+  compute the identical model and the family is fully oracle-checked.
+  (On this synthetic corpus the langs share one vocabulary, so holdout
+  accuracy is chance-level by construction; the confusion matrix makes
+  that visible. The operator contract — deterministic distributed
+  train/score/argmax — is what the queries pin down.)
+
+- **Leakage-safe train/holdout split**: the complement of
+  decontamination. A naive per-doc hash split puts near-duplicates of
+  a training document into the heldout set (train/test leakage); the
+  safe split keys the SAME coin on the near-dup cluster's canonical id
+  (MinHash-LSH -> connected components, the doc_dedup_canonical
+  assignment), so whole clusters land on one side. The audit query
+  counts straddling near-dup pairs under both schemes — safe must be 0
+  — enumeration-free (sum of n_train*n_heldout per cluster, never a
+  pair explode).
+
+Determinism discipline (the repo's standard, from queries_lm): every
+log value is snapped to the 1e-6 grid as BIGINT micro-nats
+(FLOOR(x*1e6 + 0.5)) and every accumulation is an exact integer SUM;
+argmax is ROW_NUMBER with a total order (score DESC, label ASC), never
+a float comparison between engines.
+
+Scale shapes (100 TB framing):
+- Training = two groupBy aggregates over the coin slice; the count
+  table is vocabulary-sized (≪ corpus), the class table is K rows.
+- Scoring is collapse-first (score once per DISTINCT raw text — md5
+  keyed, the queries_text._text_reps rule) as (distinct tokens per
+  rep) × K rows joined against the count table; members inherit their
+  rep's prediction through one equi-join. K is a constant, so the
+  blowup is bounded and the count join is an equi-join AQE sizes.
+- The split rides the persisted canonical assignment (signature-store
+  routed in doc_dedup_canonical); both splits are projections — the
+  coin is id-pure, so the assignment is append-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectra_player_spark.functions.coins import DUCK_U01 as _DUCK_COIN
+from vectra_player_spark.functions.coins import SPARK_U01 as _SPARK_COIN
+from vectra_player_spark.functions.text import tokens
+from vectra_player_spark.plans.registry import register
+from vectra_player_spark.session import pin
+from vectra_player_spark.tables import t
+
+# ---------------------------------------------------------------------------
+# Naive Bayes: shared expression strings. The per-token add-1 likelihood
+# and the class prior are ONE formula evaluated by both engines over
+# identically-named columns (c, tot, v / n_docs, n_train), explicit casts
+# so the IEEE operation tree matches.
+# ---------------------------------------------------------------------------
+
+_NB_TRAIN_FRAC = 0.5  # md5-coin share of docs used to train the classifier
+_NB_SALT = "nbtrain"
+
+_LP_TOKEN = (
+    "CAST(FLOOR(ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)"
+    " / CAST(tot + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+)
+_LP_PRIOR = (
+    "CAST(FLOOR(ln(CAST(n_docs AS DOUBLE)"
+    " / CAST(n_train AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+# DuckDB CTE chain shared by both NB oracles: coin-tagged docs → train
+# token counts / class table / vocab → holdout tf vectors → per-(doc,
+# class) integer scores → argmax with margin. Direct per-doc form — the
+# Spark side collapses identical texts first; matching proves the
+# equivalence.
+_NB_CTE = rf"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks,
+         ({_DUCK_COIN.format(salt=_NB_SALT)} < {_NB_TRAIN_FRAC}) AS is_train
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+tok_tr AS (
+  SELECT lang AS cand, unnest(toks) AS tok FROM d WHERE is_train
+),
+cls AS (
+  SELECT lang AS cand, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM d WHERE is_train GROUP BY 1
+),
+ntr AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train FROM cls),
+tot AS (SELECT cand, CAST(COUNT(*) AS BIGINT) AS tot FROM tok_tr GROUP BY 1),
+voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tok_tr),
+cnt AS (
+  SELECT cand, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok_tr GROUP BY 1, 2
+),
+ho AS (
+  SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM d WHERE NOT is_train)
+  GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT h.doc_id, h.lang, cls.cand,
+         CAST(SUM(h.tf * {_LP_TOKEN}) AS BIGINT) + {_LP_PRIOR} AS score
+  FROM ho h
+  CROSS JOIN cls CROSS JOIN voc CROSS JOIN ntr
+  JOIN tot ON tot.cand = cls.cand
+  LEFT JOIN cnt ON cnt.cand = cls.cand AND cnt.tok = h.tok
+  GROUP BY h.doc_id, h.lang, cls.cand, cls.n_docs, ntr.n_train
+),
+ranked AS (
+  SELECT doc_id, lang, cand, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk,
+         LEAD(score) OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS nxt
+  FROM sc
+),
+pred AS (
+  SELECT doc_id, lang, cand AS predicted, (cand = lang) AS correct,
+         CAST(score - nxt AS BIGINT) AS margin_micro
+  FROM ranked WHERE rk = 1
+)
+"""
+
+_NB_CLASSIFIER_ORACLE = (
+    _NB_CTE
+    + """
+SELECT doc_id, lang, predicted, correct, margin_micro FROM pred
+"""
+)
+
+_NB_CONFUSION_ORACLE = (
+    _NB_CTE
+    + """
+SELECT lang, predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM pred GROUP BY 1, 2
+"""
+)
+
+
+def nb_predictions(docs: DataFrame) -> DataFrame:
+    """Holdout-half NB predictions over any (doc_id, lang, text) relation:
+    (doc_id, lang, predicted, correct, margin_micro).
+
+    Collapse-first: the model is trained with exact integer count
+    weighting over the coin slice (a rep's token counts × its group's
+    train-copy count), and scoring runs once per DISTINCT raw text
+    (md5-keyed — token-exact, the queries_text._text_reps rule); holdout
+    members inherit their rep's argmax through one equi-join. Output is
+    value-identical to the direct per-doc form the oracle computes."""
+    is_train = F.expr(_SPARK_COIN.format(salt=_NB_SALT)) < _NB_TRAIN_FRAC
+    grp = Window.partitionBy(F.md5("text"))
+    tagged = (
+        docs.where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "lang", "text")
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            F.min("doc_id").over(grp).alias("_rep"),
+            is_train.cast("int").alias("_is_train"),
+        )
+    )
+    # Per-(group, class) train-copy weights; identical raw text ⇒
+    # identical token multiset, so weighted rep counts = direct counts.
+    w_tr = tagged.groupBy("_rep", "lang").agg(
+        F.sum("_is_train").cast("bigint").alias("_n_tr")
+    )
+    rep_tf = pin(
+        tagged.where(F.col("doc_id") == F.col("_rep"))
+        .select(F.col("doc_id").alias("_rep"), F.explode(tokens("text")).alias("tok"))
+        .groupBy("_rep", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    # Training counts: (class, token) sums of tf × train copies.
+    cnt = (
+        rep_tf.join(w_tr.where(F.col("_n_tr") > 0), "_rep")
+        .groupBy(F.col("lang").alias("cand"), "tok")
+        .agg(F.sum(F.col("tf") * F.col("_n_tr")).cast("bigint").alias("c"))
+    )
+    cnt = pin(cnt)
+    cls = w_tr.groupBy(F.col("lang").alias("cand")).agg(
+        F.sum("_n_tr").cast("bigint").alias("n_docs")
+    ).where(F.col("n_docs") > 0)
+    tot = cnt.groupBy("cand").agg(F.sum("c").cast("bigint").alias("tot"))
+    voc = cnt.select(F.countDistinct("tok").alias("v"))
+    ntr = cls.select(F.sum("n_docs").cast("bigint").alias("n_train"))
+    # K-row class table with all scoring constants — always broadcast.
+    cdim = F.broadcast(
+        cls.join(tot, "cand").crossJoin(voc).crossJoin(ntr)
+    )
+    # Score reps that hold at least one holdout member.
+    ho_reps = tagged.where(F.col("_is_train") == 0).select("_rep").distinct()
+    scored = (
+        rep_tf.join(ho_reps, "_rep")
+        .crossJoin(cdim)
+        .join(cnt, ["cand", "tok"], "left")
+        .groupBy("_rep", "cand", "n_docs", "n_train")
+        .agg(F.sum(F.col("tf") * F.expr(_LP_TOKEN)).cast("bigint").alias("_s"))
+        .select(
+            "_rep",
+            "cand",
+            (F.col("_s") + F.expr(_LP_PRIOR)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_rep").orderBy(F.desc("score"), F.asc("cand"))
+    best = (
+        scored.select(
+            "_rep",
+            "cand",
+            "score",
+            F.row_number().over(w).alias("rk"),
+            F.lead("score").over(w).alias("nxt"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "_rep",
+            F.col("cand").alias("predicted"),
+            (F.col("score") - F.col("nxt")).cast("bigint").alias("margin_micro"),
+        )
+    )
+    return (
+        tagged.where(F.col("_is_train") == 0)
+        .select("doc_id", "lang", "_rep")
+        .join(best, "_rep")
+        .select(
+            "doc_id",
+            "lang",
+            "predicted",
+            (F.col("predicted") == F.col("lang")).alias("correct"),
+            "margin_micro",
+        )
+    )
+
+
+@register(
+    "doc_nb_classifier",
+    oracle=_NB_CLASSIFIER_ORACLE,
+    tags=("classify", "pipeline"),
+    survey_ref="fastText-style corpus classifier (training-pipeline mandate); M-family model ops",
+)
+def doc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-holdout-doc multinomial-NB language prediction with the integer
+    micro-nat score margin. Train slice = md5-coin half; add-1 smoothing
+    over the global train vocabulary."""
+    return nb_predictions(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_nb_confusion",
+    oracle=_NB_CONFUSION_ORACLE,
+    tags=("classify", "pipeline"),
+    survey_ref="classifier evaluation rollup (confusion matrix); A9 family",
+)
+def doc_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the NB language classifier on the holdout half:
+    (true lang, predicted, n_docs, n_correct)."""
+    preds = nb_predictions(t(spark, sf_dir, "documents"))
+    return preds.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("correct").cast("int")).cast("bigint").alias("n_correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: key the split coin on the near-dup cluster's
+# canonical id instead of the doc id. Reuses doc_dedup_canonical's
+# assignment (MinHash-LSH pairs → connected components → min-id keeper)
+# and its recursive-CTE oracle, exposed as a CTE by queries_text.
+# ---------------------------------------------------------------------------
+
+_LSPLIT_SALT = "lsplit"
+_LSPLIT_TRAIN_FRAC = 0.9
+
+_DUCK_DOC_COIN = _DUCK_COIN.format(salt=_LSPLIT_SALT)
+_DUCK_CANON_COIN = _DUCK_DOC_COIN.replace("doc_id", "canonical_id")
+_SPARK_DOC_COIN = _SPARK_COIN.format(salt=_LSPLIT_SALT)
+_SPARK_CANON_COIN = _SPARK_DOC_COIN.replace("doc_id", "canonical_id")
+
+
+def _canon_cte() -> str:
+    """The doc_dedup_canonical oracle rewritten as a CTE producing
+    canon(doc_id, canonical_id)."""
+    from vectra_player_spark.plans.queries_text import _DEDUP_CANONICAL_ORACLE
+
+    body, final = _DEDUP_CANONICAL_ORACLE.rsplit("SELECT d.doc_id", 1)
+    assert "FROM documents d" in final  # layout guard against refactors
+    return (
+        body
+        + ", canon AS (SELECT d.doc_id"
+        + final
+        + ")"
+    )
+
+
+def _leakage_split_oracle() -> str:
+    return (
+        _canon_cte()
+        + f"""
+SELECT doc_id, canonical_id,
+       CASE WHEN {_DUCK_DOC_COIN} < {_LSPLIT_TRAIN_FRAC}
+            THEN 'train' ELSE 'heldout' END AS naive_split,
+       CASE WHEN {_DUCK_CANON_COIN} < {_LSPLIT_TRAIN_FRAC}
+            THEN 'train' ELSE 'heldout' END AS safe_split
+FROM canon
+"""
+    )
+
+
+def _leakage_audit_oracle() -> str:
+    return (
+        _canon_cte()
+        + f"""
+, s AS (
+  SELECT canonical_id,
+         CASE WHEN {_DUCK_DOC_COIN} < {_LSPLIT_TRAIN_FRAC}
+              THEN 'train' ELSE 'heldout' END AS naive_split,
+         CASE WHEN {_DUCK_CANON_COIN} < {_LSPLIT_TRAIN_FRAC}
+              THEN 'train' ELSE 'heldout' END AS safe_split
+  FROM canon
+),
+both_s AS (
+  SELECT canonical_id, 'naive' AS scheme, naive_split AS split FROM s
+  UNION ALL
+  SELECT canonical_id, 'safe' AS scheme, safe_split AS split FROM s
+),
+g AS (
+  SELECT scheme, canonical_id,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_tr,
+         SUM(CASE WHEN split = 'heldout' THEN 1 ELSE 0 END) AS n_he
+  FROM both_s GROUP BY 1, 2
+)
+SELECT scheme,
+       CAST(SUM(n_tr) AS BIGINT) AS n_train,
+       CAST(SUM(n_he) AS BIGINT) AS n_heldout,
+       CAST(SUM(n_tr * n_he) AS BIGINT) AS leaked_pairs,
+       CAST(SUM(CASE WHEN n_tr > 0 AND n_he > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS leaked_clusters
+FROM g GROUP BY 1
+"""
+    )
+
+
+def _split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectra_player_spark.plans.queries_text import canonical_assignment
+
+    canon = canonical_assignment(spark, sf_dir)
+    return canon.select(
+        "doc_id",
+        "canonical_id",
+        F.when(F.expr(_SPARK_DOC_COIN) < _LSPLIT_TRAIN_FRAC, "train")
+        .otherwise("heldout")
+        .alias("naive_split"),
+        F.when(F.expr(_SPARK_CANON_COIN) < _LSPLIT_TRAIN_FRAC, "train")
+        .otherwise("heldout")
+        .alias("safe_split"),
+    )
+
+
+@register(
+    "doc_leakage_safe_split",
+    oracle=_leakage_split_oracle(),
+    tags=("classify", "dedup", "pipeline"),
+    survey_ref="leakage-safe split (decontamination complement); D scale path",
+)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc naive (doc-id coin) vs leakage-safe (canonical-id coin)
+    train/heldout assignment. The safe split is append-stable: a new
+    near-duplicate of an existing doc inherits its cluster's side."""
+    return _split_assignment(spark, sf_dir)
+
+
+@register(
+    "doc_split_leakage_audit",
+    oracle=_leakage_audit_oracle(),
+    tags=("classify", "dedup", "pipeline"),
+    survey_ref="split-leakage audit (enumeration-free pair count)",
+)
+def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs straddling each split scheme — naive leaks, safe is
+    provably 0. Enumeration-free: Σ n_train·n_heldout per cluster, never a
+    pair explode (the interval_concurrency_prefix rule)."""
+    s = _split_assignment(spark, sf_dir)
+    both = s.select(
+        "canonical_id", F.lit("naive").alias("scheme"), F.col("naive_split").alias("split")
+    ).unionByName(
+        s.select(
+            "canonical_id", F.lit("safe").alias("scheme"), F.col("safe_split").alias("split")
+        )
+    )
+    g = both.groupBy("scheme", "canonical_id").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_tr"),
+        F.sum(F.when(F.col("split") == "heldout", 1).otherwise(0)).alias("n_he"),
+    )
+    return g.groupBy("scheme").agg(
+        F.sum("n_tr").cast("bigint").alias("n_train"),
+        F.sum("n_he").cast("bigint").alias("n_heldout"),
+        F.sum(F.col("n_tr") * F.col("n_he")).cast("bigint").alias("leaked_pairs"),
+        F.sum(
+            F.when((F.col("n_tr") > 0) & (F.col("n_he") > 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("leaked_clusters"),
+    )

@@ -551,6 +551,13 @@ def doc_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct texts. On a corpus with c verbatim copies per doc that cuts
     candidate pairs by c² (the 10x scale run measured 305 s -> ~20 s); the
     oracle keeps the direct all-docs form, proving the equivalence."""
+    return canonical_assignment(spark, sf_dir)
+
+
+def canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, canonical_id, is_keeper) near-dup cluster assignment —
+    doc_dedup_canonical's body, shared with the leakage-safe split
+    (queries_classify), which keys its split coin on canonical_id."""
     from vectra_player_spark.functions.text import fingerprint, tokens
     from vectra_player_spark.operators.dedup import connected_components
 

@@ -119,6 +119,13 @@ PRIORITY: tuple[str, ...] = (
     "doc_dsir_resample",  # NEW: DSIR Gumbel-top-k selection
     "doc_crosscorpus_neardup",  # NEW: batch-vs-lake incremental dedup
     "corpus_curation_pipeline_v3",  # NEW: model-based capstone funnel
+    # -- round-8 session-4 additions (never witnessed -> in-cap) ----------
+    "doc_nb_classifier",  # NEW: multinomial-NB holdout predictions
+    "doc_nb_confusion",  # NEW: classifier confusion-matrix rollup
+    "doc_leakage_safe_split",  # NEW: cluster-keyed train/heldout split
+    "doc_split_leakage_audit",  # NEW: straddling-pair audit (safe = 0)
+    "doc_bpe_merges",  # NEW pin: learned BPE merge table
+    "doc_bpe_vocab_stats",  # NEW pin: compression under the merges
     # -- backfill: ALL 26 names last witnessed in r4 (4 rounds stale) -----
     "asof_join_grid",
     "bayesian_gap_signal",
@@ -132,12 +139,12 @@ PRIORITY: tuple[str, ...] = (
     "interval_range_join",
     "interval_range_join_routed",
     "knn_bruteforce_cosine",
-    "lake_summary_stats",
-    "nth_tick_anchors",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q20_part_promotion",
+    # (session-4's six new queries displaced the next six r4-stale
+    # names — lake_summary_stats, nth_tick_anchors, q11_important_parts,
+    # q15_top_supplier, q17_small_quantity_revenue, q20_part_promotion —
+    # to the round-9 backfill pool, keeping knn_ivfpq_adc_recall in
+    # slot 50: never-witnessed beats stale-rewitness per the rotation
+    # rule.)
     # (session-3's six new queries displaced the last six r4-stale
     # names — q21_waiting_suppliers, q2_min_cost_supplier,
     # q4_order_priority, q8_market_share, q9_product_profit_bucketed,
@@ -157,10 +164,12 @@ PRIORITY: tuple[str, ...] = (
 )
 
 # ROUND-9 ROTATION NOTE: keep the 5 sentinels, lead with round-9 changed
-# entries, then the remaining stale pool — FIRST the six r4-stale names
-# session-3 displaced (q21_waiting_suppliers, q2_min_cost_supplier,
+# entries, then the remaining stale pool — FIRST the twelve r4-stale names
+# sessions 3-4 displaced (q21_waiting_suppliers, q2_min_cost_supplier,
 # q4_order_priority, q8_market_share, q9_product_profit_bucketed,
-# volatility_sizing_tiers),
+# volatility_sizing_tiers, lake_summary_stats, nth_tick_anchors,
+# q11_important_parts, q15_top_supplier, q17_small_quantity_revenue,
+# q20_part_promotion),
 # then the nine r5 heads
 # session-2 displaced (training_set_builder + zorder_box_rollup [r4-stale], backtest_replay, monte_carlo_summary,
 # gap_sessionization, rl_observation_set, stateful_feature_extract,
