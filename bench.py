@@ -178,6 +178,11 @@ def main() -> None:
                 "doc_dsir_resample",
                 "doc_crosscorpus_neardup",
                 "corpus_curation_pipeline_v3",
+                # round-8 session 4: NB classifier + leakage-safe split
+                "doc_nb_classifier",
+                "doc_nb_confusion",
+                "doc_leakage_safe_split",
+                "doc_split_leakage_audit",
             ):
                 try:
                     runs10 = []
@@ -191,6 +196,24 @@ def main() -> None:
                     print(f"curation bench query {name} failed: {e}", file=sys.stderr)
                     cur10[name] = -1.0
             out["curation_queries_10x"] = cur10
+
+            # BPE tier: learn_bpe runs its per-round jobs while the query
+            # callable BUILDS the result (top-1 collect per merge), so the
+            # timer wraps the whole call, not just the noop write.
+            bpe10: dict[str, float] = {}
+            for name in ("doc_bpe_merges", "doc_bpe_vocab_stats"):
+                try:
+                    runs10 = []
+                    for _ in range(2):
+                        start = time.perf_counter()
+                        df = _plans.QUERIES[name].spark_fn(spark, dir_10x)
+                        df.write.format("noop").mode("overwrite").save()
+                        runs10.append(time.perf_counter() - start)
+                    bpe10[name] = round(min(runs10), 3)
+                except Exception as e:  # noqa: BLE001
+                    print(f"bpe bench query {name} failed: {e}", file=sys.stderr)
+                    bpe10[name] = -1.0
+            out["bpe_queries_10x"] = bpe10
         except Exception as e:  # noqa: BLE001 — the sf0.1 headline must survive
             print(f"10x section skipped: {e}", file=sys.stderr)
 

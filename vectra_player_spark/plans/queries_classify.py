@@ -155,64 +155,66 @@ def nb_predictions(docs: DataFrame) -> DataFrame:
     members inherit their rep's argmax through one equi-join. Output is
     value-identical to the direct per-doc form the oracle computes."""
     is_train = F.expr(_SPARK_COIN.format(salt=_NB_SALT)) < _NB_TRAIN_FRAC
-    grp = Window.partitionBy(F.md5("text"))
-    tagged = (
-        docs.where(F.col("text").isNotNull() & F.col("lang").isNotNull())
-        .select("doc_id", "lang", "text")
-        .select(
-            "doc_id",
-            "lang",
-            "text",
-            F.min("doc_id").over(grp).alias("_rep"),
-            is_train.cast("int").alias("_is_train"),
+    base = docs.where(F.col("text").isNotNull() & F.col("lang").isNotNull()).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.md5("text").alias("_k"),
+        is_train.cast("int").alias("_is_train"),
+    )
+    # ONE corpus aggregate produces every group statistic the model needs
+    # (train/holdout copy counts per (text, class) + the min-id carrier
+    # for rep election). Rep-space sized — pinned; no corpus-wide window,
+    # and downstream consumers never re-shuffle the corpus (the round-8
+    # plan-inventory lesson: a Window-tagged corpus relation re-evaluates
+    # per consumer, 20 exchanges for a 3-pass job).
+    kstats = pin(
+        base.groupBy("_k", "lang").agg(
+            F.min("doc_id").alias("_min_id"),
+            F.sum("_is_train").cast("bigint").alias("_n_tr"),
+            F.sum(1 - F.col("_is_train")).cast("bigint").alias("_n_ho"),
         )
     )
-    # Per-(group, class) train-copy weights; identical raw text ⇒
-    # identical token multiset, so weighted rep counts = direct counts.
-    w_tr = tagged.groupBy("_rep", "lang").agg(
-        F.sum("_is_train").cast("bigint").alias("_n_tr")
-    )
+    # Identical raw text ⇒ identical token multiset, so weighted rep
+    # counts = direct counts; the rep is the group's min doc_id (derived
+    # from rep space — free).
+    grp = kstats.groupBy("_k").agg(F.min("_min_id").alias("_rep"))
     rep_tf = pin(
-        tagged.where(F.col("doc_id") == F.col("_rep"))
-        .select(F.col("doc_id").alias("_rep"), F.explode(tokens("text")).alias("tok"))
-        .groupBy("_rep", "tok")
+        base.join(grp.select(F.col("_rep").alias("doc_id"), "_k"), ["doc_id", "_k"])
+        .select("_k", F.explode(tokens("text")).alias("tok"))
+        .groupBy("_k", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
     # Training counts: (class, token) sums of tf × train copies.
-    cnt = (
-        rep_tf.join(w_tr.where(F.col("_n_tr") > 0), "_rep")
+    cnt = pin(
+        rep_tf.join(kstats.where(F.col("_n_tr") > 0), "_k")
         .groupBy(F.col("lang").alias("cand"), "tok")
         .agg(F.sum(F.col("tf") * F.col("_n_tr")).cast("bigint").alias("c"))
     )
-    cnt = pin(cnt)
-    cls = w_tr.groupBy(F.col("lang").alias("cand")).agg(
-        F.sum("_n_tr").cast("bigint").alias("n_docs")
-    ).where(F.col("n_docs") > 0)
+    cls = (
+        kstats.groupBy(F.col("lang").alias("cand"))
+        .agg(F.sum("_n_tr").cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") > 0)
+    )
     tot = cnt.groupBy("cand").agg(F.sum("c").cast("bigint").alias("tot"))
     voc = cnt.select(F.countDistinct("tok").alias("v"))
     ntr = cls.select(F.sum("n_docs").cast("bigint").alias("n_train"))
     # K-row class table with all scoring constants — always broadcast.
-    cdim = F.broadcast(
-        cls.join(tot, "cand").crossJoin(voc).crossJoin(ntr)
-    )
-    # Score reps that hold at least one holdout member.
-    ho_reps = tagged.where(F.col("_is_train") == 0).select("_rep").distinct()
+    cdim = F.broadcast(cls.join(tot, "cand").crossJoin(voc).crossJoin(ntr))
+    # Score only reps whose group holds at least one holdout member.
+    ho_keys = kstats.where(F.col("_n_ho") > 0).select("_k").distinct()
     scored = (
-        rep_tf.join(ho_reps, "_rep")
+        rep_tf.join(ho_keys, "_k")
         .crossJoin(cdim)
         .join(cnt, ["cand", "tok"], "left")
-        .groupBy("_rep", "cand", "n_docs", "n_train")
+        .groupBy("_k", "cand", "n_docs", "n_train")
         .agg(F.sum(F.col("tf") * F.expr(_LP_TOKEN)).cast("bigint").alias("_s"))
-        .select(
-            "_rep",
-            "cand",
-            (F.col("_s") + F.expr(_LP_PRIOR)).alias("score"),
-        )
+        .select("_k", "cand", (F.col("_s") + F.expr(_LP_PRIOR)).alias("score"))
     )
-    w = Window.partitionBy("_rep").orderBy(F.desc("score"), F.asc("cand"))
+    w = Window.partitionBy("_k").orderBy(F.desc("score"), F.asc("cand"))
     best = (
         scored.select(
-            "_rep",
+            "_k",
             "cand",
             "score",
             F.row_number().over(w).alias("rk"),
@@ -220,15 +222,15 @@ def nb_predictions(docs: DataFrame) -> DataFrame:
         )
         .where(F.col("rk") == 1)
         .select(
-            "_rep",
+            "_k",
             F.col("cand").alias("predicted"),
             (F.col("score") - F.col("nxt")).cast("bigint").alias("margin_micro"),
         )
     )
     return (
-        tagged.where(F.col("_is_train") == 0)
-        .select("doc_id", "lang", "_rep")
-        .join(best, "_rep")
+        base.where(F.col("_is_train") == 0)
+        .select("doc_id", "lang", "_k")
+        .join(best, "_k")
         .select(
             "doc_id",
             "lang",
