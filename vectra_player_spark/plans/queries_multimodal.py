@@ -136,3 +136,194 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "spec_digest",
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash near-dup: the multimodal twin of the simhash text family.
+# The 64-bit pHash (here the stub's md5 prefix; a real DCT pHash on a
+# provisioned cluster — same bit width, same query) is banded into 4×16-bit
+# bands; bucket collisions are the candidate pairs (pigeonhole: any pair at
+# hamming <= 3 agrees on at least one band — exact recall), and candidates
+# are verified with a bit_count(XOR) distance over two 32-bit halves (a
+# 64-bit hex literal would overflow signed BIGINT). Output is the
+# enumeration-free stats shape (doc_simhash_neardup_stats' rule): per-band
+# bucket/collision counts from group sizes, plus one 'all' row with the
+# DISTINCT candidate union and the verified near-dup count. On this corpus
+# the stub hashes are md5-random, so n_neardup_pairs counts exact payload
+# duplicates (none at oracle scales) while the band-collision counts are
+# non-trivially nonzero (~C(500,2)·4/2^16) — both engines must agree on
+# every cell, so the banding, pairing, and distance arithmetic are all
+# hash-checked. tests/test_vector_multimodal.py injects crafted duplicate
+# payloads to prove the hamming-0 path end to end.
+# --------------------------------------------------------------------------
+
+_PHASH_BANDS_CTE = """
+WITH ph AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         substring(md5(text), 1, 16) AS phash
+  FROM documents
+),
+halves AS (
+  SELECT media_id, phash,
+         CAST('0x' || substring(phash, 1, 8) AS BIGINT) AS h_hi,
+         CAST('0x' || substring(phash, 9, 8) AS BIGINT) AS h_lo
+  FROM ph
+),
+bands AS (
+  SELECT media_id, h_hi, h_lo, i AS band_idx,
+         substring(phash, 1 + 4 * i, 4) AS band_val
+  FROM halves, unnest([0, 1, 2, 3]) AS u(i)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.h_hi AS hi_a, a.h_lo AS lo_a, b.h_hi AS hi_b, b.h_lo AS lo_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.media_id < b.media_id
+),
+ham AS (
+  SELECT media_a, media_b,
+         bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hamming
+  FROM cand
+)
+"""
+
+_PHASH_STATS_ORACLE = (
+    _PHASH_BANDS_CTE
+    + """
+SELECT 'band' || CAST(band_idx AS VARCHAR) AS scope,
+       CAST(COUNT(DISTINCT band_val) AS BIGINT) AS n_buckets,
+       CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_candidate_pairs,
+       CAST(NULL AS BIGINT) AS n_neardup_pairs
+FROM (SELECT band_idx, band_val, COUNT(*) AS n FROM bands GROUP BY 1, 2)
+GROUP BY 1
+UNION ALL
+SELECT 'all' AS scope,
+       CAST(NULL AS BIGINT) AS n_buckets,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(SUM(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neardup_pairs
+FROM ham
+"""
+)
+
+
+def phash_band_stats(ph: DataFrame, n_bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Banded-hamming near-dup stats over a (media_id, phash16hex) relation.
+
+    Collapse-first (the d² duplication defense): identical payloads hash
+    identically, so the band self-join runs over DISTINCT phash values
+    with exact copy-count weighting — intra-group member pairs are
+    hamming-0 by definition (Σ C(m,2), always within threshold) and a rep
+    pair sharing a band expands to m_a·m_b member pairs. The first
+    member-level implementation ran 196 s at the 100× lake (d=100 ⇒ d²
+    bucket pairs); rep space restores the 10× cost. Values are identical
+    to the direct per-member form the oracle computes.
+
+    Per-band rows count buckets and collision pairs from member-weighted
+    group sizes (enumeration-free); the 'all' row enumerates the DISTINCT
+    rep-pair candidate union (output-bound — band collisions, never all
+    pairs) and verifies with the two-half XOR popcount (a full 64-bit hex
+    literal would overflow signed BIGINT)."""
+    reps = ph.groupBy("phash").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    halves = reps.select(
+        "phash",
+        "m",
+        F.conv(F.substring("phash", 1, 8), 16, 10).cast("bigint").alias("h_hi"),
+        F.conv(F.substring("phash", 9, 8), 16, 10).cast("bigint").alias("h_lo"),
+    )
+    width = 16 // n_bands  # hex chars per band (4 bits each)
+    bands = halves.select(
+        "phash",
+        "m",
+        "h_hi",
+        "h_lo",
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band_idx"),
+    ).select(
+        "phash",
+        "m",
+        "h_hi",
+        "h_lo",
+        "band_idx",
+        F.expr(f"substring(phash, 1 + {width} * band_idx, {width})").alias("band_val"),
+    )
+    per_band = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.sum("m").alias("n"))
+        .groupBy("band_idx")
+        .agg(
+            F.countDistinct("band_val").cast("bigint").alias("n_buckets"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias(
+                "n_candidate_pairs"
+            ),
+        )
+        .select(
+            F.concat(F.lit("band"), F.col("band_idx").cast("string")).alias("scope"),
+            "n_buckets",
+            "n_candidate_pairs",
+            F.lit(None).cast("bigint").alias("n_neardup_pairs"),
+        )
+    )
+    # Intra-group member pairs: identical phash ⇒ collide in every band,
+    # hamming 0 — candidates and near-dups by definition.
+    intra = reps.agg(
+        F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("bigint").alias("p")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    rep_cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.phash") < F.col("b.phash")),
+        )
+        .select(
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+            F.col("a.m").alias("m_a"),
+            F.col("b.m").alias("m_b"),
+            F.col("a.h_hi").alias("hi_a"),
+            F.col("a.h_lo").alias("lo_a"),
+            F.col("b.h_hi").alias("hi_b"),
+            F.col("b.h_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    inter = rep_cand.select(
+        "m_a",
+        "m_b",
+        F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").alias("hamming"),
+    ).agg(
+        F.coalesce(F.sum(F.col("m_a") * F.col("m_b")), F.lit(0))
+        .cast("bigint")
+        .alias("cand"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("hamming") <= max_hamming, F.col("m_a") * F.col("m_b"))
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("near"),
+    )
+    allrow = intra.crossJoin(inter).select(
+        F.lit("all").alias("scope"),
+        F.lit(None).cast("bigint").alias("n_buckets"),
+        (F.col("p") + F.col("cand")).cast("bigint").alias("n_candidate_pairs"),
+        (F.col("p") + F.col("near")).cast("bigint").alias("n_neardup_pairs"),
+    )
+    return per_band.unionByName(allrow)
+
+
+@register(
+    "multimodal_phash_neardup_stats",
+    oracle=_PHASH_STATS_ORACLE,
+    tags=("multimodal", "dedup"),
+    survey_ref="multimodal mandate: perceptual-hash near-dup (banded hamming, simhash-family twin)",
+)
+def multimodal_phash_neardup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_from_docs(spark, sf_dir, "image")
+    ph = image_features(media, decode_stub=True).select("media_id", "phash")
+    return phash_band_stats(ph)

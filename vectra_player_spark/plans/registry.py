@@ -126,6 +126,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_split_leakage_audit",  # NEW: straddling-pair audit (safe = 0)
     "doc_bpe_merges",  # NEW pin: learned BPE merge table
     "doc_bpe_vocab_stats",  # NEW pin: compression under the merges
+    "multimodal_phash_neardup_stats",  # NEW: banded-hamming pHash near-dup
     # -- backfill: ALL 26 names last witnessed in r4 (4 rounds stale) -----
     "asof_join_grid",
     "bayesian_gap_signal",
@@ -138,13 +139,12 @@ PRIORITY: tuple[str, ...] = (
     "feature_matrix",
     "interval_range_join",
     "interval_range_join_routed",
-    "knn_bruteforce_cosine",
-    # (session-4's six new queries displaced the next six r4-stale
-    # names — lake_summary_stats, nth_tick_anchors, q11_important_parts,
-    # q15_top_supplier, q17_small_quantity_revenue, q20_part_promotion —
-    # to the round-9 backfill pool, keeping knn_ivfpq_adc_recall in
-    # slot 50: never-witnessed beats stale-rewitness per the rotation
-    # rule.)
+    # (session-4's seven new queries displaced the next seven r4-stale
+    # names — knn_bruteforce_cosine, lake_summary_stats, nth_tick_anchors,
+    # q11_important_parts, q15_top_supplier, q17_small_quantity_revenue,
+    # q20_part_promotion — to the round-9 backfill pool, keeping
+    # knn_ivfpq_adc_recall in slot 50: never-witnessed beats
+    # stale-rewitness per the rotation rule.)
     # (session-3's six new queries displaced the last six r4-stale
     # names — q21_waiting_suppliers, q2_min_cost_supplier,
     # q4_order_priority, q8_market_share, q9_product_profit_bucketed,
@@ -165,7 +165,7 @@ PRIORITY: tuple[str, ...] = (
 
 # ROUND-9 ROTATION NOTE: keep the 5 sentinels, lead with round-9 changed
 # entries, then the remaining stale pool — FIRST the twelve r4-stale names
-# sessions 3-4 displaced (q21_waiting_suppliers, q2_min_cost_supplier,
+# sessions 3-4 displaced (knn_bruteforce_cosine, q21_waiting_suppliers, q2_min_cost_supplier,
 # q4_order_priority, q8_market_share, q9_product_profit_bucketed,
 # volatility_sizing_tiers, lake_summary_stats, nth_tick_anchors,
 # q11_important_parts, q15_top_supplier, q17_small_quantity_revenue,
