@@ -44,7 +44,7 @@ BPE_PRETOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 END_OF_WORD = "</w>"
 
 
-def word_counts(docs: DataFrame, text_col: str = "text") -> Column | DataFrame:
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """DISTINCT pre-tokenized words with corpus counts: (word, cnt)."""
     return (
         docs.where(F.col(text_col).isNotNull())
@@ -140,12 +140,20 @@ def learn_bpe(
     n_merges: int = 24,
     min_count: int = 2,
     text_col: str = "text",
+    base: DataFrame | None = None,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Learn up to ``n_merges`` BPE merges; stop early when the best pair's
     corpus count drops below ``min_count``. Returns the merge table rows
     (merge_rank, left, right, merged, pair_count) and the final
-    (word, cnt, syms) relation under all learned merges."""
-    cur = initial_symbols(word_counts(docs, text_col)).localCheckpoint()
+    (word, cnt, syms) relation under all learned merges.
+
+    ``base``: a precomputed initial_symbols(word_counts(...)) relation —
+    pass it when the caller also consumes the base table, so the one
+    corpus-sized pre-tokenize pass runs once, not per consumer
+    (materialize it first, e.g. localCheckpoint)."""
+    if base is None:
+        base = initial_symbols(word_counts(docs, text_col))
+    cur = base.localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
         top = (

@@ -287,18 +287,11 @@ _SPARK_CANON_COIN = _SPARK_DOC_COIN.replace("doc_id", "canonical_id")
 
 
 def _canon_cte() -> str:
-    """The doc_dedup_canonical oracle rewritten as a CTE producing
-    canon(doc_id, canonical_id)."""
-    from vectra_player_spark.plans.queries_text import _DEDUP_CANONICAL_ORACLE
+    """The doc_dedup_canonical oracle's WITH chain ending at
+    canon(doc_id, canonical_id) — queries_text exposes it as a constant."""
+    from vectra_player_spark.plans.queries_text import DEDUP_CANONICAL_CANON_CTE
 
-    body, final = _DEDUP_CANONICAL_ORACLE.rsplit("SELECT d.doc_id", 1)
-    assert "FROM documents d" in final  # layout guard against refactors
-    return (
-        body
-        + ", canon AS (SELECT d.doc_id"
-        + final
-        + ")"
-    )
+    return DEDUP_CANONICAL_CANON_CTE
 
 
 def _leakage_split_oracle() -> str:

@@ -161,7 +161,7 @@ _PHASH_BANDS_CTE = """
 WITH ph AS (
   SELECT CAST(doc_id AS VARCHAR) AS media_id,
          substring(md5(text), 1, 16) AS phash
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 halves AS (
   SELECT media_id, phash,
@@ -193,9 +193,10 @@ _PHASH_STATS_ORACLE = (
     + """
 SELECT 'band' || CAST(band_idx AS VARCHAR) AS scope,
        CAST(COUNT(DISTINCT band_val) AS BIGINT) AS n_buckets,
-       CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_candidate_pairs,
+       CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS n_candidate_pairs,
        CAST(NULL AS BIGINT) AS n_neardup_pairs
-FROM (SELECT band_idx, band_val, COUNT(*) AS n FROM bands GROUP BY 1, 2)
+FROM (SELECT band_idx, band_val, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bands GROUP BY 1, 2)
 GROUP BY 1
 UNION ALL
 SELECT 'all' AS scope,
@@ -224,7 +225,15 @@ def phash_band_stats(ph: DataFrame, n_bands: int = 4, max_hamming: int = 3) -> D
     group sizes (enumeration-free); the 'all' row enumerates the DISTINCT
     rep-pair candidate union (output-bound — band collisions, never all
     pairs) and verifies with the two-half XOR popcount (a full 64-bit hex
-    literal would overflow signed BIGINT)."""
+    literal would overflow signed BIGINT).
+
+    NULL hashes (undecodable media) are excluded from dedup on BOTH
+    engines — the oracle's equality band join would silently drop them
+    while a groupBy collapses them into one fake group. Pair counts
+    accumulate as exact per-row BIGINT terms ((n·(n−1)) div 2), never a
+    DOUBLE partial — the determinism discipline (a bucket past 2^53
+    member pairs would otherwise round engine-dependently)."""
+    ph = ph.where(F.col("phash").isNotNull())
     reps = ph.groupBy("phash").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     halves = reps.select(
         "phash",
@@ -249,11 +258,11 @@ def phash_band_stats(ph: DataFrame, n_bands: int = 4, max_hamming: int = 3) -> D
     )
     per_band = (
         bands.groupBy("band_idx", "band_val")
-        .agg(F.sum("m").alias("n"))
+        .agg(F.sum("m").cast("bigint").alias("n"))
         .groupBy("band_idx")
         .agg(
             F.countDistinct("band_val").cast("bigint").alias("n_buckets"),
-            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias(
+            F.sum(F.expr("(n * (n - 1)) div 2")).cast("bigint").alias(
                 "n_candidate_pairs"
             ),
         )
@@ -267,7 +276,7 @@ def phash_band_stats(ph: DataFrame, n_bands: int = 4, max_hamming: int = 3) -> D
     # Intra-group member pairs: identical phash ⇒ collide in every band,
     # hamming 0 — candidates and near-dups by definition.
     intra = reps.agg(
-        F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("bigint").alias("p")
+        F.sum(F.expr("(m * (m - 1)) div 2")).cast("bigint").alias("p")
     )
     a = bands.alias("a")
     b = bands.alias("b")

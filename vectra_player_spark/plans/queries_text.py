@@ -503,7 +503,10 @@ def doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_PAIRS_BODY = _MINHASH_ORACLE.split("WITH", 1)[1]
 
-_DEDUP_CANONICAL_ORACLE = (
+# Body/final split is a public seam: queries_classify composes the body
+# with its own final SELECTs (canon-keyed split coins) — keep the body a
+# complete WITH chain ending at comp(node, component).
+DEDUP_CANONICAL_BODY = (
     "WITH RECURSIVE "
     + _MINHASH_PAIRS_BODY.rsplit("SELECT DISTINCT", 1)[0]
     + """
@@ -527,11 +530,26 @@ comp AS (
   SELECT node, LEAST(node, MIN(r)) AS component
   FROM reach GROUP BY node
 )
-SELECT d.doc_id,
-       CAST(COALESCE(comp.component, d.doc_id) AS BIGINT) AS canonical_id,
-       (COALESCE(comp.component, d.doc_id) = d.doc_id) AS is_keeper
-FROM documents d
-LEFT JOIN comp ON comp.node = d.doc_id
+"""
+)
+
+DEDUP_CANONICAL_CANON_CTE = (
+    DEDUP_CANONICAL_BODY
+    + """
+, canon AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(comp.component, d.doc_id) AS BIGINT) AS canonical_id
+  FROM documents d
+  LEFT JOIN comp ON comp.node = d.doc_id
+)
+"""
+)
+
+_DEDUP_CANONICAL_ORACLE = (
+    DEDUP_CANONICAL_CANON_CTE
+    + """
+SELECT doc_id, canonical_id, (canonical_id = doc_id) AS is_keeper
+FROM canon
 """
 )
 
