@@ -222,6 +222,8 @@ _BNLJ_ALLOWED = {
     "doc_nb_classifier",  # K-row class-constant table broadcast (K langs)
     "doc_nb_confusion",  # same K-row class broadcast as its parent
     "doc_bpe_vocab_stats",  # 1-row corpus-stat × 1-row vocab-count crosses
+    "doc_vocab_coverage",  # 8-row k-grid range join + 1-row total broadcast
+    "multimodal_phash_neardup_stats",  # 1-row intra × 1-row inter scalar cross
     "doc_semantic_dedup",  # assign_cells' 16-row centroid-model broadcast
     "knn_pq_adc_recall",
     # same pinned-small broadcast sides as its two parents: the 50-query

@@ -41,6 +41,7 @@ CANDIDATES = (
     # verifies it empirically across topologies before freezing.
     "doc_bpe_merges",
     "doc_bpe_vocab_stats",
+    "doc_bpe_encode",
 )
 TOPOLOGIES = (("8", "8"), ("32", "32"), ("16", "64"))  # (cores, shuffle parts)
 

@@ -127,6 +127,8 @@ PRIORITY: tuple[str, ...] = (
     "doc_bpe_merges",  # NEW pin: learned BPE merge table
     "doc_bpe_vocab_stats",  # NEW pin: compression under the merges
     "multimodal_phash_neardup_stats",  # NEW: banded-hamming pHash near-dup
+    "doc_vocab_coverage",  # NEW: top-k vocabulary coverage curve
+    "doc_bpe_encode",  # NEW pin: per-doc encoding under the merges
     # -- backfill: ALL 26 names last witnessed in r4 (4 rounds stale) -----
     "asof_join_grid",
     "bayesian_gap_signal",
@@ -137,10 +139,9 @@ PRIORITY: tuple[str, ...] = (
     "event_transition_matrix",
     "ewma_features",
     "feature_matrix",
-    "interval_range_join",
-    "interval_range_join_routed",
-    # (session-4's seven new queries displaced the next seven r4-stale
-    # names — knn_bruteforce_cosine, lake_summary_stats, nth_tick_anchors,
+    # (session-4's nine new queries displaced the next nine r4-stale
+    # names — interval_range_join, interval_range_join_routed,
+    # knn_bruteforce_cosine, lake_summary_stats, nth_tick_anchors,
     # q11_important_parts, q15_top_supplier, q17_small_quantity_revenue,
     # q20_part_promotion — to the round-9 backfill pool, keeping
     # knn_ivfpq_adc_recall in slot 50: never-witnessed beats
@@ -165,7 +166,8 @@ PRIORITY: tuple[str, ...] = (
 
 # ROUND-9 ROTATION NOTE: keep the 5 sentinels, lead with round-9 changed
 # entries, then the remaining stale pool — FIRST the twelve r4-stale names
-# sessions 3-4 displaced (knn_bruteforce_cosine, q21_waiting_suppliers, q2_min_cost_supplier,
+# sessions 3-4 displaced (interval_range_join, interval_range_join_routed,
+# knn_bruteforce_cosine, q21_waiting_suppliers, q2_min_cost_supplier,
 # q4_order_priority, q8_market_share, q9_product_profit_bucketed,
 # volatility_sizing_tiers, lake_summary_stats, nth_tick_anchors,
 # q11_important_parts, q15_top_supplier, q17_small_quantity_revenue,
