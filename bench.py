@@ -183,6 +183,9 @@ def main() -> None:
                 "doc_nb_confusion",
                 "doc_leakage_safe_split",
                 "doc_split_leakage_audit",
+                "corpus_curation_pipeline_v4",
+                "doc_vocab_coverage",
+                "multimodal_phash_neardup_stats",
             ):
                 try:
                     runs10 = []

@@ -75,16 +75,21 @@ _LP_PRIOR = (
     " / CAST(n_train AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
 )
 
-# DuckDB CTE chain shared by both NB oracles: coin-tagged docs → train
-# token counts / class table / vocab → holdout tf vectors → per-(doc,
+# DuckDB CTE chain shared by the NB oracles: coin-tagged docs → train
+# token counts / class table / vocab → scored-doc tf vectors → per-(doc,
 # class) integer scores → argmax with margin. Direct per-doc form — the
 # Spark side collapses identical texts first; matching proves the
-# equivalence.
-_NB_CTE = rf"""
-WITH d AS (
+# equivalence. ``src`` retargets the relation (the v4 funnel scores the
+# dedup survivors) and ``holdout_only=False`` scores EVERY doc with the
+# coin-half-trained model (the classifier-as-gate shape).
+
+
+def nb_cte_chain(src: str = "documents", holdout_only: bool = True) -> str:
+    scored_filter = "WHERE NOT is_train" if holdout_only else ""
+    return rf"""d AS (
   SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks,
          ({_DUCK_COIN.format(salt=_NB_SALT)} < {_NB_TRAIN_FRAC}) AS is_train
-  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+  FROM {src} WHERE text IS NOT NULL AND lang IS NOT NULL
 ),
 tok_tr AS (
   SELECT lang AS cand, unnest(toks) AS tok FROM d WHERE is_train
@@ -101,7 +106,7 @@ cnt AS (
 ),
 ho AS (
   SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM d WHERE NOT is_train)
+  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM d {scored_filter})
   GROUP BY 1, 2, 3
 ),
 sc AS (
@@ -126,6 +131,9 @@ pred AS (
 )
 """
 
+
+_NB_CTE = "WITH " + nb_cte_chain()
+
 _NB_CLASSIFIER_ORACLE = (
     _NB_CTE
     + """
@@ -144,9 +152,11 @@ FROM pred GROUP BY 1, 2
 )
 
 
-def nb_predictions(docs: DataFrame) -> DataFrame:
+def nb_predictions(docs: DataFrame, score_all: bool = False) -> DataFrame:
     """Holdout-half NB predictions over any (doc_id, lang, text) relation:
-    (doc_id, lang, predicted, correct, margin_micro).
+    (doc_id, lang, predicted, correct, margin_micro). ``score_all=True``
+    scores EVERY doc with the coin-half-trained model instead — the
+    classifier-as-gate shape the v4 funnel uses.
 
     Collapse-first: the model is trained with exact integer count
     weighting over the coin slice (a rep's token counts × its group's
@@ -201,8 +211,9 @@ def nb_predictions(docs: DataFrame) -> DataFrame:
     ntr = cls.select(F.sum("n_docs").cast("bigint").alias("n_train"))
     # K-row class table with all scoring constants — always broadcast.
     cdim = F.broadcast(cls.join(tot, "cand").crossJoin(voc).crossJoin(ntr))
-    # Score only reps whose group holds at least one holdout member.
-    ho_keys = kstats.where(F.col("_n_ho") > 0).select("_k").distinct()
+    # Score only reps whose group holds at least one member to emit.
+    scored_keys = kstats if score_all else kstats.where(F.col("_n_ho") > 0)
+    ho_keys = scored_keys.select("_k").distinct()
     scored = (
         rep_tf.join(ho_keys, "_k")
         .crossJoin(cdim)
@@ -227,9 +238,9 @@ def nb_predictions(docs: DataFrame) -> DataFrame:
             (F.col("score") - F.col("nxt")).cast("bigint").alias("margin_micro"),
         )
     )
+    emitted = base if score_all else base.where(F.col("_is_train") == 0)
     return (
-        base.where(F.col("_is_train") == 0)
-        .select("doc_id", "lang", "_k")
+        emitted.select("doc_id", "lang", "_k")
         .join(best, "_k")
         .select(
             "doc_id",
@@ -402,4 +413,134 @@ def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("leaked_clusters"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session-4 capstone: the funnel composing this session's operators —
+# exact keep-first dedup → NB language-consistency gate (drop docs whose
+# declared lang disagrees with the coin-half-trained classifier: metadata
+# validation, a standard curation stage) → leakage-safe train/heldout
+# split keyed on the GLOBAL near-dup canonical id (exact keep-first
+# leaves near-dups in the pool, so the cluster-keyed coin differs from a
+# naive doc-id split — heldout stays clean of train near-dups). Funnel
+# accounting rows: (stage, n_docs, n_tokens).
+# ---------------------------------------------------------------------------
+
+
+def _curation_v4_oracle() -> str:
+    nb_on_ded = (
+        nb_cte_chain("ded", holdout_only=False)
+        + " SELECT doc_id, correct FROM pred"
+    )
+    ntok = r"len(regexp_split_to_array(trim(text), '\s+'))"
+    return rf"""{_canon_cte()}
+, ded AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           min(doc_id) OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ) AS keeper
+    FROM documents
+  ) WHERE doc_id = keeper
+),
+nb AS (SELECT * FROM (WITH {nb_on_ded}) q),
+surv AS (
+  SELECT ded.doc_id, ded.text FROM ded
+  JOIN nb ON nb.doc_id = ded.doc_id WHERE nb.correct
+),
+sided AS (
+  SELECT s.doc_id, s.text,
+         CASE WHEN {_DUCK_CANON_COIN} < {_LSPLIT_TRAIN_FRAC}
+              THEN 'train' ELSE 'heldout' END AS side
+  FROM surv s JOIN canon c ON c.doc_id = s.doc_id
+)
+SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum({ntok}), 0) AS BIGINT) AS n_tokens
+FROM documents
+UNION ALL
+SELECT 'b_exact_keepfirst', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum({ntok}), 0) AS BIGINT) FROM ded
+UNION ALL
+SELECT 'c_lang_consistent', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum({ntok}), 0) AS BIGINT) FROM surv
+UNION ALL
+SELECT 'd_train_safe', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum({ntok}), 0) AS BIGINT) FROM sided WHERE side = 'train'
+UNION ALL
+SELECT 'e_heldout_safe', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum({ntok}), 0) AS BIGINT) FROM sided WHERE side = 'heldout'
+"""
+
+
+@register(
+    "corpus_curation_pipeline_v4",
+    oracle=_curation_v4_oracle(),
+    tags=("classify", "pipeline"),
+    survey_ref="session-4 capstone: keep-first + NB metadata gate + "
+    "leakage-safe split composed with funnel accounting",
+)
+def corpus_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel shape at 100 TB: one fingerprint window (keep-first), the NB
+    gate scores in collapse-first rep space (the standalone classifier's
+    plan), the split joins the persisted canonical assignment — the
+    composition adds only id-keyed joins and single-row aggregates."""
+    from vectra_player_spark.functions.text import fingerprint, token_count
+    from vectra_player_spark.plans.queries_text import canonical_assignment
+
+    docs = t(spark, sf_dir, "documents")
+    # Keep-first via a PINNED rep-space keeper-id set, not a fingerprint
+    # window: ded has many consumers here (the NB gate's three passes, the
+    # survivor join, the stage aggregate), and a window-tagged corpus
+    # relation re-runs its corpus-wide shuffle per consumer — measured
+    # 243 s at the 100× lake; the pinned id set + semi-join reads the
+    # corpus per pass but never re-shuffles it (v3's narrow-pin rule).
+    keeper_ids = pin(
+        docs.groupBy(fingerprint("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ded = docs.join(keeper_ids, "doc_id")
+    preds = nb_predictions(ded.select("doc_id", "lang", "text"), score_all=True)
+    canon = canonical_assignment(spark, sf_dir).select("doc_id", "canonical_id")
+    # One PINNED narrow ded-sized frame feeds stages b-e (the v3 cstage
+    # rule): without it the NB and canonical subtrees re-run per stage
+    # aggregate (72 s at 100×; 243 s before the keeper-id fix above).
+    # LEFT join: ded rows the classifier never scores (NULL lang/text)
+    # stay countable in stage b, with correct NULL ⇒ excluded from c-e.
+    stats = pin(
+        ded.select("doc_id", token_count("text").cast("bigint").alias("n_tok"))
+        .join(preds.select("doc_id", "correct"), "doc_id", "left")
+        .join(canon, "doc_id")
+        .withColumn(
+            "side",
+            F.when(
+                F.expr(_SPARK_CANON_COIN) < _LSPLIT_TRAIN_FRAC, "train"
+            ).otherwise("heldout"),
+        )
+        .select("doc_id", "n_tok", "correct", "side")
+    )
+
+    def _row(df: DataFrame, stage: str, tok_col) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(tok_col), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+
+    surv = stats.where(F.col("correct"))
+    return (
+        _row(docs, "a_raw", token_count("text"))
+        .unionByName(_row(stats, "b_exact_keepfirst", F.col("n_tok")))
+        .unionByName(_row(surv, "c_lang_consistent", F.col("n_tok")))
+        .unionByName(
+            _row(surv.where(F.col("side") == "train"), "d_train_safe", F.col("n_tok"))
+        )
+        .unionByName(
+            _row(
+                surv.where(F.col("side") == "heldout"),
+                "e_heldout_safe",
+                F.col("n_tok"),
+            )
+        )
     )
