@@ -1,0 +1,75 @@
+"""Crafted-corpus tests for the NB classifier (plans/queries_classify).
+
+The sf lakes contain no duplicate texts (every collapse group is a
+singleton) and the 10×/100× lakes duplicate whole rows (same lang), so
+the oracle comparisons there never exercise two collapse-first edge
+cases: case-variant near-duplicates (must NOT share a group — md5 keying
+is token-exact) and identical text under DIFFERENT langs (one group,
+per-(group, lang) training weights). This test builds a lake that has
+both and runs the full driver-grade compare against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from tests.oracle_harness import compare, run_oracle
+
+from vectra_player_spark import plans
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events embeddings"
+).split()
+
+
+def _write_lake(spark, tmp_path, sf_dir=None) -> str:
+    if sf_dir is not None:  # oracle harness registers every table
+        con = duckdb.connect()
+        for tbl in _TABLES:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet') LIMIT 0)"
+                f" TO '{tmp_path}/{tbl}.parquet' (FORMAT PARQUET)"
+            )
+    shared = "alpha beta gamma delta"
+    rows = []
+    # ids 0-5: identical text, langs alternate en/fr -> one md5 group,
+    # split train weights across two classes.
+    for i in range(6):
+        rows.append((i, shared, "en" if i % 2 == 0 else "fr", "s0", 30))
+    # ids 6-7: case variant of the shared text -> DIFFERENT group.
+    rows.append((6, shared.upper(), "en", "s0", 30))
+    rows.append((7, shared.upper(), "fr", "s0", 30))
+    # ids 8-19: unique texts across three langs.
+    for i in range(8, 20):
+        lang = ("en", "fr", "de")[i % 3]
+        rows.append((i, f"doc {i} " + " ".join(f"w{i}{j}" for j in range(6)), lang, "s1", 40))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+def test_nb_collapse_first_matches_oracle_on_crafted_lake(spark, tmp_path, sf_dir):
+    lake = _write_lake(spark, tmp_path, sf_dir)
+    for name in ("doc_nb_classifier", "doc_nb_confusion"):
+        spec = plans.QUERIES[name]
+        sdf = spec.spark_fn(spark, lake)
+        problems = compare(sdf, run_oracle(spec.oracle, lake))
+        assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_nb_score_all_covers_every_scorable_doc(spark, tmp_path):
+    from vectra_player_spark.plans.queries_classify import nb_predictions
+    from vectra_player_spark.tables import t
+
+    lake = _write_lake(spark, tmp_path)
+    docs = t(spark, lake, "documents")
+    all_rows = nb_predictions(docs, score_all=True).collect()
+    assert len(all_rows) == 20  # every doc scored, incl. train-half
+    ho_rows = nb_predictions(docs).collect()
+    ho_ids = {r["doc_id"] for r in ho_rows}
+    assert ho_ids < {r["doc_id"] for r in all_rows}
+    # holdout rows agree between the two forms (same model, same argmax)
+    by_id = {r["doc_id"]: r for r in all_rows}
+    for r in ho_rows:
+        assert by_id[r["doc_id"]]["predicted"] == r["predicted"]
+        assert by_id[r["doc_id"]]["margin_micro"] == r["margin_micro"]
