@@ -71,6 +71,9 @@ ROUTED = (
     # the inline-trained model's at any lake state
     "doc_lm_perplexity",
     "doc_ccnet_buckets",
+    # NB counts store (r8 session 4): same sum-mergeable regime as lm
+    "doc_nb_classifier",
+    "doc_nb_confusion",
 )
 
 
@@ -119,8 +122,9 @@ def test_store_build_route_refresh_cycle(spark, sig_lake):
     # quantizer stores rebuild (corpus statistics — appends would diverge)
     assert stats["ivf"]["mode"] == "rebuilt"
     assert stats["pq"]["mode"] == "rebuilt"
-    # LM counts append partials — the reader's sum-merge absorbs them
+    # LM / NB counts append partials — the reader's sum-merge absorbs them
     assert stats["lm"]["mode"] == "appended"
+    assert stats["nb"]["mode"] == "appended"
     assert sigstore.doc_signatures_if_available(spark, lake) is not None
     for name in ROUTED:
         assert _run(spark, lake, name) == _direct(spark, lake, name), name
@@ -362,4 +366,48 @@ def test_lm_refresh_replay_after_partial_commit(spark, sig_lake):
 
     merged = _counts(spark.read.parquet(counts_path))
     truth = _counts(lm_model_counts(raw))
+    assert merged == truth
+
+
+def test_nb_refresh_replay_after_partial_commit(spark, sig_lake):
+    """The nb store's crash window, mirroring the lm test: delta partials
+    committed, members append lost; the replayed refresh must overwrite
+    the same seg partition so summed counts never double."""
+    from vectra_player_spark.plans.queries_classify import nb_model_counts
+    from vectra_player_spark.tables import _read
+
+    lake, delta_docs, _ = sig_lake
+    sigstore.refresh_signature_store(spark, lake)  # day-1 build
+    delta_docs.coalesce(1).write.mode("append").parquet(
+        f"{lake}/documents.parquet"
+    )
+    invalidate_lake(lake)
+    counts_path, members_path = sigstore._paths(spark, lake, "nb")
+    wm = (
+        spark.read.parquet(members_path).agg(F.max("doc_id")).collect()[0][0]
+    )
+    raw = _read(spark, lake, "documents").select("doc_id", "lang", "text")
+    delta = raw.where(F.col("doc_id") > wm)
+    (
+        nb_model_counts(delta)
+        .withColumn("seg", F.lit(wm).cast("bigint"))
+        .select(*spark.read.parquet(counts_path).columns)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg")
+        .parquet(counts_path)
+    )
+    stats = sigstore._refresh_nb(spark, lake)
+    assert stats["mode"] == "appended"
+
+    def _counts(df):
+        rows = (
+            df.groupBy("cand", "tok")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .collect()
+        )
+        return sorted(map(tuple, rows), key=lambda r: tuple(x or "" for x in r[:2]))
+
+    merged = _counts(spark.read.parquet(counts_path))
+    truth = _counts(nb_model_counts(raw))
     assert merged == truth

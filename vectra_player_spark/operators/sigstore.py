@@ -125,6 +125,7 @@ _KIND_TABLES = {
     "ivf": ("embeddings",),
     "pq": ("embeddings",),
     "lm": ("documents",),
+    "nb": ("documents",),
 }
 
 # The ANN index hyper-parameters are part of the store contract: the
@@ -382,6 +383,40 @@ def _build_lm_store(spark: SparkSession, sf_dir: str) -> None:
         )
 
 
+
+def _build_nb_store(spark: SparkSession, sf_dir: str) -> None:
+    """Persist the NB-classifier training counts (plans/queries_classify)
+    as an ingest artifact: sigs = PARTIAL weighted counts
+    (cand, tok|NULL, c) — tok NULL rows carry per-class document counts;
+    sum-mergeable, so lake growth appends delta partials instead of
+    retraining (the lm-store regime: counts are additive facts of the
+    text); members = (doc_id, is_train) coverage map + watermark. Same
+    crash-safe seg partitioning as the lm store."""
+    from vectra_player_spark.plans.queries_classify import (
+        nb_is_train,
+        nb_model_counts,
+    )
+    from vectra_player_spark.tables import _read
+
+    counts_path, members_path = _paths(spark, sf_dir, "nb")
+    _wipe(spark, counts_path)
+    _wipe(spark, members_path)
+    raw = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    nb_model_counts(raw).withColumn(
+        "seg", F.lit(-1).cast("bigint")
+    ).write.partitionBy("seg").parquet(counts_path)
+    raw.select(
+        "doc_id", nb_is_train().cast("int").alias("is_train")
+    ).write.parquet(members_path)
+    n_store = spark.read.parquet(members_path).count()
+    n_raw = _read(spark, sf_dir, "documents").count()
+    if n_store != n_raw:
+        raise RuntimeError(
+            f"nb store wrote {n_store} member rows but raw documents "
+            f"holds {n_raw} — lake changed mid-build; rerun"
+        )
+
+
 def _build_ivf_store(spark: SparkSession, sf_dir: str) -> None:
     from vectra_player_spark.operators.knn import assign_cells, kmeans_deterministic
     from vectra_player_spark.tables import _read
@@ -496,6 +531,7 @@ _BUILDERS = {
     "ivf": _build_ivf_store,
     "pq": _build_pq_store,
     "lm": _build_lm_store,
+    "nb": _build_nb_store,
 }
 _RAW_TABLE = {
     "doc": "documents",
@@ -504,6 +540,7 @@ _RAW_TABLE = {
     "ivf": "embeddings",
     "pq": "embeddings",
     "lm": "documents",
+    "nb": "documents",
 }
 
 
@@ -593,7 +630,15 @@ def lm_counts_if_available(
     return _signatures_if_available(spark, sf_dir, "lm")
 
 
-_ALL_KINDS = ("doc", "emb", "idx", "ivf", "pq", "lm")
+def nb_counts_if_available(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """(partial counts, members) — the persisted NB-classifier training
+    counts (cand, tok|NULL, c); consumers groupBy-SUM the partials."""
+    return _signatures_if_available(spark, sf_dir, "nb")
+
+
+_ALL_KINDS = ("doc", "emb", "idx", "ivf", "pq", "lm", "nb")
 
 
 def materialize_signature_store(spark: SparkSession, sf_dir: str) -> None:
@@ -811,6 +856,51 @@ def _refresh_lm(spark: SparkSession, sf_dir: str) -> dict:
     return {"mode": mode, "delta_rows": n_delta}
 
 
+
+def _refresh_nb(spark: SparkSession, sf_dir: str) -> dict:
+    """Sum-mergeable artifact, same crash-safety ordering as _refresh_lm:
+    the delta's partials DYNAMIC-OVERWRITE their own seg=<watermark>
+    partition FIRST, members append SECOND — a replayed refresh rewrites
+    the same partition with identical content instead of double-counting
+    the delta."""
+    from vectra_player_spark.plans.queries_classify import (
+        nb_is_train,
+        nb_model_counts,
+    )
+    from vectra_player_spark.tables import _read
+
+    counts_path, members_path = _paths(spark, sf_dir, "nb")
+    if not _live(spark, (counts_path, members_path)):
+        _build_nb_store(spark, sf_dir)
+        return {"mode": "built", "delta_rows": None}
+    members = spark.read.parquet(members_path)
+    raw = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    wm = members.agg(F.max("doc_id")).collect()[0][0]
+    delta = raw.where(F.col("doc_id") > wm) if wm is not None else raw
+    n_delta = delta.count()
+    if n_delta:
+        counts_cols = spark.read.parquet(counts_path).columns
+        (
+            nb_model_counts(delta)
+            .withColumn(
+                "seg", F.lit(wm if wm is not None else -2).cast("bigint")
+            )
+            .select(*counts_cols)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg")
+            .parquet(counts_path)
+        )
+        delta.select(
+            "doc_id", nb_is_train().cast("int").alias("is_train")
+        ).select(*members.columns).write.mode("append").parquet(members_path)
+    mode = "appended" if n_delta else "noop"
+    if spark.read.parquet(members_path).count() != raw.count():
+        _build_nb_store(spark, sf_dir)  # history mutated — rebuild from truth
+        mode = "rebuilt"
+    return {"mode": mode, "delta_rows": n_delta}
+
+
 def _refresh_rebuild(kind: str):
     """Refresh for the corpus-statistic stores (ivf/pq): rebuild when the
     lake changed — a frozen-quantizer append would diverge from direct
@@ -854,6 +944,7 @@ def refresh_signature_store(spark: SparkSession, sf_dir: str) -> dict:
         ("ivf", _refresh_rebuild("ivf")),
         ("pq", _refresh_rebuild("pq")),
         ("lm", _refresh_lm),
+        ("nb", _refresh_nb),
     )
     out: dict = {}
     # concurrent job submission, same rationale + measurement as

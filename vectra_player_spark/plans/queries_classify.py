@@ -152,32 +152,27 @@ FROM pred GROUP BY 1, 2
 )
 
 
-def nb_predictions(docs: DataFrame, score_all: bool = False) -> DataFrame:
-    """Holdout-half NB predictions over any (doc_id, lang, text) relation:
-    (doc_id, lang, predicted, correct, margin_micro). ``score_all=True``
-    scores EVERY doc with the coin-half-trained model instead — the
-    classifier-as-gate shape the v4 funnel uses.
+def nb_is_train() -> "F.Column":
+    """The train-slice membership coin — THE definition; the NB counts
+    store (operators/sigstore kind 'nb') and the inline training path
+    must agree or persisted counts silently decouple from what the query
+    trains on (the lm_is_ref rule)."""
+    return F.expr(_SPARK_COIN.format(salt=_NB_SALT)) < _NB_TRAIN_FRAC
 
-    Collapse-first: the model is trained with exact integer count
-    weighting over the coin slice (a rep's token counts × its group's
-    train-copy count), and scoring runs once per DISTINCT raw text
-    (md5-keyed — token-exact, the queries_text._text_reps rule); holdout
-    members inherit their rep's argmax through one equi-join. Output is
-    value-identical to the direct per-doc form the oracle computes."""
-    is_train = F.expr(_SPARK_COIN.format(salt=_NB_SALT)) < _NB_TRAIN_FRAC
+
+def _nb_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(base, kstats, rep_tf): the coin-tagged corpus relation, the ONE
+    pinned rep-space stats aggregate (train/holdout copy counts per
+    (text, class) + the min-id rep carrier — no corpus-wide window; a
+    Window-tagged corpus relation re-evaluates per consumer, the round-8
+    plan-inventory lesson), and the pinned per-rep token frequencies."""
     base = docs.where(F.col("text").isNotNull() & F.col("lang").isNotNull()).select(
         "doc_id",
         "lang",
         "text",
         F.md5("text").alias("_k"),
-        is_train.cast("int").alias("_is_train"),
+        nb_is_train().cast("int").alias("_is_train"),
     )
-    # ONE corpus aggregate produces every group statistic the model needs
-    # (train/holdout copy counts per (text, class) + the min-id carrier
-    # for rep election). Rep-space sized — pinned; no corpus-wide window,
-    # and downstream consumers never re-shuffle the corpus (the round-8
-    # plan-inventory lesson: a Window-tagged corpus relation re-evaluates
-    # per consumer, 20 exchanges for a 3-pass job).
     kstats = pin(
         base.groupBy("_k", "lang").agg(
             F.min("doc_id").alias("_min_id"),
@@ -195,17 +190,76 @@ def nb_predictions(docs: DataFrame, score_all: bool = False) -> DataFrame:
         .groupBy("_k", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    # Training counts: (class, token) sums of tf × train copies.
-    cnt = pin(
+    return base, kstats, rep_tf
+
+
+def nb_model_counts(docs: DataFrame) -> DataFrame:
+    """PARTIAL weighted NB training counts for any doc set:
+    (cand, tok, c) with tok NULL on the per-class document-count rows.
+    Sum-mergeable by construction — counts are additive facts, so
+    partials from disjoint doc sets groupBy-SUM into the whole set's
+    counts. This is the relation the signature store persists at ingest
+    (operators/sigstore kind 'nb') and watermark-appends on lake growth;
+    ``nb_predictions(model=...)`` consumes the merged form."""
+    _base, kstats, rep_tf = _nb_frames(docs)
+    tok_part = (
         rep_tf.join(kstats.where(F.col("_n_tr") > 0), "_k")
         .groupBy(F.col("lang").alias("cand"), "tok")
         .agg(F.sum(F.col("tf") * F.col("_n_tr")).cast("bigint").alias("c"))
     )
-    cls = (
+    cls_part = (
         kstats.groupBy(F.col("lang").alias("cand"))
-        .agg(F.sum("_n_tr").cast("bigint").alias("n_docs"))
-        .where(F.col("n_docs") > 0)
+        .agg(F.sum("_n_tr").cast("bigint").alias("c"))
+        .where(F.col("c") > 0)
+        .select("cand", F.lit(None).cast("string").alias("tok"), "c")
     )
+    return tok_part.select("cand", "tok", "c").unionByName(cls_part)
+
+
+def nb_predictions(
+    docs: DataFrame, score_all: bool = False, model: DataFrame | None = None
+) -> DataFrame:
+    """Holdout-half NB predictions over any (doc_id, lang, text) relation:
+    (doc_id, lang, predicted, correct, margin_micro). ``score_all=True``
+    scores EVERY doc with the coin-half-trained model instead — the
+    classifier-as-gate shape the v4 funnel uses.
+
+    ``model``: a MERGED counts relation in nb_model_counts' schema
+    (cand, tok|NULL, c) — e.g. the persisted ingest-time store summed
+    over its partials. None → counts derive from ``docs`` inline
+    (identical values; the store just pays the training explode at
+    ingest instead of per query).
+
+    Collapse-first: the model is trained with exact integer count
+    weighting over the coin slice (a rep's token counts × its group's
+    train-copy count), and scoring runs once per DISTINCT raw text
+    (md5-keyed — token-exact, the queries_text._text_reps rule); holdout
+    members inherit their rep's argmax through one equi-join. Output is
+    value-identical to the direct per-doc form the oracle computes."""
+    base, kstats, rep_tf = _nb_frames(docs)
+    if model is None:
+        # Training counts: (class, token) sums of tf × train copies.
+        cnt = pin(
+            rep_tf.join(kstats.where(F.col("_n_tr") > 0), "_k")
+            .groupBy(F.col("lang").alias("cand"), "tok")
+            .agg(F.sum(F.col("tf") * F.col("_n_tr")).cast("bigint").alias("c"))
+        )
+        cls = (
+            kstats.groupBy(F.col("lang").alias("cand"))
+            .agg(F.sum("_n_tr").cast("bigint").alias("n_docs"))
+            .where(F.col("n_docs") > 0)
+        )
+    else:
+        cnt = pin(
+            model.where(F.col("tok").isNotNull())
+            .groupBy("cand", "tok")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        cls = (
+            model.where(F.col("tok").isNull())
+            .groupBy("cand")
+            .agg(F.sum("c").cast("bigint").alias("n_docs"))
+        )
     tot = cnt.groupBy("cand").agg(F.sum("c").cast("bigint").alias("tot"))
     voc = cnt.select(F.countDistinct("tok").alias("v"))
     ntr = cls.select(F.sum("n_docs").cast("bigint").alias("n_train"))
@@ -252,6 +306,24 @@ def nb_predictions(docs: DataFrame, score_all: bool = False) -> DataFrame:
     )
 
 
+def _nb_stored_model(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The merged NB model from the persisted ingest-time counts store
+    (operators/sigstore kind 'nb') when one covers this lake — the
+    training explode was paid at ingest; the query sums the partials
+    (vocabulary-sized) and keeps only the scoring stage. Values
+    identical — counts are additive facts of the text; oracle
+    unchanged. None → train inline."""
+    from vectra_player_spark.operators.sigstore import nb_counts_if_available
+
+    store = nb_counts_if_available(spark, sf_dir)
+    if store is None:
+        return None
+    counts, _members = store
+    return counts.groupBy("cand", "tok").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+
+
 @register(
     "doc_nb_classifier",
     oracle=_NB_CLASSIFIER_ORACLE,
@@ -261,8 +333,11 @@ def nb_predictions(docs: DataFrame, score_all: bool = False) -> DataFrame:
 def doc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-holdout-doc multinomial-NB language prediction with the integer
     micro-nat score margin. Train slice = md5-coin half; add-1 smoothing
-    over the global train vocabulary."""
-    return nb_predictions(t(spark, sf_dir, "documents"))
+    over the global train vocabulary. Self-routes onto the persisted NB
+    counts store when one covers the lake."""
+    return nb_predictions(
+        t(spark, sf_dir, "documents"), model=_nb_stored_model(spark, sf_dir)
+    )
 
 
 @register(
@@ -273,8 +348,11 @@ def doc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the NB language classifier on the holdout half:
-    (true lang, predicted, n_docs, n_correct)."""
-    preds = nb_predictions(t(spark, sf_dir, "documents"))
+    (true lang, predicted, n_docs, n_correct). Store-routed like its
+    parent."""
+    preds = nb_predictions(
+        t(spark, sf_dir, "documents"), model=_nb_stored_model(spark, sf_dir)
+    )
     return preds.groupBy("lang", "predicted").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col("correct").cast("int")).cast("bigint").alias("n_correct"),
