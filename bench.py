@@ -204,7 +204,7 @@ def main() -> None:
             # callable BUILDS the result (top-1 collect per merge), so the
             # timer wraps the whole call, not just the noop write.
             bpe10: dict[str, float] = {}
-            for name in ("doc_bpe_merges", "doc_bpe_vocab_stats"):
+            for name in ("doc_bpe_merges", "doc_bpe_vocab_stats", "doc_bpe_encode"):
                 try:
                     runs10 = []
                     for _ in range(2):

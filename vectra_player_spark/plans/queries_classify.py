@@ -224,11 +224,12 @@ def nb_predictions(
     scores EVERY doc with the coin-half-trained model instead — the
     classifier-as-gate shape the v4 funnel uses.
 
-    ``model``: a MERGED counts relation in nb_model_counts' schema
-    (cand, tok|NULL, c) — e.g. the persisted ingest-time store summed
-    over its partials. None → counts derive from ``docs`` inline
-    (identical values; the store just pays the training explode at
-    ingest instead of per query).
+    ``model``: a counts relation in nb_model_counts' schema
+    (cand, tok|NULL, c) — PARTIALS are fine (this arm is the one
+    sum-merger), e.g. the persisted ingest-time store's raw partials.
+    None → counts derive from ``docs`` inline (identical values; the
+    store just pays the training explode at ingest instead of per
+    query).
 
     Collapse-first: the model is trained with exact integer count
     weighting over the coin slice (a rep's token counts × its group's
@@ -319,9 +320,10 @@ def _nb_stored_model(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     if store is None:
         return None
     counts, _members = store
-    return counts.groupBy("cand", "tok").agg(
-        F.sum("c").cast("bigint").alias("c")
-    )
+    # raw partials pass straight through — nb_predictions' model arm is
+    # the ONE merger (a pre-merge here would just add a redundant
+    # vocabulary-sized shuffle)
+    return counts.select("cand", "tok", "c")
 
 
 @register(
@@ -586,10 +588,17 @@ def corpus_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate (72 s at 100×; 243 s before the keeper-id fix above).
     # LEFT join: ded rows the classifier never scores (NULL lang/text)
     # stay countable in stage b, with correct NULL ⇒ excluded from c-e.
+    # canon joins LEFT with a doc_id fallback: canonical_assignment's
+    # direct arm buckets docs by token count, and a NULL-text keeper
+    # lands in neither bucket — the oracle's canon CTE LEFT-joins from
+    # documents and falls back to doc_id, so stage b must still count it.
     stats = pin(
         ded.select("doc_id", token_count("text").cast("bigint").alias("n_tok"))
         .join(preds.select("doc_id", "correct"), "doc_id", "left")
-        .join(canon, "doc_id")
+        .join(canon, "doc_id", "left")
+        .withColumn(
+            "canonical_id", F.coalesce("canonical_id", F.col("doc_id"))
+        )
         .withColumn(
             "side",
             F.when(
@@ -599,12 +608,7 @@ def corpus_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tok", "correct", "side")
     )
 
-    def _row(df: DataFrame, stage: str, tok_col) -> DataFrame:
-        return df.agg(
-            F.lit(stage).alias("stage"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum(tok_col), F.lit(0)).cast("bigint").alias("n_tokens"),
-        )
+    from vectra_player_spark.plans.funnel import funnel_row as _row
 
     surv = stats.where(F.col("correct"))
     return (

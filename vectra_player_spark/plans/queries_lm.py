@@ -798,12 +798,7 @@ def corpus_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed, "sel_key", "doc_id", _V3_K, out_cols=["doc_id", "n_tok"]
     )
 
-    def _row(df: DataFrame, stage: str, tok_col) -> DataFrame:
-        return df.agg(
-            F.lit(stage).alias("stage"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum(tok_col), F.lit(0)).cast("bigint").alias("n_tokens"),
-        )
+    from vectra_player_spark.plans.funnel import funnel_row as _row
 
     u_split = F.expr(_SPARK_COIN.format(salt="split"))
     return (

@@ -88,6 +88,25 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
+def pin_mark() -> int:
+    """Snapshot of the tracked-pin count — pair with release_new_pins for
+    a SCOPED release (streaming foreachBatch: each micro-batch must
+    unpersist its own pins or a long-running gate leaks 3 cached
+    relations per batch, without touching pins an enclosing batch query
+    may hold)."""
+    return len(_TRACKED_PINS)
+
+
+def release_new_pins(mark: int) -> None:
+    """Unpersist every pin tracked after ``mark`` (see pin_mark)."""
+    while len(_TRACKED_PINS) > mark:
+        df = _TRACKED_PINS.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+
+
 def release_pins() -> None:
     """Unpersist every tracked pin (called between harness queries)."""
     while _TRACKED_PINS:

@@ -87,10 +87,19 @@ def process_lm_batch(
     out_dir: str,
     threshold_micro: int,
 ) -> None:
-    # two sinks below — score once
-    scored = score_batch_against_store(batch, counts_path).localCheckpoint(
-        eager=True
-    )
+    from vectra_player_spark.session import pin_mark, release_new_pins
+
+    # two sinks below — score once; the scoring core pins its
+    # vocabulary-sized relations, so release THIS batch's pins once the
+    # checkpoint holds the result (a long-running gate would otherwise
+    # leak cached relations per micro-batch).
+    mark = pin_mark()
+    try:
+        scored = score_batch_against_store(
+            batch, counts_path
+        ).localCheckpoint(eager=True)
+    finally:
+        release_new_pins(mark)
     ok = F.col("xent_micro").isNotNull() & (
         F.col("xent_micro") <= threshold_micro
     )

@@ -51,11 +51,8 @@ def classify_batch_against_store(
         return batch.withColumn(
             "predicted", F.lit(None).cast("string")
         ).withColumn("correct", F.lit(None).cast("boolean"))
-    model = (
-        spark.read.parquet(counts_path)
-        .groupBy("cand", "tok")
-        .agg(F.sum("c").cast("bigint").alias("c"))
-    )
+    # raw partials — nb_predictions' model arm does the sum-merge
+    model = spark.read.parquet(counts_path).select("cand", "tok", "c")
     preds = nb_predictions(
         batch.select("doc_id", "lang", "text"), score_all=True, model=model
     )
@@ -67,10 +64,19 @@ def classify_batch_against_store(
 def process_nb_batch(
     batch: DataFrame, batch_id: int, counts_path: str, out_dir: str
 ) -> None:
-    # two sinks below — score once
-    scored = classify_batch_against_store(batch, counts_path).localCheckpoint(
-        eager=True
-    )
+    from vectra_player_spark.session import pin_mark, release_new_pins
+
+    # two sinks below — score once; the scoring core pins its rep-space
+    # frames, so release THIS batch's pins once the checkpoint holds the
+    # result (a long-running gate would otherwise leak 3 cached
+    # relations per micro-batch).
+    mark = pin_mark()
+    try:
+        scored = classify_batch_against_store(
+            batch, counts_path
+        ).localCheckpoint(eager=True)
+    finally:
+        release_new_pins(mark)
     ok = F.coalesce(F.col("correct"), F.lit(False))
     scored.where(ok).write.mode("overwrite").parquet(
         f"{out_dir}/accepted/batch={batch_id}"
