@@ -184,6 +184,7 @@ def main() -> None:
                 "doc_leakage_safe_split",
                 "doc_split_leakage_audit",
                 "corpus_curation_pipeline_v4",
+                "doc_nb_calibration",
                 "doc_vocab_coverage",
                 "multimodal_phash_neardup_stats",
             ):

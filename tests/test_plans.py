@@ -201,6 +201,7 @@ _BNLJ_ALLOWED = {
     "hybrid_rrf_retrieval",  # both arms' 1-row scalar/query broadcasts
     "ntile_user_quartiles",  # exact_ntile's 1-row cut-array/n_total broadcasts
     "doc_ccnet_buckets",  # same exact_ntile 1-row broadcasts (tertile cut)
+    "doc_nb_calibration",  # exact_ntile cut broadcasts + the NB class table
     "corpus_curation_pipeline_v3",  # embeds the same exact_ntile cut
     "q22_sales_opportunity",  # 1-row (total, n) avg-balance scalar broadcast
     "q11_important_parts",  # 1-row national-total scalar broadcast

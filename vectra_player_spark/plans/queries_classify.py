@@ -626,3 +626,62 @@ def corpus_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration: does a larger score margin actually mean a more
+# reliable prediction? Quartile the holdout predictions by margin (exact
+# rank, integer keys, doc_id tiebreak — no float-threshold comparisons)
+# and report per-quartile accuracy. The standard post-training evaluation
+# of any gate-classifier before its threshold is trusted at 100 TB.
+# ---------------------------------------------------------------------------
+
+_NB_CALIBRATION_ORACLE = (
+    _NB_CTE
+    + """
+, tiled AS (
+  SELECT correct, margin_micro,
+         NTILE(4) OVER (ORDER BY margin_micro ASC, doc_id ASC) AS q
+  FROM pred
+)
+SELECT q AS margin_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(MIN(margin_micro) AS BIGINT) AS min_margin,
+       CAST(MAX(margin_micro) AS BIGINT) AS max_margin
+FROM tiled GROUP BY 1
+"""
+)
+
+
+@register(
+    "doc_nb_calibration",
+    oracle=_NB_CALIBRATION_ORACLE,
+    tags=("classify", "pipeline"),
+    survey_ref="classifier calibration curve (margin-quartile accuracy); W5 rank family",
+)
+def doc_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-quartile accuracy of the NB holdout predictions, via the
+    distributed exact_ntile (never a single-partition Window): rank by
+    margin ASC with doc_id tiebreak — exact_ntile orders score DESC, so
+    it ranks the NEGATED margin (the doc_ccnet_buckets trick)."""
+    from vectra_player_spark.operators.rank import exact_ntile
+
+    preds = nb_predictions(
+        t(spark, sf_dir, "documents"), model=_nb_stored_model(spark, sf_dir)
+    )
+    tiled = exact_ntile(
+        preds.withColumn("_neg", (-F.col("margin_micro")).cast("bigint")),
+        "_neg",
+        "doc_id",
+        4,
+        out_col="q",
+    )
+    return tiled.groupBy(F.col("q").alias("margin_quartile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.min("margin_micro").cast("bigint").alias("min_margin"),
+        F.max("margin_micro").cast("bigint").alias("max_margin"),
+    )

@@ -130,6 +130,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_vocab_coverage",  # NEW: top-k vocabulary coverage curve
     "doc_bpe_encode",  # NEW pin: per-doc encoding under the merges
     "corpus_curation_pipeline_v4",  # NEW: session-4 capstone funnel
+    "doc_nb_calibration",  # NEW: margin-quartile calibration curve
     # -- backfill: ALL 26 names last witnessed in r4 (4 rounds stale) -----
     "asof_join_grid",
     "bayesian_gap_signal",
@@ -138,9 +139,9 @@ PRIORITY: tuple[str, ...] = (
     "episode_batch_fetch",
     "episode_price_arrays",
     "event_transition_matrix",
-    "ewma_features",
-    # (session-4's ten new queries displaced the next ten r4-stale
-    # names — feature_matrix, interval_range_join, interval_range_join_routed,
+    # (session-4's eleven new queries displaced the next eleven r4-stale
+    # names — ewma_features, feature_matrix, interval_range_join,
+    # interval_range_join_routed,
     # knn_bruteforce_cosine, lake_summary_stats, nth_tick_anchors,
     # q11_important_parts, q15_top_supplier, q17_small_quantity_revenue,
     # q20_part_promotion — to the round-9 backfill pool, keeping
