@@ -244,9 +244,12 @@ def _ensure_window_layout(spark, sf_dir: str) -> float:
         )
 
         from vectra_player_spark.operators.sigstore import (
+            bpe_model_if_available,
             doc_signatures_if_available,
             emb_signatures_if_available,
             ivf_index_if_available,
+            lm_counts_if_available,
+            nb_counts_if_available,
             pq_index_if_available,
             refresh_signature_store,
             text_index_if_available,
@@ -272,6 +275,9 @@ def _ensure_window_layout(spark, sf_dir: str) -> float:
             or text_index_if_available(spark, sf_dir) is None
             or ivf_index_if_available(spark, sf_dir) is None
             or pq_index_if_available(spark, sf_dir) is None
+            or lm_counts_if_available(spark, sf_dir) is None
+            or nb_counts_if_available(spark, sf_dir) is None
+            or bpe_model_if_available(spark, sf_dir) is None
         ):
             t0 = _time.perf_counter()
             refresh_signature_store(spark, sf_dir)

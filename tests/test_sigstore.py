@@ -74,6 +74,13 @@ ROUTED = (
     # NB counts store (r8 session 4): same sum-mergeable regime as lm
     "doc_nb_classifier",
     "doc_nb_confusion",
+    # BPE tokenizer store (r9): corpus-statistic regime like ivf/pq —
+    # rebuild-on-growth keeps the routed merge table bit-equal to a
+    # direct re-learn at any lake state
+    "doc_bpe_merges",
+    "doc_bpe_vocab_stats",
+    "doc_bpe_encode",
+    "doc_vocab_coverage",
 )
 
 
@@ -125,6 +132,8 @@ def test_store_build_route_refresh_cycle(spark, sig_lake):
     # LM / NB counts append partials — the reader's sum-merge absorbs them
     assert stats["lm"]["mode"] == "appended"
     assert stats["nb"]["mode"] == "appended"
+    # BPE merges are a corpus statistic — growth rebuilds (ivf/pq rule)
+    assert stats["bpe"]["mode"] == "rebuilt"
     assert sigstore.doc_signatures_if_available(spark, lake) is not None
     for name in ROUTED:
         assert _run(spark, lake, name) == _direct(spark, lake, name), name

@@ -11,21 +11,40 @@ DataFrame:
   — duplication factor d costs nothing), exactly like the reference
   learners' word-frequency dict. Every subsequent round touches only
   this table.
-- **Per round**: one groupBy over the exploded adjacent symbol pairs
-  (count-weighted, overlapping positions counted — the get_stats
-  semantics), a TakeOrderedAndProject top-1 with a TOTAL order
-  (count DESC, pair lexicographic ASC — deterministic under any
-  topology), and a JVM-side higher-order fold applying the merge
-  greedily left-to-right non-overlapping to every word. The top-1
+- **Incremental pair-count maintenance (round-9)**: the classic
+  re-learn re-explodes every word's adjacent pairs each round — a
+  vocabulary-sized shuffle × n_merges, which at a production merge
+  budget (30k+) is the wrong plan. A merge (a, b) only changes the
+  pair counts of words that CONTAIN (a, b) adjacent, so the learner
+  keeps the aggregated pair table (w1, w2, c) as loop state and updates
+  it by exact ± deltas from the affected words only: old adjacencies
+  leave with weight −cnt, post-merge adjacencies enter with +cnt. The
+  full explode runs exactly once (round 0). Per round the heavy work —
+  the merge fold and the delta explode — evaluates only on affected
+  rows (a lazy CASE WHEN gates the fold behind a cheap adjacent-pair
+  containment probe); the residual linear terms are one columnar scan
+  of the checkpointed word table for that probe and one union-aggregate
+  of the pair table with the (small) delta. Maintained counts are
+  exactly the recount — differential-tested against a full-rescan
+  learner and a pure-Python reference at n_merges=512
+  (tests/test_bpe.py).
+- **Per round**: a TakeOrderedAndProject top-1 over the maintained pair
+  table with a TOTAL order (count DESC, pair lexicographic ASC —
+  deterministic under any topology), and a JVM-side higher-order fold
+  applying the merge greedily left-to-right non-overlapping. The top-1
   collect is a scalar driver probe (the watermark-probe class), one per
   merge — inherent to BPE's sequential dependency.
-- **Lineage control**: the word table is localCheckpoint'ed each round,
-  so the nested fold expressions never stack (n_merges deep plans blow
-  codegen otherwise) — the connected_components discipline.
+- **Lineage control**: the word AND pair tables are localCheckpoint'ed
+  each round, so the nested fold expressions never stack (n_merges deep
+  plans blow codegen otherwise) — the connected_components discipline.
 
 At 100 TB the word-count collapse IS the scale story: the iteration cost
-depends on |vocab|, not corpus bytes, and the one corpus-sized pass is
-the initial pre-tokenize+count aggregate.
+depends on |vocab| (and, per round, mostly on the affected slice of it),
+not corpus bytes, and the one corpus-sized pass is the initial
+pre-tokenize+count aggregate. The learned merge table itself is a corpus
+statistic exactly like the IVF/PQ quantizers, so it persists in the
+signature store (operators/sigstore kind 'bpe') and the registered
+queries serve from it instead of re-learning per query.
 
 No UDFs anywhere: pre-tokenization is regexp_extract_all, symbol
 splitting and merge application are transform/aggregate higher-order
@@ -92,6 +111,35 @@ def _adjacent_pairs(df: DataFrame) -> DataFrame:
     )
 
 
+def pair_counts(df: DataFrame) -> DataFrame:
+    """Aggregated global pair counts (w1, w2, c) for a (cnt, syms)
+    relation — the learner's round-0 state (ONE full explode; afterwards
+    the table is maintained by deltas)."""
+    return (
+        _adjacent_pairs(df)
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+
+
+def _has_adjacent(syms_col: str, a: str, b: str) -> Column:
+    """Cheap containment probe: does the symbol array hold (a, b) at any
+    adjacent position? Gates the expensive fold/delta work to affected
+    rows. The size >= 2 guard is load-bearing: Spark's sequence(1, n)
+    REVERSES when n < 1 instead of returning empty (the queries_lm
+    bigram rule). Literals go through F.lit — symbols may contain
+    quotes."""
+    idx = F.sequence(F.lit(1), F.size(syms_col) - F.lit(1))
+    return F.when(
+        F.size(syms_col) >= 2,
+        F.exists(
+            idx,
+            lambda i: (F.element_at(F.col(syms_col), i) == F.lit(a))
+            & (F.element_at(F.col(syms_col), i + F.lit(1)) == F.lit(b)),
+        ),
+    ).otherwise(F.lit(False))
+
+
 def apply_merge(syms_col: str, a: str, b: str) -> Column:
     """Greedy left-to-right non-overlapping application of merge (a, b) to
     a symbol array — a single JVM-side fold. The accumulator carries the
@@ -150,16 +198,76 @@ def learn_bpe(
     ``base``: a precomputed initial_symbols(word_counts(...)) relation —
     pass it when the caller also consumes the base table, so the one
     corpus-sized pre-tokenize pass runs once, not per consumer
-    (materialize it first, e.g. localCheckpoint)."""
+    (materialize it first, e.g. localCheckpoint).
+
+    Incremental pair-count maintenance (module docstring): the pair
+    table is loop state, updated by exact ± deltas from the words a
+    merge actually touched — the full pair explode runs once, at round
+    0, so the per-merge cost scales with the affected slice of the
+    vocabulary and the plan stays honest at production merge budgets
+    (differential-tested at n_merges=512)."""
+    if base is None:
+        base = initial_symbols(word_counts(docs, text_col))
+    cur = base.localCheckpoint()
+    pairs = pair_counts(cur).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            pairs.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_count:
+            break
+        a, b, c = top[0]["w1"], top[0]["w2"], int(top[0]["c"])
+        merges.append((rank, a, b, a + b, c))
+        hit = _has_adjacent("syms", a, b)
+        # ± pair deltas from the AFFECTED words only: their old
+        # adjacencies leave with weight -cnt, their post-merge
+        # adjacencies enter with +cnt. Everything derives from the
+        # checkpointed `cur`, so the fold runs on hit rows alone.
+        changed = cur.where(hit).select(
+            "cnt", "syms", apply_merge("syms", a, b).alias("nsyms")
+        )
+        delta = pair_counts(
+            changed.select(F.col("cnt"), F.col("nsyms").alias("syms"))
+        ).unionByName(
+            pair_counts(changed.select((-F.col("cnt")).alias("cnt"), "syms"))
+        )
+        pairs = (
+            pairs.unionByName(delta)
+            .groupBy("w1", "w2")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .where(F.col("c") > 0)
+            .localCheckpoint()
+        )
+        # Lazy CASE WHEN gates the fold behind the containment probe —
+        # unaffected rows pass through without paying it.
+        cur = cur.withColumn(
+            "syms", F.when(hit, apply_merge("syms", a, b)).otherwise(F.col("syms"))
+        ).localCheckpoint()
+    return merges, cur
+
+
+def learn_bpe_rescan(
+    docs: DataFrame,
+    n_merges: int = 24,
+    min_count: int = 2,
+    text_col: str = "text",
+    base: DataFrame | None = None,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The classic full-rescan learner (re-explode + re-aggregate every
+    round) — the pre-round-9 plan, kept as the differential baseline the
+    incremental learner is tested against (tests/test_bpe.py). Not used
+    by any query: at production merge budgets its n_merges vocabulary-
+    sized shuffles are the wrong plan."""
     if base is None:
         base = initial_symbols(word_counts(docs, text_col))
     cur = base.localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
         top = (
-            _adjacent_pairs(cur)
-            .groupBy("w1", "w2")
-            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            pair_counts(cur)
             .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
             .limit(1)
             .collect()

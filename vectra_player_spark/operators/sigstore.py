@@ -126,6 +126,7 @@ _KIND_TABLES = {
     "pq": ("embeddings",),
     "lm": ("documents",),
     "nb": ("documents",),
+    "bpe": ("documents",),
 }
 
 # The ANN index hyper-parameters are part of the store contract: the
@@ -143,6 +144,13 @@ PQ_CODES = 64
 # rule, so routed == direct stays bit-exact at every lake size.
 IVF_TRAIN_CAP = 20_000
 PQ_TRAIN_CAP = 20_000
+
+# BPE tokenizer hyperparameters — part of the store contract like the
+# ANN constants above: the routed queries embed the same literals, so a
+# store built with these reproduces their direct arms bit-for-bit (and
+# the VALUES pins riding them).
+BPE_N_MERGES = 24
+BPE_MIN_COUNT = 2
 
 # term → 16-way md5 hash bucket, identically computable driver-side (for
 # literal query-term pruning) and executor-side (for the partition column)
@@ -417,6 +425,65 @@ def _build_nb_store(spark: SparkSession, sf_dir: str) -> None:
         )
 
 
+def _build_bpe_store(spark: SparkSession, sf_dir: str) -> None:
+    """Persist the learned BPE tokenizer (operators/bpe; the
+    plans/queries_bpe hyperparams are part of the store contract, like
+    IVF_CELLS) as an ingest artifact. sigs = a tagged union of the two
+    relations every consumer needs: the merge table rows
+    (merge_rank, lhs, rhs, merged, pair_count; word/cnt/syms NULL) and
+    the final merged word-symbol table (word, cnt, syms; merge cols
+    NULL) — the merge table is the model, the word table is its
+    pre-applied encoding of the corpus vocabulary (what the encode /
+    vocab-stats queries actually join; the base character-level stats
+    also derive from it, vocab-sized, so no routed consumer re-reads
+    the corpus to describe the model). members = (doc_id) coverage map
+    + watermark. Corpus-statistic regime: the merge sequence is a
+    global argmax chain (exactly the ivf/pq rule), so lake growth
+    REBUILDS — a frozen-merge append would diverge from direct
+    recomputation and break the bit-equal routing contract."""
+    from vectra_player_spark.operators.bpe import learn_bpe
+    from vectra_player_spark.tables import _read
+
+    sigs_path, members_path = _paths(spark, sf_dir, "bpe")
+    _wipe(spark, sigs_path)
+    _wipe(spark, members_path)
+    raw = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, final = learn_bpe(raw, n_merges=BPE_N_MERGES, min_count=BPE_MIN_COUNT)
+    merge_rows = spark.createDataFrame(
+        merges,
+        "merge_rank bigint, lhs string, rhs string, merged string,"
+        " pair_count bigint",
+    ).select(
+        "merge_rank",
+        "lhs",
+        "rhs",
+        "merged",
+        "pair_count",
+        F.lit(None).cast("string").alias("word"),
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.lit(None).cast("array<string>").alias("syms"),
+    )
+    word_rows = final.select(
+        F.lit(None).cast("bigint").alias("merge_rank"),
+        F.lit(None).cast("string").alias("lhs"),
+        F.lit(None).cast("string").alias("rhs"),
+        F.lit(None).cast("string").alias("merged"),
+        F.lit(None).cast("bigint").alias("pair_count"),
+        "word",
+        "cnt",
+        "syms",
+    )
+    merge_rows.unionByName(word_rows).write.parquet(sigs_path)
+    raw.select("doc_id").write.parquet(members_path)
+    n_store = spark.read.parquet(members_path).count()
+    n_raw = _read(spark, sf_dir, "documents").count()
+    if n_store != n_raw:
+        raise RuntimeError(
+            f"bpe store wrote {n_store} member rows but raw documents "
+            f"holds {n_raw} — lake changed mid-build; rerun"
+        )
+
+
 def _build_ivf_store(spark: SparkSession, sf_dir: str) -> None:
     from vectra_player_spark.operators.knn import assign_cells, kmeans_deterministic
     from vectra_player_spark.tables import _read
@@ -532,6 +599,7 @@ _BUILDERS = {
     "pq": _build_pq_store,
     "lm": _build_lm_store,
     "nb": _build_nb_store,
+    "bpe": _build_bpe_store,
 }
 _RAW_TABLE = {
     "doc": "documents",
@@ -541,6 +609,7 @@ _RAW_TABLE = {
     "pq": "embeddings",
     "lm": "documents",
     "nb": "documents",
+    "bpe": "documents",
 }
 
 
@@ -630,6 +699,26 @@ def lm_counts_if_available(
     return _signatures_if_available(spark, sf_dir, "lm")
 
 
+def bpe_model_if_available(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """(merge table, final word-symbol table) split out of the persisted
+    tokenizer store's tagged-union sigs — (merge_rank, lhs, rhs, merged,
+    pair_count) and (word, cnt, syms). The word table IS word_counts(
+    documents) with the learned merges pre-applied, so consumers derive
+    both the model view and the vocabulary view from it without touching
+    the corpus."""
+    store = _signatures_if_available(spark, sf_dir, "bpe")
+    if store is None:
+        return None
+    sigs, _members = store
+    merges = sigs.where(F.col("merge_rank").isNotNull()).select(
+        "merge_rank", "lhs", "rhs", "merged", "pair_count"
+    )
+    words = sigs.where(F.col("word").isNotNull()).select("word", "cnt", "syms")
+    return merges, words
+
+
 def nb_counts_if_available(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame] | None:
@@ -638,7 +727,7 @@ def nb_counts_if_available(
     return _signatures_if_available(spark, sf_dir, "nb")
 
 
-_ALL_KINDS = ("doc", "emb", "idx", "ivf", "pq", "lm", "nb")
+_ALL_KINDS = ("doc", "emb", "idx", "ivf", "pq", "lm", "nb", "bpe")
 
 
 def materialize_signature_store(spark: SparkSession, sf_dir: str) -> None:
@@ -945,6 +1034,7 @@ def refresh_signature_store(spark: SparkSession, sf_dir: str) -> dict:
         ("pq", _refresh_rebuild("pq")),
         ("lm", _refresh_lm),
         ("nb", _refresh_nb),
+        ("bpe", _refresh_rebuild("bpe")),
     )
     out: dict = {}
     # concurrent job submission, same rationale + measurement as
