@@ -240,7 +240,9 @@ def _ensure_window_layout(spark, sf_dir: str) -> float:
     try:
         from vectra_player_spark.operators.skew import (
             bucketed_events_if_available,
+            bucketed_facts_if_available,
             materialize_bucketed_events_lake,
+            refresh_bucketed_facts_layout,
         )
 
         from vectra_player_spark.operators.sigstore import (
@@ -262,6 +264,21 @@ def _ensure_window_layout(spark, sf_dir: str) -> float:
             sec += round(_time.perf_counter() - t0, 3)
             print(
                 f"events window layout built for {sf_dir} in {sec:.1f}s",
+                file=sys.stderr,
+            )
+        # orderkey-bucketed fact pair (q3/q5/q9/... route onto it): the
+        # round-8 "q3 drift" was exactly this layout missing after a /tmp
+        # wipe — bench rebuilt the 10x lake and the events layout but not
+        # the facts pair, so the orderkey joins silently ran unrouted
+        # (0.31 s -> 0.68-0.81 s at 10x; SCALE.md round-9). Ensure it on
+        # the same ingest-time footing as the rest.
+        if bucketed_facts_if_available(spark, sf_dir) is None:
+            t0 = _time.perf_counter()
+            refresh_bucketed_facts_layout(spark, sf_dir)
+            s = round(_time.perf_counter() - t0, 3)
+            sec += s
+            print(
+                f"facts layout built for {sf_dir} in {s:.1f}s",
                 file=sys.stderr,
             )
         # dedup signature store + lexical index (round-7): the near-dup
