@@ -420,3 +420,73 @@ def test_nb_refresh_replay_after_partial_commit(spark, sig_lake):
     merged = _counts(spark.read.parquet(counts_path))
     truth = _counts(nb_model_counts(raw))
     assert merged == truth
+
+
+def test_frozen_quantizer_refresh(spark, sig_lake):
+    """Freeze-cadence mode (spark.vectra.quantizer.refresh=frozen): a
+    grown lake refreshes the ivf/pq stores by assigning/encoding ONLY the
+    delta under the byte-untouched trained model — and the frozen index
+    must still search competently (recall floor vs exact brute force on
+    the grown lake)."""
+    from vectra_player_spark.operators.knn import (
+        brute_force_topk,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    lake, delta_docs, delta_emb = sig_lake
+    sigstore.refresh_signature_store(spark, lake)
+    ivf_sigs_before = sorted(
+        map(tuple, sigstore._read_store(spark, lake, "ivf")[0].collect())
+    )
+    pq_sigs_before = sorted(
+        map(tuple, sigstore._read_store(spark, lake, "pq")[0].collect())
+    )
+
+    delta_docs.coalesce(1).write.mode("append").parquet(f"{lake}/documents.parquet")
+    delta_emb.coalesce(1).write.mode("append").parquet(f"{lake}/embeddings.parquet")
+    invalidate_lake(lake)
+
+    spark.conf.set(sigstore.QUANTIZER_REFRESH_CONF, "frozen")
+    try:
+        stats = sigstore.refresh_signature_store(spark, lake)
+    finally:
+        spark.conf.unset(sigstore.QUANTIZER_REFRESH_CONF)
+    assert stats["ivf"]["mode"] == "frozen-append"
+    assert stats["pq"]["mode"] == "frozen-append"
+    assert stats["ivf"]["delta_rows"] == delta_emb.count()
+    # content-pure stores keep their normal append regime under the flag
+    assert stats["doc"]["mode"] == "appended"
+
+    # the trained models are byte-untouched...
+    ivf_sigs, ivf_members = sigstore._read_store(spark, lake, "ivf")
+    pq_sigs, pq_members = sigstore._read_store(spark, lake, "pq")
+    assert sorted(map(tuple, ivf_sigs.collect())) == ivf_sigs_before
+    assert sorted(map(tuple, pq_sigs.collect())) == pq_sigs_before
+    # ...and the members cover the grown lake (discovery routes again)
+    emb = t(spark, lake, "embeddings")
+    assert ivf_members.count() == emb.count()
+    assert pq_members.count() == emb.count()
+    assert sigstore.ivf_index_if_available(spark, lake) is not None
+
+    # recall floor: the frozen index on the grown lake still finds most
+    # true neighbors (the lake's delta shares the base distribution, the
+    # benign end of the drift spectrum — the point is the machinery
+    # serves sanely, not that frozen == retrained)
+    cand = emb.where(F.col("embedding").isNotNull())
+    queries = cand.orderBy("vec_id").limit(8)
+    exact = brute_force_topk(queries, cand, k=10)
+    approx = ivf_topk(
+        queries, cand, ivf_sigs, k=10, nprobe=4,
+        assignments=ivf_members,
+    )
+    rec = recall_at_k(exact, approx).collect()[0]
+    assert rec["mean_recall"] >= 0.5, rec
+
+    # idempotent under the flag
+    spark.conf.set(sigstore.QUANTIZER_REFRESH_CONF, "frozen")
+    try:
+        stats = sigstore.refresh_signature_store(spark, lake)
+    finally:
+        spark.conf.unset(sigstore.QUANTIZER_REFRESH_CONF)
+    assert stats["ivf"]["mode"] == "noop" and stats["pq"]["mode"] == "noop"

@@ -72,10 +72,17 @@ Two refresh regimes, by what the artifact IS:
   centroids/codebooks are functions of the whole corpus, so a
   frozen-model append would diverge from direct recomputation and break
   the bit-equal routing contract (and the VALUES pins riding it). A
-  production deployment that prefers ingest cheapness can absorb new
-  vectors under frozen centroids and retrain on a cadence — that trades
-  bit-reproducibility for cost, so this engine keeps the rebuild
-  default and the oracle-exact contract.
+  production deployment that prefers ingest cheapness can instead opt
+  into the freeze cadence (round-9): set
+  ``spark.vectra.quantizer.refresh=frozen`` and refresh keeps the
+  trained quantizers untouched, assigning/encoding ONLY above-watermark
+  vectors (delta-sized, map-only) — the FAISS add-without-retrain
+  regime. That explicitly trades the bit-equal routed==direct contract
+  for bounded ingest cost (recall degrades gracefully as the corpus
+  drifts from the frozen training distribution — floor-tested in
+  tests/test_sigstore.py; re-train on a cadence by flipping the conf
+  back for one refresh). The default stays ``rebuild`` so the driver's
+  oracle-exact contract and the VALUES pins are never at risk.
 
 Correctness contract: every stored column is a deterministic function of
 row content, so a routed query is value-IDENTICAL to the direct
@@ -990,6 +997,81 @@ def _refresh_nb(spark: SparkSession, sf_dir: str) -> dict:
     return {"mode": mode, "delta_rows": n_delta}
 
 
+# Quantizer refresh policy: "rebuild" (default — bit-equal routed==direct,
+# the oracle-exact contract) or "frozen" (keep the trained model, absorb
+# the lake's delta under it — bounded ingest cost, relaxed contract).
+QUANTIZER_REFRESH_CONF = "spark.vectra.quantizer.refresh"
+
+
+def _refresh_quantizer(kind: str):
+    """Refresh for the ivf/pq stores honoring QUANTIZER_REFRESH_CONF:
+    rebuild mode defers to _refresh_rebuild; frozen mode keeps sigs (the
+    centroids/codebooks) byte-untouched and appends ONLY above-watermark
+    assignments/codes to members — delta-sized, map-only (the encode
+    inlines the frozen model as literals), never a full-corpus pass.
+    History mutated below the watermark still forces a rebuild: frozen
+    mode bounds ingest cost, it never serves a lake it doesn't cover."""
+    rebuild = _refresh_rebuild(kind)
+
+    def fn(spark: SparkSession, sf_dir: str) -> dict:
+        from vectra_player_spark.tables import _read
+
+        mode = (
+            spark.conf.get(QUANTIZER_REFRESH_CONF, "rebuild") or "rebuild"
+        ).lower()
+        if mode != "frozen":
+            return rebuild(spark, sf_dir)
+        paths = _paths(spark, sf_dir, kind)
+        if not _live(spark, paths):
+            _BUILDERS[kind](spark, sf_dir)
+            return {"mode": "built", "delta_rows": None}
+        sigs, members = _read_store(spark, sf_dir, kind)
+        raw = _read(spark, sf_dir, "embeddings")
+        wm = members.agg(F.max("vec_id")).collect()[0][0]
+        delta = raw.where(F.col("vec_id") > wm) if wm is not None else raw
+        n_delta = delta.count()
+        out_mode = "noop"
+        if n_delta:
+            if sigs.isEmpty():
+                # no trained model to freeze (store built on an
+                # all-NULL-embedding lake) — rebuild is the only
+                # correct absorption
+                _BUILDERS[kind](spark, sf_dir)
+                return {"mode": "rebuilt", "delta_rows": n_delta}
+            d_emb = delta.where(F.col("embedding").isNotNull())
+            d_null = delta.where(F.col("embedding").isNull())
+            if kind == "ivf":
+                from vectra_player_spark.operators.knn import assign_cells
+
+                new_rows = assign_cells(d_emb, sigs).select(
+                    "vec_id", "cell_id"
+                ).unionByName(
+                    d_null.select(
+                        "vec_id", F.lit(None).cast("int").alias("cell_id")
+                    )
+                )
+            else:
+                from vectra_player_spark.operators.knn import pq_encode
+
+                new_rows = pq_encode(d_emb, load_pq_codebook(sigs)).unionByName(
+                    d_null.select(
+                        "vec_id",
+                        F.lit(None).cast("array<int>").alias("codes"),
+                        F.lit(None).cast("double").alias("vhat_norm"),
+                    )
+                )
+            new_rows.select(*members.columns).write.mode("append").parquet(
+                paths[1]
+            )
+            out_mode = "frozen-append"
+        if spark.read.parquet(paths[1]).count() != raw.count():
+            _BUILDERS[kind](spark, sf_dir)  # history mutated — full truth
+            out_mode = "rebuilt"
+        return {"mode": out_mode, "delta_rows": n_delta}
+
+    return fn
+
+
 def _refresh_rebuild(kind: str):
     """Refresh for the corpus-statistic stores (ivf/pq): rebuild when the
     lake changed — a frozen-quantizer append would diverge from direct
@@ -1030,8 +1112,8 @@ def refresh_signature_store(spark: SparkSession, sf_dir: str) -> dict:
         ("doc", _refresh_doc),
         ("emb", _refresh_emb),
         ("idx", _refresh_idx),
-        ("ivf", _refresh_rebuild("ivf")),
-        ("pq", _refresh_rebuild("pq")),
+        ("ivf", _refresh_quantizer("ivf")),
+        ("pq", _refresh_quantizer("pq")),
         ("lm", _refresh_lm),
         ("nb", _refresh_nb),
         ("bpe", _refresh_rebuild("bpe")),
