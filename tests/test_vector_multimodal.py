@@ -523,3 +523,75 @@ def test_leakage_safe_split_crafted_cluster(spark, tmp_path):
         == audit["safe"]["n_train"] + audit["safe"]["n_heldout"]
         == 40
     )
+
+
+def test_wav_features_hand_packed_container(spark):
+    """The real WAV decoder must parse a RIFF container built byte-by-byte
+    with struct.pack — NOT one written by the same stdlib `wave` module
+    the decoder uses — and recover rate, frame count, duration and RMS
+    from the actual PCM payload (incl. a non-canonical header with an
+    extra chunk before 'data')."""
+    import hashlib
+    import math
+    import struct
+
+    from vectra_player_spark.operators.multimodal import wav_features
+
+    samples = [0, 1000, -1000, 32767, -32768, 5, -5, 250]
+    rate = 16000
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    # LIST chunk between fmt and data: real-world WAVs carry metadata
+    # chunks; a header walk that assumes data at offset 36 breaks here.
+    lst = b"INFO" + b"IART" + struct.pack("<I", 4) + b"test"
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(lst)) + lst
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    media = spark.createDataFrame(
+        [("m1", "audio", bytearray(wav), "audio/wav", None)],
+        "media_id string, kind string, content binary, mime string, "
+        "meta map<string,string>",
+    )
+    row = wav_features(media).collect()[0]
+    assert row["n_bytes"] == len(wav)
+    assert row["sample_rate"] == rate
+    assert row["n_samples"] == len(samples)
+    assert row["duration_ms"] == len(samples) * 1000 // rate
+    expect_rms = round(
+        math.sqrt(sum(s * s for s in samples) / len(samples)), 6
+    )
+    assert row["rms"] == expect_rms
+    assert (
+        row["pcm_digest"]
+        == hashlib.md5(",".join(map(str, samples)).encode()).hexdigest()[:16]
+    )
+
+
+def test_wav_features_rejects_unwired_formats(spark):
+    """Stereo / non-16-bit payloads must fail loudly at the documented
+    seam, never silently mis-decode."""
+    import io
+    import wave as wavemod
+
+    import pytest as _pytest
+
+    from vectra_player_spark.operators.multimodal import wav_features
+
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00\x00" * 4)
+    media = spark.createDataFrame(
+        [("m1", "audio", bytearray(buf.getvalue()), "audio/wav", None)],
+        "media_id string, kind string, content binary, mime string, "
+        "meta map<string,string>",
+    )
+    with _pytest.raises(Exception, match="mono PCM16"):
+        wav_features(media).collect()

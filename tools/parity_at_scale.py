@@ -28,7 +28,11 @@ connected-components canonicalization oracles (doc_simhash_neardup_
 canonical and friends) run a RECURSIVE transitive closure over the full
 near-dup pair set — fine at oracle scale, unbounded over the 10× lake's
 ~157M-pair cliques. The Spark side stays O(diameter) equi-join rounds;
-only the checking SQL is the bottleneck.
+only the checking SQL is the bottleneck. Same class:
+doc_dedup_method_agreement's oracle embeds the all-pairs simhash SQL —
+its at-scale verification arm is doc_dedup_method_agreement_sampled
+(1/16 md5-coin doc sample → frac² pair volume), MATCH at the full 100×
+lake (SCALE.md round-9).
 """
 
 from __future__ import annotations

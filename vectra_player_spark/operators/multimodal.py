@@ -130,6 +130,134 @@ def audio_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# REAL audio arm (round-9): WAV is a stdlib-parseable container (`wave`),
+# so the audio decode seam gets a real implementation with no external
+# codecs — header fields (rate, frames, channels, width) from the RIFF
+# chunks, samples from the PCM payload. Image/video keep their documented
+# PIL/ffmpeg stubs; this is the one modality the container can decode for
+# real.
+# --------------------------------------------------------------------------
+
+WAV_FEATURES_SCHEMA = (
+    "media_id string, n_bytes long, sample_rate int, n_samples long, "
+    "duration_ms long, rms double, pcm_digest string"
+)
+
+# Deterministic synth parameters shared with the oracle SQL
+# (plans/queries_multimodal): sample s_i = ((doc_id·31 + i·7919) mod 2001)
+# − 1000 — an integer waveform both engines can enumerate exactly.
+WAV_SYNTH_RATE_BASE = 8000
+WAV_SYNTH_FRAME_BASE = 256
+WAV_SYNTH_FRAME_MOD = 1024
+
+
+def synth_pcm16_wav(keys: DataFrame) -> DataFrame:
+    """Fabricate REAL mono PCM16 WAV payloads from (doc_id, n_chars) —
+    the lake's stand-in for an ingest source of actual audio files. The
+    bytes are a genuine RIFF/fmt/data container (stdlib `wave` writer);
+    rate and frame count derive from the row, samples from the shared
+    synth formula, so an oracle can predict every decoded value without
+    parsing bytes. Output rows are MEDIA_SCHEMA-shaped."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wavemod
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                did = int(r.doc_id)
+                rate = WAV_SYNTH_RATE_BASE * (1 + did % 4)
+                n = WAV_SYNTH_FRAME_BASE + int(r.n_chars) % WAV_SYNTH_FRAME_MOD
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * 31 + i * 7919) % 2001 - 1000).astype("<i2")
+                buf = io.BytesIO()
+                with wavemod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(samples.tobytes())
+                rows.append(
+                    (str(did), "audio", buf.getvalue(), "audio/wav", None)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "mime", "meta"]
+            )
+
+    return keys.select("doc_id", "n_chars").mapInPandas(
+        encode, MEDIA_SCHEMA
+    )
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode + features — the un-stubbed twin of
+    audio_features for WAV payloads: sample rate and frame count read
+    from the parsed RIFF header, duration and RMS computed from the
+    decoded PCM samples, and pcm_digest = md5 over the decoded sample
+    values (comma-joined ints in frame order) so an oracle can verify
+    the DECODING, not just the header walk. PCM16 mono is the wired
+    path; other widths raise at this seam (extend exactly like the
+    image/video codec seams)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+        import math
+        import wave as wavemod
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                content = bytes(r.content) if r.content is not None else b""
+                with wavemod.open(io.BytesIO(content), "rb") as w:
+                    rate = w.getframerate()
+                    n_frames = w.getnframes()
+                    n_ch = w.getnchannels()
+                    width = w.getsampwidth()
+                    pcm = w.readframes(n_frames)
+                if width != 2 or n_ch != 1:
+                    raise NotImplementedError(
+                        "only mono PCM16 WAV is wired — extend at this seam"
+                    )
+                samples = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                sum_sq = int((samples * samples).sum())
+                rms = (
+                    round(math.sqrt(sum_sq / len(samples)), 6)
+                    if len(samples)
+                    else 0.0
+                )
+                digest = hashlib.md5(
+                    ",".join(str(int(v)) for v in samples).encode()
+                ).hexdigest()[:16]
+                rows.append(
+                    (
+                        r.media_id,
+                        len(content),
+                        rate,
+                        len(samples),
+                        len(samples) * 1000 // rate if rate else 0,
+                        rms,
+                        digest,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "sample_rate", "n_samples",
+                    "duration_ms", "rms", "pcm_digest",
+                ],
+            )
+
+    return media.where(F.col("kind") == "audio").select(
+        "media_id", "content"
+    ).mapInPandas(extract, WAV_FEATURES_SCHEMA)
+
+
 FRAME_SAMPLE_SCHEMA = "media_id string, frame_idx int, frame_ts_ms long, frame_digest string"
 
 

@@ -139,6 +139,76 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# REAL WAV decode (round-9): the audio arm un-stubbed. The synth stage
+# fabricates genuine RIFF/fmt/data containers (stdlib `wave` writer) whose
+# rate/frame-count/samples derive deterministically from the doc row, and
+# wav_features decodes them for REAL — header fields from the parsed
+# chunks, duration/RMS from the PCM payload, and pcm_digest = md5 over
+# the DECODED sample values — so the oracle (which enumerates the same
+# integer waveform with generate_series, no byte parsing) verifies the
+# decode end to end. tests/test_vector_multimodal.py additionally decodes
+# a hand-packed struct.pack WAV so the parser isn't only checked against
+# the stdlib writer's own output.
+# --------------------------------------------------------------------------
+
+_WAV_FEATURES_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         8000 * (1 + doc_id % 4) AS rate,
+         256 + n_chars % 1024 AS n_frames
+  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+),
+v AS (
+  SELECT doc_id, rate, n_frames, i,
+         ((doc_id * 31 + i * 7919) % 2001) - 1000 AS s
+  FROM m, unnest(generate_series(0, n_frames - 1)) AS u(i)
+),
+agg AS (
+  SELECT doc_id, rate, n_frames,
+         CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+         md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS dig
+  FROM v GROUP BY 1, 2, 3
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(44 + n_frames * 2 AS BIGINT) AS n_bytes,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n_frames AS BIGINT) AS n_samples,
+       CAST((n_frames * 1000) // rate AS BIGINT) AS duration_ms,
+       ROUND(sqrt(CAST(sum_sq AS DOUBLE) / n_frames), 6) AS rms,
+       substring(dig, 1, 16) AS pcm_digest
+FROM agg
+"""
+
+
+@register(
+    "multimodal_wav_features",
+    oracle=_WAV_FEATURES_ORACLE,
+    tags=("multimodal",),
+    survey_ref="multimodal mandate: REAL audio decode (stdlib WAV container, "
+    "PCM16 features) — the un-stubbed arm of the codec seam",
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode features over synthesized-but-genuine WAV payloads:
+    (media_id, n_bytes, sample_rate, n_samples, duration_ms, rms,
+    pcm_digest). Two Arrow-batched mapInPandas stages (encode, decode) —
+    the exact plumbing a provisioned cluster uses for real audio files,
+    with the container round-trip and the sample decode both
+    value-checked cross-engine. n_bytes pins the 44-byte canonical
+    header; the digest pins every decoded sample."""
+    from vectra_player_spark.operators.multimodal import (
+        synth_pcm16_wav,
+        wav_features,
+    )
+
+    keys = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
+    return wav_features(synth_pcm16_wav(keys))
+
+
+# --------------------------------------------------------------------------
 # Perceptual-hash near-dup: the multimodal twin of the simhash text family.
 # The 64-bit pHash (here the stub's md5 prefix; a real DCT pHash on a
 # provisioned cluster — same bit width, same query) is banded into 4×16-bit

@@ -1989,6 +1989,10 @@ def doc_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     band/posting joins plus flag-set-sized expansions; nothing scales with
     the pair count. The oracle still aggregates the full pair listings —
     equal by construction, hash-checked at sf0.01/10×."""
+    return _agreement_matrix(t(spark, sf_dir, "documents"))
+
+
+def _agreement_matrix(docs: DataFrame) -> DataFrame:
     from vectra_player_spark.operators.dedup import (
         dup_span_stats,
         ngram_jaccard_pairs,
@@ -1998,7 +2002,6 @@ def doc_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vectra_player_spark.session import pin
 
-    docs = t(spark, sf_dir, "documents")
     reps, members = rep_members(
         docs.select("doc_id", "text"), "doc_id", [fingerprint("text")]
     )
@@ -2063,6 +2066,50 @@ def doc_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("method_a", "method_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Sampled agreement arm (round-9): the full matrix's oracle embeds the
+# all-pairs simhash/jaccard SQL, the known oracle-infeasible-at-100×
+# class (tools/parity_at_scale) — the Spark side stays banded and fine;
+# only the CHECKING SQL was bounded to 10×. This arm first cuts the
+# corpus to a deterministic md5-coin doc sample (1/16) and computes the
+# identical matrix within the sample: member-pair volume scales with
+# frac² (≈1/256), so the oracle stays feasible at ANY lake size and the
+# agreement family keeps value-level verification on the full 100× lake.
+# Same flags machinery, same embedded per-method truth, sub-corpus scope.
+# --------------------------------------------------------------------------
+
+_AGREE_SAMPLE_FRAC = 0.0625  # 1/16 md5-coin doc sample
+_AGREE_SAMPLE_SALT = "agreesample"
+
+_AGREE_SAMPLED_ORACLE = (
+    "WITH dsample AS (SELECT * FROM documents WHERE "
+    + _COIN_DUCK_U01.format(salt=_AGREE_SAMPLE_SALT)
+    + f" < {_AGREE_SAMPLE_FRAC})\nSELECT * FROM (\n"
+    + _AGREE_ORACLE.replace("FROM documents", "FROM dsample")
+    + "\n) q"
+)
+
+
+@register(
+    "doc_dedup_method_agreement_sampled",
+    oracle=_AGREE_SAMPLED_ORACLE,
+    tags=("text", "dedup", "pipeline"),
+    survey_ref="sampled dedup agreement matrix (oracle-feasible at any "
+    "scale; the full-matrix family's at-scale verification arm)",
+)
+def doc_dedup_method_agreement_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The agreement matrix over a deterministic 1/16 md5-coin doc sample
+    — statistically a matrix estimate, operationally the arm whose DuckDB
+    twin runs at the full 100× lake (the full matrix's oracle cannot).
+    Same enumeration-free rep-space plan as doc_dedup_method_agreement,
+    applied to the sampled sub-corpus."""
+    docs = t(spark, sf_dir, "documents").where(
+        F.expr(_COIN_SPARK_U01.format(salt=_AGREE_SAMPLE_SALT))
+        < _AGREE_SAMPLE_FRAC
+    )
+    return _agreement_matrix(docs)
 
 
 # --------------------------------------------------------------------------
