@@ -222,6 +222,7 @@ _BNLJ_ALLOWED = {
     "doc_decontamination_bloom",  # 1-row Bloom position-array broadcast
     "doc_nb_classifier",  # K-row class-constant table broadcast (K langs)
     "doc_nb_confusion",  # same K-row class broadcast as its parent
+    "doc_nb_bigram_confusion",  # same K-row class broadcast (bigram variant)
     "corpus_curation_pipeline_v4",  # embeds the same NB class broadcast
     "doc_bpe_vocab_stats",  # 1-row corpus-stat × 1-row vocab-count crosses
     "doc_vocab_coverage",  # 8-row k-grid range join + 1-row total broadcast
