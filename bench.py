@@ -192,6 +192,8 @@ def main() -> None:
                 "doc_nb_bigram_confusion",
                 "doc_dedup_method_agreement_sampled",
                 "multimodal_wav_features",
+                "multimodal_bmp_features",
+                "multimodal_y4m_frame_stats",
             ):
                 try:
                     runs10 = []

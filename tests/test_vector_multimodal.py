@@ -595,3 +595,106 @@ def test_wav_features_rejects_unwired_formats(spark):
     )
     with _pytest.raises(Exception, match="mono PCM16"):
         wav_features(media).collect()
+
+
+def test_bmp_features_honors_pixel_offset_and_rejects_unwired(spark):
+    """The BMP decoder must read the pixel array at the OFFSET the file
+    header declares (an optional gap after the info header is legal),
+    un-flip bottom-up rows, and strip row padding; 8-bit payloads raise
+    at the seam."""
+    import hashlib
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vectra_player_spark.operators.multimodal import bmp_features
+
+    w, h = 3, 2  # w*3=9 -> pad 3: exercises the padding strip
+    gray = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)  # top-down
+    pad = (4 - (w * 3) % 4) % 4
+    rows_b = []
+    for row in gray[::-1]:  # stored bottom-up
+        rows_b.append(
+            b"".join(bytes([v, v, v]) for v in row) + b"\xAA" * pad
+        )
+    pixel_bytes = b"".join(rows_b)
+    gap = b"\xEE" * 6  # 6-byte gap between headers and pixels
+    offset = 54 + len(gap)
+    hdr = struct.pack(
+        "<2sIHHI", b"BM", offset + len(pixel_bytes), 0, 0, offset
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0
+    )
+    content = hdr + gap + pixel_bytes
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(content), "image/bmp", None)],
+        "media_id string, kind string, content binary, mime string, "
+        "meta map<string,string>",
+    )
+    row = bmp_features(media).collect()[0]
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["n_bytes"] == len(content)
+    assert row["mean_luma"] == round(float(gray.sum()) / (w * h), 6)
+    expect = hashlib.md5(
+        ",".join(str(int(v)) for v in gray.reshape(-1)).encode()
+    ).hexdigest()[:16]
+    assert row["pix_digest"] == expect
+
+    bad_hdr = struct.pack("<2sIHHI", b"BM", 62, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, 8, 2835, 2835, 0, 0
+    )
+    bad = spark.createDataFrame(
+        [("m2", "image", bytearray(bad_hdr + b"\x00" * 8), "image/bmp", None)],
+        media.schema,
+    )
+    with _pytest.raises(Exception, match="24-bit"):
+        bmp_features(bad).collect()
+
+
+def test_y4m_frame_stats_foreign_tags_and_rejects_c444(spark):
+    """The y4m parser must tolerate header tags it doesn't use (Xapp
+    extensions, frame rate variants) and step multiple frames; non-420
+    colorspaces raise at the seam."""
+    import hashlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vectra_player_spark.operators.multimodal import y4m_frame_stats
+
+    w, h = 4, 2
+    f0 = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    f1 = (f0 + 100).astype(np.uint8)
+    chroma = bytes((w // 2) * (h // 2))
+    payload = (
+        f"YUV4MPEG2 W{w} H{h} F30000:1001 It A128:117 C420jpeg XYSCSS=420JPEG\n".encode()
+        + b"FRAME\n" + f0.tobytes() + chroma + chroma
+        + b"FRAME\n" + f1.tobytes() + chroma + chroma
+    )
+    media = spark.createDataFrame(
+        [("m1", "video", bytearray(payload), "video/x-yuv4mpeg", None)],
+        "media_id string, kind string, content binary, mime string, "
+        "meta map<string,string>",
+    )
+    rows = sorted(
+        y4m_frame_stats(media).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+    for r, plane in zip(rows, (f0, f1)):
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_y"] == round(float(plane.sum()) / (w * h), 6)
+        assert r["y_digest"] == hashlib.md5(
+            ",".join(str(int(v)) for v in plane.reshape(-1)).encode()
+        ).hexdigest()[:16]
+
+    c444 = (
+        f"YUV4MPEG2 W{w} H{h} F25:1 C444\n".encode()
+        + b"FRAME\n" + f0.tobytes() * 3
+    )
+    bad = spark.createDataFrame(
+        [("m2", "video", bytearray(c444), "video/x-yuv4mpeg", None)],
+        media.schema,
+    )
+    with _pytest.raises(Exception, match="C420"):
+        y4m_frame_stats(bad).collect()

@@ -209,6 +209,128 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# REAL image + video decode (round-9, completing the trio begun by WAV):
+# uncompressed 24-bit BMP is struct-parseable and YUV4MPEG2 is a text
+# header plus raw planes — the two container formats whose decode needs
+# zero codec libraries. Same verification scheme as WAV: synthesize
+# genuine containers from doc rows, decode them for REAL (the BMP arm
+# must strip row padding and un-flip bottom-up storage; the y4m arm must
+# token-walk the header and step FRAME-delimited 4:2:0 planes), and let
+# the oracle enumerate the same pixel formulas with generate_series — a
+# value MATCH proves the byte-level parsing, not just the plumbing.
+# --------------------------------------------------------------------------
+
+_BMP_FEATURES_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         8 + doc_id % 24 AS w,
+         8 + n_chars % 24 AS h
+  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+),
+px AS (
+  SELECT doc_id, w, h, y, x,
+         (doc_id * 7 + y * 31 + x * 13) % 256 AS v
+  FROM m,
+       unnest(generate_series(0, h - 1)) AS gy(y),
+       unnest(generate_series(0, w - 1)) AS gx(x)
+),
+agg AS (
+  SELECT doc_id, w, h,
+         CAST(SUM(v) AS BIGINT) AS sum_v,
+         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)) AS dig
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(54 + h * (w * 3 + (4 - (w * 3) % 4) % 4) AS BIGINT) AS n_bytes,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       ROUND(CAST(sum_v AS DOUBLE) / (w * h), 6) AS mean_luma,
+       substring(dig, 1, 16) AS pix_digest
+FROM agg
+"""
+
+
+@register(
+    "multimodal_bmp_features",
+    oracle=_BMP_FEATURES_ORACLE,
+    tags=("multimodal",),
+    survey_ref="multimodal mandate: REAL image decode (uncompressed BMP "
+    "container) — the un-stubbed arm of the image codec seam",
+)
+def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP decode features over synthesized-but-genuine 24-bit BMPs:
+    (media_id, n_bytes, width, height, mean_luma, pix_digest). n_bytes
+    pins the header + row-padding arithmetic; pix_digest is md5 over the
+    decoded gray values in row-major TOP-DOWN order, pinning the
+    bottom-up un-flip and the padding strip."""
+    from vectra_player_spark.operators.multimodal import (
+        bmp_features,
+        synth_gray_bmp,
+    )
+
+    keys = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
+    return bmp_features(synth_gray_bmp(keys))
+
+
+_Y4M_FRAME_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         16 + 2 * (doc_id % 5) AS w,
+         8 + 2 * (n_chars % 5) AS h,
+         1 + n_chars % 7 AS nf
+  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+),
+fr AS (
+  SELECT doc_id, w, h, f FROM m, unnest(generate_series(0, nf - 1)) AS g(f)
+),
+px AS (
+  SELECT doc_id, w, h, f, y, x,
+         (doc_id * 11 + f * 97 + y * 31 + x * 13) % 256 AS v
+  FROM fr,
+       unnest(generate_series(0, h - 1)) AS gy(y),
+       unnest(generate_series(0, w - 1)) AS gx(x)
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       ROUND(CAST(SUM(v) AS DOUBLE) / (w * h), 6) AS mean_y,
+       substring(md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)),
+                 1, 16) AS y_digest
+FROM px GROUP BY doc_id, f, w, h
+"""
+
+
+@register(
+    "multimodal_y4m_frame_stats",
+    oracle=_Y4M_FRAME_ORACLE,
+    tags=("multimodal",),
+    survey_ref="multimodal mandate: REAL video decode (YUV4MPEG2 container, "
+    "per-frame luma stats) — the un-stubbed arm of the video codec seam",
+)
+def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real y4m decode: one row per frame with decoded dimensions, luma
+    mean, and an md5 over the decoded Y plane — the frame-sampling
+    explode shape with a genuinely parsed body (header token walk +
+    FRAME stepping through raw 4:2:0 planes)."""
+    from vectra_player_spark.operators.multimodal import (
+        synth_y4m,
+        y4m_frame_stats,
+    )
+
+    keys = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
+    return y4m_frame_stats(synth_y4m(keys))
+
+
+# --------------------------------------------------------------------------
 # Perceptual-hash near-dup: the multimodal twin of the simhash text family.
 # The 64-bit pHash (here the stub's md5 prefix; a real DCT pHash on a
 # provisioned cluster — same bit width, same query) is banded into 4×16-bit
