@@ -2069,6 +2069,111 @@ def _agreement_matrix(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Unicode NFC normalization (round-9) — the curation stage every
+# multilingual pipeline runs before fingerprinting/dedup (CCNet/C4 clean
+# text to a canonical composition so 'café' matches 'café' whichever way
+# the crawler encoded the accent). Spark has no built-in normalizer, so
+# this is one of the engine's few sanctioned Python stages: an
+# Arrow-batched pandas_udf over unicodedata.normalize (ArrowEvalPython —
+# the BatchEvalPython ban stays intact). DuckDB's native nfc_normalize
+# is the oracle's side; both implement the same Unicode spec and agree
+# on composition, Hangul, and canonical-reordering cases (probed in
+# tests). The generated lake is pure ASCII (all no-ops — honest), so a
+# deterministic PROBE slice of decomposed/precomposed/jamo/ligature
+# texts carries the signal, same-literals-both-engines like the NB
+# probe.
+# --------------------------------------------------------------------------
+
+
+def _nfc_probe_rows() -> list[tuple[int, str]]:
+    """Deterministic non-ASCII probe docs (BMP-only — identical length
+    semantics across engines): decomposed vs precomposed accents,
+    canonical reordering, Hangul jamo composition, NFC-invariant
+    ligatures/full-width forms, and the Angstrom-sign singleton."""
+    texts = [
+        "cafe\u0301 menu",            # e + combining acute -> composes
+        "caf\u00e9 menu",             # precomposed twin (NFC no-op)
+        "s\u0323\u0307 ordering",    # dot-below + dot-above -> \u1e69
+        "s\u0307\u0323 reordered",   # same marks, swapped -> same NFC
+        "A\u030a ring",               # A + ring -> \u00c5
+        "\u212b angstrom",            # ANGSTROM SIGN -> \u00c5 singleton
+        "\u1100\u1161\u11a8 jamo",  # Hangul jamo -> \uac01 syllable
+        "\ufb01sh ligature",          # fi ligature: NFC-invariant
+        "\uff28\uff45llo fullwidth", # full-width: NFC-invariant
+        "plain ascii probe",
+    ]
+    return [(20_000_000_000_000 + i, t) for i, t in enumerate(texts)]
+
+
+def _nfc_oracle() -> str:
+    values = ",\n    ".join(
+        "({}, '{}')".format(did, t.replace("'", "''"))
+        for did, t in _nfc_probe_rows()
+    )
+    return f"""
+WITH probe(doc_id, text) AS (VALUES
+    {values}),
+corpus AS (
+  SELECT doc_id, text, 'real' AS slice FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, text, 'probe' FROM probe
+)
+SELECT doc_id, slice,
+       (nfc_normalize(text) <> text) AS changed,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+       md5(nfc_normalize(text)) AS nfc_md5
+FROM corpus
+"""
+
+
+@register(
+    "doc_unicode_nfc",
+    oracle=_nfc_oracle(),
+    tags=("text", "pipeline"),
+    survey_ref="Unicode NFC normalization (curation stage; Arrow-batched "
+    "Python at the sanctioned UDF seam, DuckDB-native oracle)",
+)
+def doc_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc NFC report over documents ∪ probe: changed flag, code-point
+    counts before/after, and the md5 of the normalized text (what a
+    canonicalizing ingest would fingerprint). Collapse-first is
+    deliberately absent: the stage is a pure map (no shuffle at any
+    scale); rep-collapse would ADD one."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(col):
+        import unicodedata
+
+        return col.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    # real class objects, not strings: the module's `from __future__ import
+    # annotations` would otherwise hand pandas_udf unevaluable hints
+    _nfc_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    nfc = pandas_udf(_nfc_fn, "string")
+
+    probe = spark.createDataFrame(_nfc_probe_rows(), "doc_id bigint, text string")
+    corpus = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text", F.lit("real").alias("slice"))
+        .unionByName(probe.select("doc_id", "text", F.lit("probe").alias("slice")))
+    )
+    out = corpus.withColumn("_nfc", nfc(F.col("text")))
+    return out.select(
+        "doc_id",
+        "slice",
+        (F.col("_nfc") != F.col("text")).alias("changed"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length("_nfc").cast("bigint").alias("n_chars_nfc"),
+        F.md5("_nfc").alias("nfc_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Sampled agreement arm (round-9): the full matrix's oracle embeds the
 # all-pairs simhash/jaccard SQL, the known oracle-infeasible-at-100×
 # class (tools/parity_at_scale) — the Spark side stays banded and fine;
