@@ -194,6 +194,7 @@ def main() -> None:
                 "multimodal_wav_features",
                 "multimodal_bmp_features",
                 "multimodal_y4m_frame_stats",
+                "doc_unicode_nfc",
             ):
                 try:
                     runs10 = []

@@ -698,3 +698,37 @@ def test_y4m_frame_stats_foreign_tags_and_rejects_c444(spark):
     )
     with _pytest.raises(Exception, match="C420"):
         y4m_frame_stats(bad).collect()
+
+
+def test_unicode_nfc_probe_cases(spark, sf_dir):
+    """The NFC stage must compose decomposed accents, canonicalize mark
+    ordering, compose Hangul jamo, map the Angstrom singleton — and leave
+    NFC-invariant forms (ligatures, full-width, precomposed) untouched."""
+    import unicodedata
+
+    from vectra_player_spark import plans
+    from vectra_player_spark.plans.queries_text import _nfc_probe_rows
+
+    rows = {
+        r["doc_id"]: r
+        for r in plans.QUERIES["doc_unicode_nfc"]
+        .spark_fn(spark, sf_dir)
+        .where("slice = 'probe'")
+        .collect()
+    }
+    for did, text in _nfc_probe_rows():
+        expect = unicodedata.normalize("NFC", text)
+        r = rows[did]
+        assert r["changed"] == (expect != text), text
+        assert r["n_chars_raw"] == len(text)
+        assert r["n_chars_nfc"] == len(expect)
+    # the composition cases genuinely change; the invariant cases don't
+    assert sum(1 for r in rows.values() if r["changed"]) == 6
+    assert sum(1 for r in rows.values() if not r["changed"]) == 4
+    # the real (ASCII) lake is a wall of no-ops — honest baseline
+    real = (
+        plans.QUERIES["doc_unicode_nfc"]
+        .spark_fn(spark, sf_dir)
+        .where("slice = 'real'")
+    )
+    assert real.where("changed").count() == 0
