@@ -732,3 +732,20 @@ def test_unicode_nfc_probe_cases(spark, sf_dir):
         .where("slice = 'real'")
     )
     assert real.where("changed").count() == 0
+
+
+def test_nfc_dedup_report_collapses_composition_variants(spark, sf_dir):
+    """The NFC fingerprint must merge exactly the probe's three
+    composition-variant groups (2+3+2 docs) that the raw fingerprint
+    keeps apart; both arms count the same docs."""
+    from vectra_player_spark import plans
+
+    rows = {
+        r["variant"]: r
+        for r in plans.QUERIES["doc_nfc_dedup_report"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert rows["raw"]["n_docs"] == rows["nfc"]["n_docs"]
+    assert rows["raw"]["n_groups"] - rows["nfc"]["n_groups"] == 4
+    assert rows["nfc"]["n_dup_docs"] - rows["raw"]["n_dup_docs"] == 7

@@ -2174,6 +2174,131 @@ def doc_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# NFC-aware dedup report (round-9): WHY normalization runs before
+# fingerprinting — composition variants of the same text ('cafe\u0301'
+# vs 'caf\u00e9') carry different raw fingerprints and survive exact
+# dedup as spurious near-duplicates; fingerprinting the NFC form
+# collapses them. The report compares keep-first dedup under both keys:
+# (variant, n_docs, n_groups, n_dup_docs). On the ASCII lake the arms
+# are identical (honest no-op); a probe slice of composition-variant
+# duplicate groups makes the NFC arm strictly coarser. Probe texts stay
+# lowercase so the only cross-engine surface exercised is normalization
+# itself, not case folding.
+# --------------------------------------------------------------------------
+
+
+def _nfc_dedup_probe_rows() -> list[tuple[int, str]]:
+    """Three probe groups of NFC-equivalent variants plus two singletons:
+    group A 'caf\u00e9 menu' {precomposed, decomposed}, group B
+    's\u1e69 mark order' {precomposed, two decomposed orderings}, group
+    C Hangul '\uac01 syllable' {syllable, jamo} — 7 docs, 3 NFC groups,
+    7 raw groups."""
+    texts = [
+        "caf\u00e9 menu",
+        "cafe\u0301 menu",
+        "\u1e69 mark order",
+        "s\u0323\u0307 mark order",
+        "s\u0307\u0323 mark order",
+        "\uac01 syllable",
+        "\u1100\u1161\u11a8 syllable",
+        "probe singleton one",
+        "probe singleton two",
+    ]
+    return [(30_000_000_000_000 + i, t) for i, t in enumerate(texts)]
+
+
+def _nfc_dedup_oracle() -> str:
+    values = ",\n    ".join(
+        "({}, '{}')".format(did, t.replace("'", "''"))
+        for did, t in _nfc_dedup_probe_rows()
+    )
+    return rf"""
+WITH probe(doc_id, text) AS (VALUES
+    {values}),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, text FROM probe
+),
+keyed AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS raw_fp,
+         md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))
+           AS nfc_fp
+  FROM corpus
+),
+longk AS (
+  SELECT 'raw' AS variant, raw_fp AS fp FROM keyed
+  UNION ALL
+  SELECT 'nfc', nfc_fp FROM keyed
+),
+g AS (
+  SELECT variant, fp, CAST(COUNT(*) AS BIGINT) AS n FROM longk GROUP BY 1, 2
+)
+SELECT variant,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs
+FROM g GROUP BY 1
+"""
+
+
+@register(
+    "doc_nfc_dedup_report",
+    oracle=_nfc_dedup_oracle(),
+    tags=("text", "dedup", "pipeline"),
+    survey_ref="normalization-before-dedup composition (NFC fingerprint "
+    "collapses composition-variant duplicates exact dedup misses)",
+)
+def doc_nfc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup accounting under the raw vs NFC fingerprint over
+    documents ∪ probe. Enumeration-free: group sizes from one fingerprint
+    aggregate per variant; the probe's composition-variant groups shrink
+    n_groups and grow n_dup_docs ONLY in the nfc arm."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(col):
+        import unicodedata
+
+        return col.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    _nfc_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    nfc = pandas_udf(_nfc_fn, "string")
+
+    probe = spark.createDataFrame(
+        _nfc_dedup_probe_rows(), "doc_id bigint, text string"
+    )
+    corpus = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .unionByName(probe)
+    )
+    keyed = corpus.select(
+        fingerprint("text").alias("raw_fp"),
+        fingerprint(nfc(F.col("text"))).alias("nfc_fp"),
+    )
+    longk = keyed.select(
+        F.lit("raw").alias("variant"), F.col("raw_fp").alias("fp")
+    ).unionByName(
+        keyed.select(F.lit("nfc").alias("variant"), F.col("nfc_fp").alias("fp"))
+    )
+    g = longk.groupBy("variant", "fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return g.groupBy("variant").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Sampled agreement arm (round-9): the full matrix's oracle embeds the
 # all-pairs simhash/jaccard SQL, the known oracle-infeasible-at-100×
 # class (tools/parity_at_scale) — the Spark side stays banded and fine;

@@ -83,8 +83,8 @@ def register(
 # execute — the 4 store-routed BPE queries changed plans this round, and
 # 3 queries are new) + ALL 19 names last witnessed in r4 + the 9 r5-stale
 # replay-tier heads + the next 10 r5-stale names alphabetically.
-# ROUND-10 POOL (what this rotation leaves stale): the remaining 20
-# r5-stale names (doc_corpus_stats, doc_fingerprints, embedding_centroids, doc_text_quality, event_type_counts,
+# ROUND-10 POOL (what this rotation leaves stale): the remaining 21
+# r5-stale names (distinct_segments, doc_corpus_stats, doc_fingerprints, embedding_centroids, doc_text_quality, event_type_counts,
 # histogram_order_totals, join_anti_dormant_customers,
 # join_semi_active_customers, json_props_stats, kelly_fractions_table,
 # optimal_entry_window, order_status_stats, paginate_orders,
@@ -113,6 +113,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_dedup_method_agreement_sampled",  # oracle-feasible-at-100x arm
     "doc_nb_bigram_confusion",  # hashed-bigram NB + separable probe slice
     "doc_unicode_nfc",  # NFC normalization (Arrow UDF seam, native oracle)
+    "doc_nfc_dedup_report",  # normalization-before-dedup composition
     # -- backfill: ALL 19 names last witnessed in r4 (5 rounds stale) -----
     "ewma_features",
     "feature_matrix",
@@ -150,8 +151,7 @@ PRIORITY: tuple[str, ...] = (
     "corr_lineitem_measures",
     "dedup_keep_first",
     "descriptive_stats",
-    "distinct_segments",
-    # (doc_corpus_stats, doc_fingerprints and embedding_centroids fell to the round-10 pool
+    # (distinct_segments, doc_corpus_stats, doc_fingerprints and embedding_centroids fell to the round-10 pool
     # when the real BMP/y4m decode arms took their slots — never-witnessed
     # beats stale-rewitness per the rotation rule.)
 )
