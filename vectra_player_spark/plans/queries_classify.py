@@ -654,11 +654,11 @@ _BG_SALT = "nbbg"
 _BG_COIN_SALT = "nbbgtrain"
 
 _SPARK_BG_BUCKET = (
-    "CAST(conv(substring(md5(concat('nbbg:', w1, ' ', w2)), 1, 8), 16, 10)"
+    f"CAST(conv(substring(md5(concat('{_BG_SALT}:', w1, ' ', w2)), 1, 8), 16, 10)"
     f" AS BIGINT) % {_BG_B}"
 )
 _DUCK_BG_BUCKET = (
-    "CAST('0x' || substring(md5('nbbg:' || w1 || ' ' || w2), 1, 8) AS BIGINT)"
+    f"CAST('0x' || substring(md5('{_BG_SALT}:' || w1 || ' ' || w2), 1, 8) AS BIGINT)"
     f" % {_BG_B}"
 )
 

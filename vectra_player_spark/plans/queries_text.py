@@ -2068,6 +2068,27 @@ def _agreement_matrix(docs: DataFrame) -> DataFrame:
     )
 
 
+def _nfc_udf():
+    """Arrow-batched NFC normalizer (pandas_udf) — ONE definition shared
+    by doc_unicode_nfc and doc_nfc_dedup_report so the normalization form
+    can never drift between the report and the dedup fingerprint. Real
+    class objects go into __annotations__: the module's `from __future__
+    import annotations` would otherwise hand pandas_udf unevaluable
+    string hints."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(col):
+        import unicodedata
+
+        return col.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    _nfc_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc_fn, "string")
+
+
 # --------------------------------------------------------------------------
 # Unicode NFC normalization (round-9) — the curation stage every
 # multilingual pipeline runs before fingerprinting/dedup (CCNet/C4 clean
@@ -2140,20 +2161,7 @@ def doc_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizing ingest would fingerprint). Collapse-first is
     deliberately absent: the stage is a pure map (no shuffle at any
     scale); rep-collapse would ADD one."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    def _nfc_fn(col):
-        import unicodedata
-
-        return col.map(
-            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
-        )
-
-    # real class objects, not strings: the module's `from __future__ import
-    # annotations` would otherwise hand pandas_udf unevaluable hints
-    _nfc_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    nfc = pandas_udf(_nfc_fn, "string")
+    nfc = _nfc_udf()
 
     probe = spark.createDataFrame(_nfc_probe_rows(), "doc_id bigint, text string")
     corpus = (
@@ -2255,18 +2263,7 @@ def doc_nfc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents ∪ probe. Enumeration-free: group sizes from one fingerprint
     aggregate per variant; the probe's composition-variant groups shrink
     n_groups and grow n_dup_docs ONLY in the nfc arm."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    def _nfc_fn(col):
-        import unicodedata
-
-        return col.map(
-            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
-        )
-
-    _nfc_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    nfc = pandas_udf(_nfc_fn, "string")
+    nfc = _nfc_udf()
 
     probe = spark.createDataFrame(
         _nfc_dedup_probe_rows(), "doc_id bigint, text string"
@@ -2312,6 +2309,16 @@ def doc_nfc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGREE_SAMPLE_FRAC = 0.0625  # 1/16 md5-coin doc sample
 _AGREE_SAMPLE_SALT = "agreesample"
+
+# The retarget below is textual — it is only complete while EVERY corpus
+# reference inside the embedded per-method oracles is the exact literal
+# 'FROM documents' (this file already contains other forms, e.g.
+# 'JOIN documents d'). Guard at import: any future edit that introduces
+# a non-matching reference fails HERE, not as a silent sample-vs-full
+# oracle mismatch at check time.
+assert _AGREE_ORACLE.count("documents") == _AGREE_ORACLE.count(
+    "FROM documents"
+), "doc_dedup_method_agreement oracle: corpus reference not retargetable"
 
 _AGREE_SAMPLED_ORACLE = (
     "WITH dsample AS (SELECT * FROM documents WHERE "

@@ -82,7 +82,7 @@ def register(
 # CHANGED/NEW entry (the driver must witness the forms it will actually
 # execute — the 4 store-routed BPE queries changed plans this round, and
 # 3 queries are new) + ALL 19 names last witnessed in r4 + the 9 r5-stale
-# replay-tier heads + the next 10 r5-stale names alphabetically.
+# replay-tier heads + the next 6 r5-stale names alphabetically.
 # ROUND-10 POOL (what this rotation leaves stale): the remaining 21
 # r5-stale names (distinct_segments, doc_corpus_stats, doc_fingerprints, embedding_centroids, doc_text_quality, event_type_counts,
 # histogram_order_totals, join_anti_dormant_customers,
@@ -144,7 +144,7 @@ PRIORITY: tuple[str, ...] = (
     "data_quality_report",
     "q9_product_profit",
     "momentum_features",
-    # -- next 10 r5-stale names (alphabetical) ----------------------------
+    # -- next 6 r5-stale names (alphabetical) -----------------------------
     "agg_having_big_customers",
     "best_row_dedup",
     "conditional_end_prob",
