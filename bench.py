@@ -195,6 +195,7 @@ def main() -> None:
                 "multimodal_bmp_features",
                 "multimodal_y4m_frame_stats",
                 "doc_unicode_nfc",
+                "doc_cdc_chunking_report",
             ):
                 try:
                     runs10 = []

@@ -628,3 +628,21 @@ class TestGramCountMergeability:
         # grams occur 3x, a-doc grams 2x (one per half), b-doc grams once
         assert sorted(cu.values()) == sorted(merged.values())
         assert max(cu.values()) == 3 and min(cu.values()) == 1
+
+
+def test_cdc_chunking_shift_invariance(spark, sf_dir):
+    """The CDC scheme's reason to exist: the one-token-prepended probe
+    twin shares MOST of its content-defined chunks with the base doc,
+    while the fixed grid shares none (every boundary moved)."""
+    from vectra_player_spark import plans
+
+    rows = {
+        r["variant"]: r
+        for r in plans.QUERIES["doc_cdc_chunking_report"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert rows["fixed"]["probe_shared_chunks"] == 0
+    assert rows["cdc"]["probe_shared_chunks"] >= 5
+    for r in rows.values():
+        assert r["n_chunks"] >= r["n_distinct_chunks"]

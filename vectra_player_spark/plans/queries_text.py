@@ -2350,6 +2350,203 @@ def doc_dedup_method_agreement_sampled(spark: SparkSession, sf_dir: str) -> Data
 
 
 # --------------------------------------------------------------------------
+# Content-defined chunking (round-9): the shift-INVARIANT complement of
+# the fixed-grid chunk dedup (doc_chunk_dedup, 16-token grid). Fixed
+# grids break on insertion — prepend ONE token and every downstream
+# chunk boundary moves, so storage/sub-doc dedup finds nothing shared.
+# CDC places boundaries where a LOCAL k-gram hash hits a bucket (the
+# FastCDC/Rabin idea with a content-local criterion both engines can
+# evaluate position-independently), so an insertion only re-chunks the
+# neighborhood it touched. The report compares both schemes over
+# documents ∪ a probe pair (a doc and its one-token-prepended twin):
+# per variant (cdc|fixed) — chunk counts, hash-level duplication, and
+# the number of chunk hashes the probe twins SHARE (the punchline:
+# cdc >> fixed). Enumeration-free; per-doc windows only.
+# --------------------------------------------------------------------------
+
+_CDC_K = 3          # k-gram width for the boundary criterion
+_CDC_DIV = 8        # boundary iff kgram-hash % DIV == 0 (avg chunk ~DIV)
+_CDC_P0 = 40_000_000_000_000
+_CDC_P1 = _CDC_P0 + 1
+
+
+def _cdc_probe_rows() -> list[tuple[int, str]]:
+    """A 64-token deterministic APERIODIC base doc (LCG-indexed vocab —
+    a periodic text would collapse its own chunks and mask the
+    alignment story) and its one-token-prepended twin — the insertion
+    that destroys fixed-grid alignment."""
+    vocab = ("scan", "merge", "window", "batch", "vector", "query",
+             "table", "row", "hash", "sort", "filter", "stream")
+    words, x = [], 7
+    for _ in range(64):
+        x = (x * 37 + 11) % 97
+        words.append(vocab[x % len(vocab)])
+    base = " ".join(words)
+    return [(_CDC_P0, base), (_CDC_P1, "zz " + base)]
+
+
+def _cdc_oracle() -> str:
+    values = ",\n    ".join(
+        "({}, '{}')".format(did, t) for did, t in _cdc_probe_rows()
+    )
+    return rf"""
+WITH probe(doc_id, text) AS (VALUES
+    {values}),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, text FROM probe
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus
+),
+pos AS (
+  SELECT doc_id, i, tk[i] AS tok,
+         CASE WHEN i >= {_CDC_K} AND
+              CAST('0x' || substring(md5(tk[i-2] || ' ' || tk[i-1] || ' ' || tk[i]), 1, 8)
+                   AS BIGINT) % {_CDC_DIV} = 0
+              THEN 1 ELSE 0 END AS b_cdc,
+         CASE WHEN i % {_CDC_DIV} = 0 THEN 1 ELSE 0 END AS b_fix
+  FROM toks, unnest(generate_series(1, len(tk))) AS g(i)
+),
+longv AS (
+  SELECT doc_id, i, tok, 'cdc' AS variant, b_cdc AS b FROM pos
+  UNION ALL
+  SELECT doc_id, i, tok, 'fixed', b_fix FROM pos
+),
+numbered AS (
+  SELECT doc_id, variant, i, tok,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id, variant ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_no
+  FROM longv
+),
+chunks AS (
+  SELECT doc_id, variant, chunk_no,
+         md5(string_agg(tok, ' ' ORDER BY i)) AS chash
+  FROM numbered GROUP BY 1, 2, 3
+),
+by_hash AS (
+  SELECT variant, chash, COUNT(*) AS n_inst FROM chunks GROUP BY 1, 2
+),
+shared AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS probe_shared_chunks FROM (
+    SELECT variant, chash FROM chunks
+    WHERE doc_id IN ({_CDC_P0}, {_CDC_P1})
+    GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) = 2
+  ) GROUP BY 1
+)
+SELECT h.variant,
+       CAST(SUM(n_inst) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(CASE WHEN n_inst > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       COALESCE(ANY_VALUE(s.probe_shared_chunks), 0) AS probe_shared_chunks
+FROM by_hash h LEFT JOIN shared s ON s.variant = h.variant
+GROUP BY h.variant
+"""
+
+
+@register(
+    "doc_cdc_chunking_report",
+    oracle=_cdc_oracle(),
+    tags=("text", "dedup", "pipeline"),
+    survey_ref="content-defined chunking (shift-invariant sub-doc dedup; "
+    "complements the fixed-grid doc_chunk_dedup)",
+)
+def doc_cdc_chunking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking-scheme comparison over documents ∪ the probe twins:
+    (variant, n_chunks, n_distinct_chunks, n_dup_chunks,
+    probe_shared_chunks). Boundary flags are computed array-side in ONE
+    transform (no token row ever carries the whole array), the chunk
+    number is a per-doc running sum window, and every aggregate is
+    hash-keyed — nothing scales with pair counts."""
+    from pyspark.sql import Window as W
+
+    from vectra_player_spark.session import pin
+
+    probe = spark.createDataFrame(_cdc_probe_rows(), "doc_id bigint, text string")
+    corpus = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .unionByName(probe)
+    )
+    toks = corpus.select("doc_id", tokens("text").alias("tk"))
+    arr = F.expr(
+        "transform(sequence(1, size(tk)), i -> named_struct("
+        " 'i', i,"
+        " 'tok', tk[i-1],"
+        f" 'b_cdc', CASE WHEN i >= {_CDC_K} AND"
+        " CAST(conv(substring(md5(concat(tk[i-3], ' ', tk[i-2], ' ', tk[i-1])), 1, 8), 16, 10)"
+        f" AS BIGINT) % {_CDC_DIV} = 0 THEN 1 ELSE 0 END,"
+        f" 'b_fix', CASE WHEN i % {_CDC_DIV} = 0 THEN 1 ELSE 0 END))"
+    )
+    pos = toks.select("doc_id", F.explode(arr).alias("s")).select(
+        "doc_id", "s.i", "s.tok", "s.b_cdc", "s.b_fix"
+    )
+    longv = pos.select(
+        "doc_id", "i", "tok", F.lit("cdc").alias("variant"), F.col("b_cdc").alias("b")
+    ).unionByName(
+        pos.select(
+            "doc_id", "i", "tok", F.lit("fixed").alias("variant"),
+            F.col("b_fix").alias("b"),
+        )
+    )
+    w = (
+        W.partitionBy("doc_id", "variant")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    numbered = longv.select(
+        "doc_id",
+        "variant",
+        "i",
+        "tok",
+        F.coalesce(F.sum("b").over(w), F.lit(0)).alias("chunk_no"),
+    )
+    chunks = pin(
+        numbered.groupBy("doc_id", "variant", "chunk_no").agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                        lambda st: st["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chash")
+        )
+    )
+    by_hash = chunks.groupBy("variant", "chash").agg(
+        F.count(F.lit(1)).alias("n_inst")
+    )
+    shared = (
+        chunks.where(F.col("doc_id").isin(_CDC_P0, _CDC_P1))
+        .groupBy("variant", "chash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") == 2)
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("probe_shared_chunks"))
+    )
+    return (
+        by_hash.groupBy("variant")
+        .agg(
+            F.sum("n_inst").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chunks"),
+            F.sum(F.when(F.col("n_inst") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+        .join(F.broadcast(shared), "variant", "left")
+        .withColumn(
+            "probe_shared_chunks",
+            F.coalesce("probe_shared_chunks", F.lit(0)).cast("bigint"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Cross-corpus incremental dedup: flag each NEW-batch doc that is a dedup
 # candidate against the EXISTING corpus (exact fingerprint match ∪ MinHash
 # band collision). The op every crawl refresh runs — dedup the incoming

@@ -82,9 +82,9 @@ def register(
 # CHANGED/NEW entry (the driver must witness the forms it will actually
 # execute — the 4 store-routed BPE queries changed plans this round, and
 # 3 queries are new) + ALL 19 names last witnessed in r4 + the 9 r5-stale
-# replay-tier heads + the next 6 r5-stale names alphabetically.
-# ROUND-10 POOL (what this rotation leaves stale): the remaining 21
-# r5-stale names (distinct_segments, doc_corpus_stats, doc_fingerprints, embedding_centroids, doc_text_quality, event_type_counts,
+# replay-tier heads + the next 5 r5-stale names alphabetically.
+# ROUND-10 POOL (what this rotation leaves stale): the remaining 22
+# r5-stale names (descriptive_stats, distinct_segments, doc_corpus_stats, doc_fingerprints, embedding_centroids, doc_text_quality, event_type_counts,
 # histogram_order_totals, join_anti_dormant_customers,
 # join_semi_active_customers, json_props_stats, kelly_fractions_table,
 # optimal_entry_window, order_status_stats, paginate_orders,
@@ -114,6 +114,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_nb_bigram_confusion",  # hashed-bigram NB + separable probe slice
     "doc_unicode_nfc",  # NFC normalization (Arrow UDF seam, native oracle)
     "doc_nfc_dedup_report",  # normalization-before-dedup composition
+    "doc_cdc_chunking_report",  # shift-invariant content-defined chunking
     # -- backfill: ALL 19 names last witnessed in r4 (5 rounds stale) -----
     "ewma_features",
     "feature_matrix",
@@ -144,14 +145,13 @@ PRIORITY: tuple[str, ...] = (
     "data_quality_report",
     "q9_product_profit",
     "momentum_features",
-    # -- next 6 r5-stale names (alphabetical) -----------------------------
+    # -- next 5 r5-stale names (alphabetical) -----------------------------
     "agg_having_big_customers",
     "best_row_dedup",
     "conditional_end_prob",
     "corr_lineitem_measures",
     "dedup_keep_first",
-    "descriptive_stats",
-    # (distinct_segments, doc_corpus_stats, doc_fingerprints and embedding_centroids fell to the round-10 pool
+    # (descriptive_stats, distinct_segments, doc_corpus_stats, doc_fingerprints and embedding_centroids fell to the round-10 pool
     # when the real BMP/y4m decode arms took their slots — never-witnessed
     # beats stale-rewitness per the rotation rule.)
 )
