@@ -2460,7 +2460,18 @@ def doc_cdc_chunking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_shared_chunks). Boundary flags are computed array-side in ONE
     transform (no token row ever carries the whole array), the chunk
     number is a per-doc running sum window, and every aggregate is
-    hash-keyed — nothing scales with pair counts."""
+    hash-keyed — nothing scales with pair counts.
+
+    Plan note (measured, round-9): a fully array-side alternative —
+    one aggregate() fold per doc emitting chunk strings, no explode
+    until chunk granularity — looked strictly better on paper (8×
+    fewer exploded rows, zero window shuffle) but measured 6.5×
+    SLOWER at the 10× lake (same-host A/B, 3.4 s vs 22 s): the fold's
+    string accumulator re-copies the growing chunk text on every
+    token (quadratic per chunk) and the struct-typed lambda defeats
+    whole-stage codegen, while the window/groupBy pipeline stays
+    codegen + sort-aggregate throughout. Explode-then-window wins;
+    don't "optimize" this into a fold again without re-measuring."""
     from pyspark.sql import Window as W
 
     from vectra_player_spark.session import pin
