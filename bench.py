@@ -231,6 +231,29 @@ def main() -> None:
             print(f"10x section skipped: {e}", file=sys.stderr)
 
     print(json.dumps(out))
+    # The driver captures a BOUNDED TAIL of stdout: for three rounds the
+    # single big line above lost its head (the sf0.1 headline) to that cap
+    # and BENCH_r{7,8,9}.json recorded parsed: null. Emit a compact
+    # duplicate trailer LAST — headline fields plus the full sf0.1 queries
+    # dict, none of the bulky 10x sections — so the retained tail always
+    # ends with a complete, parseable JSON record. The full line above is
+    # unchanged (same fields, same methodology; this is a reporting fix,
+    # not a measurement change — OPTIMIZATION_r10.md "bench truncation").
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "cpu_probe_sec": out["cpu_probe_sec"],
+        "layout_build_sec": out["layout_build_sec"],
+        "headline_for_deltas": out["headline_for_deltas"],
+    }
+    if "total_10x_sec" in out:
+        compact["total_10x_sec"] = out["total_10x_sec"]
+    if failed:
+        compact["failed"] = failed
+    print(json.dumps(compact))
     spark.stop()
 
 

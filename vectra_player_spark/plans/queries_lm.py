@@ -752,18 +752,22 @@ def corpus_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectra_player_spark.functions.text import token_count
 
     docs = t(spark, sf_dir, "documents")
-    w_fp = Window.partitionBy(fingerprint("text"))
-    # Five consumers re-derive the survivor set, but pinning it was
-    # MEASURED SLOWER (10.0 -> 16.7 s at 100×): `ded` carries the full
-    # text column, so the InMemoryRelation is corpus-text-sized and the
-    # cache writes cost more than the re-run fingerprint windows over
-    # pruned columns. The multi-consumer persist rule applies to NARROW
-    # rep-space relations (cstage below), not text-wide ones.
-    ded = (
-        docs.withColumn("_keeper", F.min("doc_id").over(w_fp))
-        .where(F.col("doc_id") == F.col("_keeper"))
-        .drop("_keeper")
+    # Keep-first via a PINNED keeper-id set + equi-join (round-10,
+    # backported from v4): five consumers re-derive the survivor set, and
+    # the previous fingerprint-window form re-ran a corpus-text-wide
+    # shuffle per consumer (pinning text-wide `ded` itself was measured
+    # SLOWER, 10.0 → 16.7 s at 100× — the cache was corpus-text-sized).
+    # The groupBy collapses map-side to one narrow (fp, min_id) shuffle,
+    # the pin is id-sized, and every consumer re-reads the parquet but
+    # never re-shuffles text. The multi-consumer persist rule applies to
+    # NARROW relations (keeper_ids here, cstage below), not text-wide
+    # ones.
+    keeper_ids = pin(
+        docs.groupBy(fingerprint("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+    ded = docs.join(keeper_ids, "doc_id")
     lm = lm_perdoc_scores(ded.select("doc_id", "lang", "text"))
     tiled = exact_ntile(
         lm.withColumn("_neg", (-F.col("xent_micro")).cast("bigint")),

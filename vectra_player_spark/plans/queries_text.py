@@ -2462,6 +2462,18 @@ def doc_cdc_chunking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     number is a per-doc running sum window, and every aggregate is
     hash-keyed — nothing scales with pair counts.
 
+    Rep-collapse (round-10): chunk hashes are a pure function of the
+    text, so each DISTINCT lake text is chunked once and every
+    instance-level aggregate is weighted by the copy count — on the
+    ~99%-dup lake the explode+window volume drops by the dup factor
+    while every output value is preserved exactly (n_chunks /
+    n_dup_chunks are instance counts = SUM(copies); distinctness is
+    hash-level and collapse-invariant). The probe twins stay
+    UNCOLLAPSED as their own rows (probe_id 1/2): probe_shared_chunks
+    needs their per-doc chunk sets, and a lake text that happened to
+    equal a probe text keeps contributing its own copies to the
+    instance counts, exactly like the oracle's per-doc enumeration.
+
     Plan note (measured, round-9): a fully array-side alternative —
     one aggregate() fold per doc emitting chunk strings, no explode
     until chunk granularity — looked strictly better on paper (8×
@@ -2477,13 +2489,23 @@ def doc_cdc_chunking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectra_player_spark.session import pin
 
     probe = spark.createDataFrame(_cdc_probe_rows(), "doc_id bigint, text string")
-    corpus = (
+    reps = (
         t(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .select("doc_id", "text")
-        .unionByName(probe)
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("copies"))
+        .select(F.lit(0).alias("probe_id"), "text", "copies")
     )
-    toks = corpus.select("doc_id", tokens("text").alias("tk"))
+    corpus = reps.unionByName(
+        probe.select(
+            (F.col("doc_id") - F.lit(_CDC_P0) + 1).cast("int").alias("probe_id"),
+            "text",
+            F.lit(1).cast("bigint").alias("copies"),
+        )
+    )
+    toks = corpus.select(
+        F.md5("text").alias("_k"), "probe_id", "copies", tokens("text").alias("tk")
+    )
     arr = F.expr(
         "transform(sequence(1, size(tk)), i -> named_struct("
         " 'i', i,"
@@ -2493,31 +2515,44 @@ def doc_cdc_chunking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" AS BIGINT) % {_CDC_DIV} = 0 THEN 1 ELSE 0 END,"
         f" 'b_fix', CASE WHEN i % {_CDC_DIV} = 0 THEN 1 ELSE 0 END))"
     )
-    pos = toks.select("doc_id", F.explode(arr).alias("s")).select(
-        "doc_id", "s.i", "s.tok", "s.b_cdc", "s.b_fix"
-    )
+    pos = toks.select(
+        "_k", "probe_id", "copies", F.explode(arr).alias("s")
+    ).select("_k", "probe_id", "copies", "s.i", "s.tok", "s.b_cdc", "s.b_fix")
     longv = pos.select(
-        "doc_id", "i", "tok", F.lit("cdc").alias("variant"), F.col("b_cdc").alias("b")
+        "_k", "probe_id", "copies", "i", "tok",
+        F.lit("cdc").alias("variant"), F.col("b_cdc").alias("b"),
     ).unionByName(
         pos.select(
-            "doc_id", "i", "tok", F.lit("fixed").alias("variant"),
-            F.col("b_fix").alias("b"),
+            "_k", "probe_id", "copies", "i", "tok",
+            F.lit("fixed").alias("variant"), F.col("b_fix").alias("b"),
         )
     )
+    # Explicit repartition on the window keys (round-10): the collapse
+    # shrinks the pre-explode relation to vocabulary size, so AQE sizes
+    # the window's exchange from a tiny input and coalesces the exploded
+    # token rows onto 1-2 tasks (measured: 2.7-10 s wall at 10× from
+    # parallelism starvation, not work). Hash-repartitioning the exploded
+    # rows to the session's shuffle-partition count (cluster-sized by
+    # deployment, never a local constant) restores parallelism AND is
+    # reused by the window (same clustering — no second exchange).
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    longv = longv.repartition(n_shuffle, "_k", "probe_id", "variant")
     w = (
-        W.partitionBy("doc_id", "variant")
+        W.partitionBy("_k", "probe_id", "variant")
         .orderBy("i")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     numbered = longv.select(
-        "doc_id",
+        "_k",
+        "probe_id",
+        "copies",
         "variant",
         "i",
         "tok",
         F.coalesce(F.sum("b").over(w), F.lit(0)).alias("chunk_no"),
     )
     chunks = pin(
-        numbered.groupBy("doc_id", "variant", "chunk_no").agg(
+        numbered.groupBy("_k", "probe_id", "copies", "variant", "chunk_no").agg(
             F.md5(
                 F.array_join(
                     F.transform(
@@ -2530,12 +2565,12 @@ def doc_cdc_chunking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     by_hash = chunks.groupBy("variant", "chash").agg(
-        F.count(F.lit(1)).alias("n_inst")
+        F.sum("copies").alias("n_inst")
     )
     shared = (
-        chunks.where(F.col("doc_id").isin(_CDC_P0, _CDC_P1))
+        chunks.where(F.col("probe_id") > 0)
         .groupBy("variant", "chash")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        .agg(F.countDistinct("probe_id").alias("nd"))
         .where(F.col("nd") == 2)
         .groupBy("variant")
         .agg(F.count(F.lit(1)).cast("bigint").alias("probe_shared_chunks"))
