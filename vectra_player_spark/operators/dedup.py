@@ -84,11 +84,42 @@ def rep_members(
     inter-group member pairs inherit their rep pair's score, intra-group
     pairs have the perfect score by definition. Candidate work drops d²,
     and the final expansion is a pair of equi-joins bounded by output size.
+
+    Plan shape (round-10, guide §2.3 "shuffle fewer bytes"): formerly a
+    min-over-window, which shuffles the FULL input row (text included) by
+    the group key, re-run by every consumer of the returned frames. Now a
+    groupBy (map-side combinable — on a duplication-d corpus the shuffle
+    carries ~1/d of the rows, and only (key, id) columns) plus two
+    equi-joins: members re-attach by a NULL-SAFE key join (the window
+    groups NULL keys together, so the join must too), reps by the id
+    join (a group's min id identifies exactly one row). Deliberately NOT
+    pinned: a same-session A/B showed the cache write costs more than
+    re-running the combined narrow aggregate (v4 2.5→3.4 s pinned, back
+    to 2.5 unpinned; jaccard kept its 2.8→1.5 s win either way). Values
+    are identical to the window form.
     """
-    w = Window.partitionBy(*key_cols)
-    tagged = docs.withColumn("_rep", F.min(id_col).over(w))
-    members = tagged.select("_rep", F.col(id_col).alias("_member"))
-    reps = tagged.where(F.col(id_col) == F.col("_rep")).drop("_rep")
+    keyed = docs
+    knames: list[str] = []
+    for i, k in enumerate(key_cols):
+        if isinstance(k, str):
+            knames.append(k)
+        else:
+            name = f"__rk{i}"
+            keyed = keyed.withColumn(name, k)
+            knames.append(name)
+    gids = keyed.groupBy(*[F.col(n) for n in knames]).agg(
+        F.min(id_col).alias("_rep")
+    )
+    cond = None
+    for n in knames:
+        c = keyed[n].eqNullSafe(gids[n])
+        cond = c if cond is None else (cond & c)
+    members = keyed.join(gids, cond).select(
+        "_rep", keyed[id_col].alias("_member")
+    )
+    reps = docs.join(
+        gids.select(F.col("_rep").alias(id_col)), id_col
+    ).select(*docs.columns)
     return reps, members
 
 
@@ -316,9 +347,13 @@ def crosscorpus_neardup_counts(
     base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.col(text_col), is_new.alias("_is_new")
     )
-    grp_w = Window.partitionBy(F.md5(text_col))
-    tagged = base.withColumn("_rep", F.min(id_col).over(grp_w))
-    reps = tagged.where(F.col(id_col) == F.col("_rep"))
+    # Narrow groupBy + join instead of a min-over-window (round-10, the
+    # rep_members rewrite — guide §2.3): the group key is md5(text) and
+    # non-null here, so a plain equi-join groups exactly like the window.
+    keyed = base.withColumn("_k", F.md5(F.col(text_col)))
+    gids = keyed.groupBy("_k").agg(F.min(id_col).alias("_rep"))
+    tagged = keyed.join(gids, "_k")
+    reps = base.join(gids.select(F.col("_rep").alias(id_col)), id_col)
     rep_fp = reps.select(
         F.col(id_col).alias("_rep"), fingerprint(text_col).alias("_fp")
     )

@@ -384,7 +384,7 @@ def bmp_features(media: DataFrame) -> DataFrame:
                 (hsz, w, h, _planes, bpp, comp) = struct.unpack_from(
                     "<IiiHHI", content, 14
                 )
-                if hsz != 40 or bpp != 24 or comp != 0 or h <= 0:
+                if hsz != 40 or bpp != 24 or comp != 0 or h <= 0 or w <= 0:
                     raise NotImplementedError(
                         "only uncompressed 24-bit bottom-up BMP is wired"
                     )
@@ -475,8 +475,10 @@ def y4m_frame_stats(media: DataFrame) -> DataFrame:
     C tags), then iterate FRAME markers reading raw 4:2:0 planes; one
     output row per frame with the luma mean and an md5 over the decoded
     Y values (row-major) — the explode shape of frame sampling with a
-    genuinely decoded body. Non-C420 colorspaces and frame-level
-    parameter changes raise at this seam."""
+    genuinely decoded body. Non-C420 colorspaces raise at this seam;
+    frame-level parameters (anything after b"FRAME" on the marker line)
+    are accepted and ignored — the plane geometry comes from the stream
+    header only."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

@@ -1009,8 +1009,11 @@ def _refresh_quantizer(kind: str):
     centroids/codebooks) byte-untouched and appends ONLY above-watermark
     assignments/codes to members — delta-sized, map-only (the encode
     inlines the frozen model as literals), never a full-corpus pass.
-    History mutated below the watermark still forces a rebuild: frozen
-    mode bounds ingest cost, it never serves a lake it doesn't cover."""
+    COUNT-CHANGING mutation below the watermark forces a rebuild (the
+    final row-count check — matching _refresh_rebuild's guarantee); an
+    equal-count delete+insert or in-place value edit below the watermark
+    is NOT detected and would be served with stale assignments — frozen
+    mode bounds ingest cost for append-shaped growth, nothing more."""
     rebuild = _refresh_rebuild(kind)
 
     def fn(spark: SparkSession, sf_dir: str) -> dict:

@@ -179,15 +179,30 @@ def _lm_tagged(docs: DataFrame) -> DataFrame:
     normalized dedup fingerprint: LM scores are token-exact (case- and
     whitespace-sensitive), so a case-variant duplicate must NOT inherit
     its rep's score (the queries_text._text_reps rule)."""
+    # Narrow groupBy + null-safe join instead of a min-over-window
+    # (round-10, guide §2.3 — the operators/dedup.rep_members rewrite):
+    # the window shuffled the full text row per consumer; the groupBy
+    # ships (lang, md5, min_id) with map-side combine and the join
+    # re-attaches without moving text. lang is nullable → the join must
+    # group NULLs like the window did (eqNullSafe).
     base = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", "lang", "text"
+        "doc_id", "lang", "text", F.md5("text").alias("_k")
     )
-    grp_w = Window.partitionBy("lang", F.md5("text"))
-    return base.select(
+    gids = (
+        base.groupBy("lang", "_k")
+        .agg(F.min("doc_id").alias("_rep"))
+        .select(
+            F.col("lang").alias("_glang"), F.col("_k").alias("_gk"), "_rep"
+        )
+    )
+    return base.join(
+        gids,
+        F.col("lang").eqNullSafe(F.col("_glang")) & (F.col("_k") == F.col("_gk")),
+    ).select(
         "doc_id",
         "lang",
         "text",
-        F.min("doc_id").over(grp_w).alias("_rep"),
+        "_rep",
         lm_is_ref().cast("int").alias("_is_ref"),
     )
 
@@ -510,20 +525,24 @@ def dsir_weight_table(docs: DataFrame) -> DataFrame:
     bucket table stays exactly the raw-corpus one; members inherit their
     rep's integer weight through one equi-join (is_target/source stay
     per-member — they ride the member row, not the rep's)."""
-    base = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", "source", "text"
-    )
     # md5(text), not the normalized fingerprint — feature bags are
-    # token-exact (the queries_text._text_reps rule)
-    grp_w = Window.partitionBy(F.md5("text"))
+    # token-exact (the queries_text._text_reps rule). Narrow groupBy +
+    # join instead of a min-over-window (round-10, guide §2.3 — the
+    # rep_members rewrite): the groupBy ships (md5, min_id) with
+    # map-side combine; text never re-shuffles. _k is non-null (text
+    # filtered), so a plain equi-join groups exactly like the window.
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", "source", "text", F.md5("text").alias("_k")
+    )
+    gids = base.groupBy("_k").agg(F.min("doc_id").alias("_rep"))
     is_tgt = (
         F.expr(_SPARK_COIN.format(salt="dsirtgt")) < _DSIR_TGT_FRAC
     ).cast("int")
-    tagged = base.select(
+    tagged = base.join(gids, "_k").select(
         "doc_id",
         "source",
         "text",
-        F.min("doc_id").over(grp_w).alias("_rep"),
+        "_rep",
         is_tgt.alias("is_target"),
     )
     gcnt = tagged.groupBy("_rep").agg(

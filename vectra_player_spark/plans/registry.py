@@ -94,66 +94,70 @@ def register(
 # CORRECTNESS_r{1..9} as this round did. Verify slot 50 with
 # tools/show_cap.py after ANY registration change (it has drifted twice).
 PRIORITY: tuple[str, ...] = (
+    # ROUND-10 ROTATION (optimization round): the driver must witness the
+    # forms it will actually execute, and this round REWROTE the plans of
+    # the collapse-first families (operators/dedup.rep_members: window →
+    # narrow groupBy + null-safe join; the lm/dsir tagged frames; the
+    # v2/v3 keeper-id sets; CDC rep-collapse; multimodal digest path).
+    # Cap-50 = 5 sentinels + every round-10 CHANGED-plan entry + the
+    # still-in-cap round-9 entries whose stores/pins those changes touch
+    # + oldest-stale fill. Everything displaced is still swept locally
+    # every round (tools/sweep.py 194/194 this round).
     # -- sentinels (green every prior round; one per family) --------------
     "q1_pricing_summary",
     "tick_features",
     "km_survival_curve",
-    "doc_minhash_lsh_pairs",
+    "doc_minhash_lsh_pairs",  # also r10-changed (rep_members)
     "strategy_grid_sweep_2100",
-    # -- round-9 changed entries (BPE queries now serve from the bpe
-    #    signature store; plans changed, pins unchanged) ------------------
+    # -- round-9 entries kept in-cap (store-routed forms; BPE encode and
+    #    the agreement/NFC/CDC rows are ALSO r10-changed) ------------------
     "doc_bpe_merges",
     "doc_bpe_vocab_stats",
-    "doc_bpe_encode",
+    "doc_bpe_encode",  # r10-changed (_text_reps → rep_members rewrite)
     "doc_vocab_coverage",
-    # -- round-9 NEW entries ----------------------------------------------
-    "multimodal_wav_features",  # REAL WAV decode (un-stubbed audio arm)
-    "multimodal_bmp_features",  # REAL BMP decode (un-stubbed image arm)
-    "multimodal_y4m_frame_stats",  # REAL y4m decode (un-stubbed video arm)
-    "doc_dedup_method_agreement_sampled",  # oracle-feasible-at-100x arm
-    "doc_nb_bigram_confusion",  # hashed-bigram NB + separable probe slice
-    "doc_unicode_nfc",  # NFC normalization (Arrow UDF seam, native oracle)
-    "doc_nfc_dedup_report",  # normalization-before-dedup composition
-    "doc_cdc_chunking_report",  # shift-invariant content-defined chunking
-    # -- backfill: ALL 19 names last witnessed in r4 (5 rounds stale) -----
-    "ewma_features",
-    "feature_matrix",
-    "interval_range_join",
-    "interval_range_join_routed",
-    "knn_bruteforce_cosine",
-    "lake_summary_stats",
-    "nth_tick_anchors",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit_bucketed",
-    "training_set_builder",
-    "volatility_sizing_tiers",
-    "zorder_box_rollup",
-    # -- r5-stale replay-tier heads (deterministic pins + family heads) ---
-    "backtest_replay",
-    "monte_carlo_summary",
-    "decision_pipeline_replay",
-    "stateful_feature_extract",
-    "gap_sessionization",
-    "rl_observation_set",
-    "data_quality_report",
-    "q9_product_profit",
-    "momentum_features",
-    # -- next 5 r5-stale names (alphabetical) -----------------------------
-    "agg_having_big_customers",
-    "best_row_dedup",
-    "conditional_end_prob",
-    "corr_lineitem_measures",
-    "dedup_keep_first",
-    # (descriptive_stats, distinct_segments, doc_corpus_stats, doc_fingerprints and embedding_centroids fell to the round-10 pool
-    # when the real BMP/y4m decode arms took their slots — never-witnessed
-    # beats stale-rewitness per the rotation rule.)
+    "multimodal_wav_features",  # r10-changed (digest LUT)
+    "multimodal_bmp_features",  # r10-changed (digest LUT)
+    "multimodal_y4m_frame_stats",  # r10-changed (digest LUT)
+    "doc_dedup_method_agreement_sampled",  # r10-changed (rep_members)
+    "doc_nb_bigram_confusion",
+    "doc_unicode_nfc",
+    "doc_nfc_dedup_report",
+    "doc_cdc_chunking_report",  # r10-changed (rep-collapse + repartition)
+    # -- round-10 CHANGED-plan entries not already above -------------------
+    "corpus_curation_pipeline_v2",  # keeper-id set
+    "corpus_curation_pipeline_v3",  # keeper-id set
+    "corpus_curation_pipeline_v4",  # rep_members via canonical path
+    "doc_lm_perplexity",  # lm tagged join form
+    "doc_ccnet_buckets",  # lm tagged join form
+    "doc_dsir_weights",  # dsir tagged join form
+    "doc_dsir_resample",  # dsir tagged join form
+    "doc_crosscorpus_neardup",  # tagged join form
+    "doc_exact_dedup",
+    "doc_dedup_canonical",
+    "doc_ngram_jaccard_pairs",
+    "doc_simhash_neardup_pairs",
+    "doc_simhash_neardup_stats",
+    "doc_simhash_neardup_canonical",
+    "doc_dup_span_stats",
+    "doc_dup_span_clean",
+    "doc_semantic_dedup",
+    "doc_decontamination",
+    "doc_decontamination_bloom",
+    "doc_dedup_method_agreement",
+    "doc_lsh_recall_report",
+    "doc_fuzzy_prefix_pairs",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
+    "embedding_neardup_components",
+    "doc_leakage_safe_split",
+    "doc_split_leakage_audit",
+    # -- oldest-stale fill (the r9 verdict's round-10 pool, in its order) --
+    "descriptive_stats",
+    "distinct_segments",
+    "doc_corpus_stats",
+    "doc_fingerprints",
+    "embedding_centroids",
+    "doc_text_quality",
 )
 
 # The round-1/2 priority block, demoted to positions 51+ now that every
