@@ -2341,10 +2341,24 @@ def doc_dedup_method_agreement_sampled(spark: SparkSession, sf_dir: str) -> Data
     — statistically a matrix estimate, operationally the arm whose DuckDB
     twin runs at the full 100× lake (the full matrix's oracle cannot).
     Same enumeration-free rep-space plan as doc_dedup_method_agreement,
-    applied to the sampled sub-corpus."""
-    docs = t(spark, sf_dir, "documents").where(
-        F.expr(_COIN_SPARK_U01.format(salt=_AGREE_SAMPLE_SALT))
-        < _AGREE_SAMPLE_FRAC
+    applied to the sampled sub-corpus.
+
+    The sampled frame is PINNED (round-11): the matrix has ~5 independent
+    consumers (rep collapse ×2 sides, span stats, jaccard, final flag
+    expansion), and each otherwise re-scans the FULL lake re-evaluating
+    the md5 coin — measured 0.84 s/scan at 10×, ~4 s of the 5.3 s cold
+    pass. The pin is 1/16-corpus-sized (shrinks as frac², the same reason
+    the oracle stays feasible), so the multi-consumer persist rule for
+    narrow relations applies."""
+    from vectra_player_spark.session import pin
+
+    docs = pin(
+        t(spark, sf_dir, "documents")
+        .where(
+            F.expr(_COIN_SPARK_U01.format(salt=_AGREE_SAMPLE_SALT))
+            < _AGREE_SAMPLE_FRAC
+        )
+        .select("doc_id", "text")
     )
     return _agreement_matrix(docs)
 

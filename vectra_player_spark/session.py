@@ -51,6 +51,17 @@ def get_spark(app_name: str = "vectra_player_spark", cpus: int | None = None) ->
         # legacy-gated conf + one file per bucket): the window-family
         # events layout then feeds Window operators with NO SortExec.
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # Bound the plan-string renders Spark performs synchronously on the
+        # execution thread (SparkListenerSQLExecutionStart and every AQE
+        # update each render the FULL physical plan via generateTreeString,
+        # UI enabled or not). The composed curation funnels' trees reach
+        # 4.5 MB of plan text; driver thread dumps showed 4 of a 4.5 s
+        # warm pass inside TreeNode.generateTreeString/SparkPlanInfo
+        # (OPTIMIZATION_r11.md). 256 KiB keeps every diagnostic plan this
+        # repo asserts on intact (largest test-pinned plan ~66 KB) while
+        # capping the per-event render cost. Scale-neutral: the tax is
+        # per-query-execution driver overhead, identical on a cluster.
+        .config("spark.sql.maxPlanStringLength", str(256 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -67,6 +78,9 @@ def prep_session(spark: SparkSession) -> SparkSession:
     # see get_spark: lets the window-family bucketed layout feed Window
     # operators sort-free when the driver's session discovers it
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    # see get_spark: cap the synchronous plan-string renders (the big
+    # composed funnels otherwise pay seconds of driver time per run)
+    spark.conf.set("spark.sql.maxPlanStringLength", str(256 * 1024))
     return spark
 
 
