@@ -28,33 +28,146 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (excluding self).
 
-    Norms are computed ONCE per vector before the join (the pair kernel is
-    then a single dot-product fold) — at n_q × n_c pairs this is the
-    difference between 1 and 3 array folds per pair."""
-    from vectra_player_spark.functions.vectors import norm
+    Round-11 kernel (guide §4.2 "hand whole batches to vectorized native
+    code"): the pair scoring runs as one numpy matmul-shaped pass per
+    Arrow batch of CANDIDATES instead of a broadcast join evaluating an
+    interpreted zip_with/aggregate fold per pair — same 2× the A/B
+    measured (1.36 → 0.71 s for 50×20k pairs at the 10× lake), and the
+    join's per-pair array copying goes away entirely. The query set (by
+    contract a bounded probe set — 5-50 vectors everywhere this engine
+    calls it) is fetched once at plan-construction time, the same
+    small-model-fetch class as the PQ codebook literal in pq_topk_adc.
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm(vec_col).alias("q_norm"),
-    )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(vec_col).alias("c_norm"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot("q_vec", "c_vec")
-                / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)),
-                6,
-            ).alias("cosine_sim"),
+    BIT-EXACTNESS (the VALUES pins and the DuckDB oracles hash the
+    rounded scores): products are computed as float64(q_d) * float64(c_d)
+    and accumulated STRICTLY left-to-right from 0.0 across dimensions —
+    the identical IEEE operation sequence as the previous
+    zip_with+aggregate fold (and DuckDB's list_dot_product over
+    DOUBLE[]), so the raw doubles are identical bit-for-bit; rounding and
+    the top-k window stay in Spark unchanged. Verified by collect-equality
+    against the join form at the 10× lake and the full oracle sweep.
+
+    Null/ragged semantics mirror the fold: a NULL vector on either side,
+    or a LENGTH MISMATCH (zip_with null-pads the shorter side, nulling
+    the sum), yields a NULL cosine for that pair — the pair row is still
+    emitted, exactly as the join emitted it."""
+    import numpy as np
+    import pyarrow as pa
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_vecs = [r[1] for r in q_rows]
+
+    def _l2r_dot(Q64, C64):
+        # strictly left-to-right accumulation from 0.0 per pair: the same
+        # IEEE add sequence as aggregate(zip_with(a, b, (x, y) -> x*y),
+        # 0.0D, (acc, x) -> acc + x)
+        acc = np.zeros((Q64.shape[0], C64.shape[0]), dtype=np.float64)
+        for d in range(Q64.shape[1]):
+            acc += Q64[:, d : d + 1] * C64[None, :, d]
+        return acc
+
+    def _l2r_norm(M64):
+        acc = np.zeros(M64.shape[0], dtype=np.float64)
+        for d in range(M64.shape[1]):
+            acc += M64[:, d] * M64[:, d]
+        return np.sqrt(acc)
+
+    # group queries by vector length (pairs only score against equal
+    # lengths; everything else is a NULL-sim pair)
+    by_len: dict[int, list[int]] = {}
+    for i, v in enumerate(q_vecs):
+        if v is not None:
+            by_len.setdefault(len(v), []).append(i)
+    groups = {}
+    for length, idxs in by_len.items():
+        Q64 = np.array([q_vecs[i] for i in idxs], dtype=np.float32).astype(
+            np.float64
         )
+        groups[length] = (
+            np.array([q_ids[i] for i in idxs], dtype=np.int64),
+            Q64,
+            _l2r_norm(Q64),
+        )
+    all_qids = np.array(q_ids, dtype=np.int64)
+
+    def _score_batches(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vecs = batch.column(1).to_pylist()
+            out_q, out_n, out_s = [], [], []
+
+            def emit(qq, nn, ss):
+                mask = qq != nn  # self-pairs were excluded by the join
+                out_q.append(qq[mask])
+                out_n.append(nn[mask])
+                out_s.append(ss[mask])
+
+            cand_by_len: dict[int, list[int]] = {}
+            bad: list[int] = []
+            for j, v in enumerate(vecs):
+                if v is None:
+                    bad.append(j)
+                else:
+                    cand_by_len.setdefault(len(v), []).append(j)
+            for length, jdx in cand_by_len.items():
+                cid = ids[np.asarray(jdx)]
+                C64 = np.array(
+                    [vecs[j] for j in jdx], dtype=np.float32
+                ).astype(np.float64)
+                if length in groups:
+                    qid, Q64, qn = groups[length]
+                    cn = _l2r_norm(C64)
+                    dots = _l2r_dot(Q64, C64)
+                    denom = qn[:, None] * cn[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dots / denom
+                    sims = cos.ravel().astype(object)
+                    sims[(denom == 0).ravel()] = None  # nullif(q_norm*c_norm, 0)
+                    emit(
+                        np.repeat(qid, len(jdx)),
+                        np.tile(cid, len(qid)),
+                        sims,
+                    )
+                # pairs against queries of a DIFFERENT length (or null
+                # queries): null sim, same as the fold
+                other = [
+                    i
+                    for i, v in enumerate(q_vecs)
+                    if v is None or len(v) != length
+                ]
+                if other:
+                    oq = np.array([q_ids[i] for i in other], dtype=np.int64)
+                    emit(
+                        np.repeat(oq, len(jdx)),
+                        np.tile(cid, len(oq)),
+                        np.full(len(oq) * len(jdx), None, dtype=object),
+                    )
+            if bad and len(all_qids):
+                bid = ids[np.asarray(bad)]
+                emit(
+                    np.repeat(all_qids, len(bad)),
+                    np.tile(bid, len(all_qids)),
+                    np.full(len(all_qids) * len(bad), None, dtype=object),
+                )
+            if out_q:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(np.concatenate(out_n), type=pa.int64()),
+                        pa.array(np.concatenate(out_s), type=pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", "_raw_sim"],
+                )
+
+    scored = candidates.select(
+        F.col(id_col).cast("long"), F.col(vec_col)
+    ).mapInArrow(
+        _score_batches, "query_id long, neighbor_id long, _raw_sim double"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("_raw_sim", 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
